@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Scale posture: these configs are the local[N] analogues of what a
+  * 1000-executor deployment would set — AQE for runtime re-planning
+  * (coalescing post-shuffle partitions, skew-join splitting), a shuffle
+  * partition count matched to the parallelism actually available (the
+  * reference's `ReducerTasks` knob, /root/reference/runner.go:54,100),
+  * and UTC session time for reproducible timestamp semantics.
+  */
+object GraftSession {
+
+  /** Default parallelism: the reference defaults to 30 reducer tasks
+    * (/root/reference/runner.go:100); we default to the local core count.
+    */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def build(master: String = s"local[$cpus]", appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

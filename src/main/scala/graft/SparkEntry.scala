@@ -1,13 +1,70 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Compositions, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's public inventory: one entry per operator from
+  * SURVEY.md §2 (plus the LLM-pipeline extensions), each paired with a
+  * DuckDB oracle in `oracleSql` whose column names and arithmetic match
+  * bit-for-bit (see graft.queries.Exact for why decimal accumulation).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (SURVEY.md §2C #33) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Compositions.fieldFrequency(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2C compositions — the reference's own demonstrated workloads
+    "q01_field_freq"    -> (Compositions.fieldFrequency _),
+    "q02_sum_by_key"    -> (Compositions.sumByKey _),
+    "q03_wordcount"     -> (Compositions.wordCount _),
+    "q04_multistep"     -> (Compositions.multiStep _),
+    "q05_filtered"      -> (Compositions.filteredCount _),
+    // Relational surface (user-space compositions in the MR model)
+    "q10_join_broadcast" -> (Relational.joinBroadcast _),
+    "q11_join_large"     -> (Relational.joinLarge _),
+    "q12_semi_join"      -> (Relational.semiJoin _),
+    "q13_anti_join"      -> (Relational.antiJoin _),
+    "q14_distinct"       -> (Relational.distinctPairs _),
+    "q15_topk_group"     -> (Relational.topKPerGroup _),
+    "q16_topk_global"    -> (Relational.topKGlobal _),
+    "q17_rollup"         -> (Relational.rollupAgg _),
+    "q18_cube"           -> (Relational.cubeAgg _),
+    "q19_setops"         -> (Relational.setOps _),
+    "q20_pricing_summary"   -> (Relational.pricingSummary _),
+    "q21_shipping_priority" -> (Relational.shippingPriority _),
+    "q22_running_sum"    -> (Relational.runningSum _),
+    "q23_scalar_funcs"   -> (Relational.scalarFunctions _),
+    "q24_sessionize"     -> (Relational.sessionize _),
+    "q25_histogram"      -> (Relational.histogram _),
+    "q26_time_window"    -> (Relational.timeWindow _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_field_freq"    -> Compositions.fieldFrequencySql,
+    "q02_sum_by_key"    -> Compositions.sumByKeySql,
+    "q03_wordcount"     -> Compositions.wordCountSql,
+    "q04_multistep"     -> Compositions.multiStepSql,
+    "q05_filtered"      -> Compositions.filteredCountSql,
+    "q10_join_broadcast" -> Relational.joinBroadcastSql,
+    "q11_join_large"     -> Relational.joinLargeSql,
+    "q12_semi_join"      -> Relational.semiJoinSql,
+    "q13_anti_join"      -> Relational.antiJoinSql,
+    "q14_distinct"       -> Relational.distinctPairsSql,
+    "q15_topk_group"     -> Relational.topKPerGroupSql,
+    "q16_topk_global"    -> Relational.topKGlobalSql,
+    "q17_rollup"         -> Relational.rollupAggSql,
+    "q18_cube"           -> Relational.cubeAggSql,
+    "q19_setops"         -> Relational.setOpsSql,
+    "q20_pricing_summary"   -> Relational.pricingSummarySql,
+    "q21_shipping_priority" -> Relational.shippingPrioritySql,
+    "q22_running_sum"    -> Relational.runningSumSql,
+    "q23_scalar_funcs"   -> Relational.scalarFunctionsSql,
+    "q24_sessionize"     -> Relational.sessionizeSql,
+    "q25_histogram"      -> Relational.histogramSql,
+    "q26_time_window"    -> Relational.timeWindowSql,
+  )
 }

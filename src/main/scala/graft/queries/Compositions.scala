@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** The reference's demonstrated compositions (SURVEY.md §2C #33-37) as
+  * first-class DataFrame queries over the driver star schema.
+  *
+  * These are the queries gomrjob users actually write by hand as
+  * Mapper/Reducer pairs (/root/reference/example/example_mr.go:21-53);
+  * here each is a declarative plan Catalyst can optimize (partial
+  * aggregation replaces the hand-rolled LRU combiner,
+  * /root/reference/example/example_mr.go:26-29).
+  */
+object Compositions {
+
+  /** #33 flagship — JSON field-frequency count.
+    *
+    * Reference: mapper explodes each record's top-level JSON keys, reducer
+    * sums (example/example_mr.go:21-53); output also carries a `lines_read`
+    * total. Here: parse `events.props` (schema-on-read JSON column) to a
+    * map, explode keys, count per key, union the total. The map parse +
+    * explode happens inside whole-stage codegen; the two aggregates share
+    * one scan at 100 TB because the union branches both prune to `props`.
+    */
+  def fieldFrequency(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val keys = ev
+      .select(explode(map_keys(from_json(col("props"), MapType(StringType, StringType)))).as("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"))
+    keys.unionByName(
+      ev.agg(count(lit(1)).as("cnt")).select(lit("lines_read").as("key"), col("cnt")))
+  }
+
+  val fieldFrequencySql: String =
+    """SELECT k AS key, COUNT(*) AS cnt
+      |FROM (SELECT UNNEST(json_keys(props)) AS k FROM events)
+      |GROUP BY k
+      |UNION ALL
+      |SELECT 'lines_read' AS key, COUNT(*) AS cnt FROM events""".stripMargin
+
+  /** #35 sum-by-key — the built-in `Sum` reducer
+    * (/root/reference/mrproto/protocol.go:339-356): per event_type totals.
+    * Decimal accumulation keeps the result independent of partitioning.
+    */
+  def sumByKey(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(Exact.dsum(col("value"), 2).as("total_value"),
+           count(lit(1)).as("n_events"))
+
+  val sumByKeySql: String =
+    s"""SELECT event_type, ${Exact.sqlSum("value", 2)} AS total_value,
+       |COUNT(*) AS n_events FROM events GROUP BY event_type""".stripMargin
+
+  /** #34 word counting with map-side combining — the reference's LRU
+    * in-mapper pre-aggregation (example/example_mr.go:26-29) is Catalyst's
+    * automatic partial HashAggregate; nothing to hand-roll. Empty tokens
+    * (trailing separators) are filtered on both sides.
+    */
+  def wordCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  val wordCountSql: String =
+    """SELECT word, COUNT(*) AS cnt
+      |FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> ''
+      |GROUP BY word""".stripMargin
+
+  /** #36 multi-step pipeline (agg-of-agg): orders-per-customer histogram.
+    * Reference chains two streaming jobs with a materialized tmp dir
+    * (runner.go:137-151); Spark composes lazily — one DAG, no tmp I/O.
+    */
+  def multiStep(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  val multiStepSql: String =
+    """SELECT n_orders, COUNT(*) AS n_customers
+      |FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+      |GROUP BY n_orders""".stripMargin
+
+  /** #37 heartbeat/garbage filtering — drop records whose props payload is
+    * not a JSON object with a data key (the reference skips `_HEARTBEAT_`
+    * and non-JSON lines, mrproto/protocol_test.go:14-16). Filter pushes to
+    * the scan; count per type survives.
+    */
+  def filteredCount(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type").isNotNull && col("event_type") =!= "error")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  val filteredCountSql: String =
+    """SELECT event_type, COUNT(*) AS cnt FROM events
+      |WHERE event_type IS NOT NULL AND event_type <> 'error'
+      |GROUP BY event_type""".stripMargin
+}

@@ -1,0 +1,363 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The relational operator surface the MR model forces into user space
+  * (SURVEY.md §2, "deliberately absent" list): joins of every flavor,
+  * distinct, top-k, windows, set ops, rollup/cube, scalar functions.
+  * Every query has a DuckDB oracle; every double aggregate goes through
+  * [[Exact]] so the hash compare is bit-stable.
+  *
+  * Scale notes are inline per query — broadcast what is provably small,
+  * shuffle on the natural key otherwise, always with a deterministic
+  * tiebreaker when a window/top-k could tie.
+  */
+object Relational {
+
+  /** Broadcast-dimension join: revenue per nation. supplier/nation are tiny
+    * at any SF (supplier is 0.01% of lineitem) → two broadcast hash joins,
+    * zero shuffle on the fact side until the final 25-group aggregate.
+    */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val nat = Tables.nation(s, dir)
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  val joinBroadcastSql: String =
+    s"""SELECT n_name, ${Exact.sqlSum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+       |COUNT(*) AS n_items
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY n_name""".stripMargin
+
+  /** Fact-to-fact join: lineitem ⋈ orders on orderkey. At 100 TB both sides
+    * are large → sort-merge join on the shuffled key; AQE handles skew.
+    * Aggregation keys are tiny (5 priorities) so the final agg is cheap.
+    */
+  def joinLarge(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(Exact.dsum(col("l_extendedprice"), 2).as("sum_price"),
+           count(lit(1)).as("n_items"))
+  }
+
+  val joinLargeSql: String =
+    s"""SELECT o_orderpriority, ${Exact.sqlSum("l_extendedprice", 2)} AS sum_price,
+       |COUNT(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority""".stripMargin
+
+  /** Left-semi join (EXISTS): customers that placed at least one order.
+    * Reference users build this as tag + group-by-key; Spark plans a
+    * broadcast/shuffled semi join that never materializes the order rows.
+    */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no big-ticket order
+    * (> 300k). The filter on the right side pushes into the orders scan
+    * before the anti join — at 100 TB that prunes most of the build side.
+    */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin
+
+  /** Distinct (user-space dedup in the MR model). */
+  def distinctPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+
+  val distinctPairsSql: String =
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+  /** Top-k per group via window: top 3 orders by totalprice per priority.
+    * Deterministic tiebreaker on o_orderkey — a top-k without one is
+    * nondeterministic under any parallel execution, at any scale.
+    * Window partitions by a low-cardinality key; at 100 TB a two-phase
+    * per-partition top-k (AQE + limit pushdown) keeps this from sorting
+    * the world — only k rows per group survive each partial.
+    */
+  def topKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val topKPerGroupSql: String =
+    """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3""".stripMargin
+
+  /** Global top-k: 10 highest-value orders. orderBy+limit lets Spark run
+    * TakeOrderedAndProject — per-partition heaps, no global sort.
+    */
+  def topKGlobal(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val topKGlobalSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** ROLLUP: order counts by (status, priority) hierarchy. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice"), 2).as("total"))
+
+  val rollupAggSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |${Exact.sqlSum("o_totalprice", 2)} AS total
+       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** CUBE over two independent dims. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+
+  val cubeAggSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Set operations: nations that have customers but no suppliers
+    * (EXCEPT) unioned with nations present in both (INTERSECT), tagged.
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val cNations = Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+    val sNations = Tables.supplier(s, dir).select(col("s_nationkey").as("nk"))
+    val both = cNations.intersect(sNations).withColumn("tag", lit("both"))
+    val onlyC = cNations.except(sNations).withColumn("tag", lit("customer_only"))
+    both.unionByName(onlyC)
+  }
+
+  val setOpsSql: String =
+    """SELECT nk, 'both' AS tag FROM
+      |  (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier)
+      |UNION ALL
+      |SELECT nk, 'customer_only' AS tag FROM
+      |  (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey AS nk FROM supplier)""".stripMargin
+
+  /** TPC-H Q1-style pricing summary: the canonical heavy scan+agg. All
+    * money math accumulates in decimal (order-free), averages divide once
+    * at the end. Partial aggregation makes this one scan + one 4-group
+    * exchange regardless of input size.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Exact.dsum(col("l_quantity"), 2).as("sum_qty"),
+        Exact.dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+        Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        Exact.davg(col("l_quantity"), 2).as("avg_qty"),
+        Exact.davg(col("l_extendedprice"), 2).as("avg_price"),
+        Exact.davg(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val pricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |${Exact.sqlSum("l_quantity", 2)} AS sum_qty,
+       |${Exact.sqlSum("l_extendedprice", 2)} AS sum_base_price,
+       |${Exact.sqlSum("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+       |${Exact.sqlSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+       |${Exact.sqlAvg("l_quantity", 2)} AS avg_qty,
+       |${Exact.sqlAvg("l_extendedprice", 2)} AS avg_price,
+       |${Exact.sqlAvg("l_discount", 2)} AS avg_disc,
+       |COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style shipping priority: 3-table join, revenue per order,
+    * top 10. customer is the small side (broadcast); lineitem⋈orders
+    * shuffles on orderkey.
+    */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    s"""SELECT l_orderkey, o_orderdate,
+       |${Exact.sqlSum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Running window aggregate: cumulative quantity per supplier ordered by
+    * ship date. Total order (shipdate, orderkey, linenumber) makes every
+    * prefix — and therefore every running decimal sum — deterministic.
+    */
+  def runningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") <= 10)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast("decimal(38,2)")).over(w).cast("double").as("running_qty"))
+  }
+
+  val runningSumSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) OVER (
+      |  PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      |FROM lineitem WHERE l_suppkey <= 10""".stripMargin
+
+  /** Scalar function surface: string/date/math over part+orders. In the MR
+    * model these live inside user mappers (Go stdlib); here they're
+    * codegen'd Catalyst expressions.
+    */
+  def scalarFunctions(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mon"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        substring(col("o_orderstatus"), 1, 1).as("status_c"),
+        length(col("o_orderpriority")).as("pri_len"),
+        floor(col("o_totalprice")).as("price_floor"),
+        ceil(col("o_totalprice")).as("price_ceil"),
+        (col("o_totalprice") - floor(col("o_totalprice"))).as("price_frac"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_pri"))
+
+  val scalarFunctionsSql: String =
+    """SELECT o_orderkey,
+      |CAST(year(o_orderdate) AS INT) AS yr,
+      |CAST(month(o_orderdate) AS INT) AS mon,
+      |CAST(day(o_orderdate) AS INT) AS dom,
+      |upper(o_orderpriority) AS pri_upper,
+      |substring(o_orderstatus, 1, 1) AS status_c,
+      |CAST(length(o_orderpriority) AS INT) AS pri_len,
+      |CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      |CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+      |o_totalprice - floor(o_totalprice) AS price_frac,
+      |concat_ws('-', o_orderstatus, o_orderpriority) AS status_pri
+      |FROM orders WHERE o_orderkey <= 1000""".stripMargin
+
+  /** Sessionization: split each user's event stream on >30 min gaps, count
+    * sessions and events. Classic lag + cumulative-sum-of-boundaries; all
+    * integer arithmetic → hash-exact. Partitioned by user_id — embarrassingly
+    * parallel at any scale (each user's timeline lives in one partition).
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"),
+           count(lit(1)).cast("long").as("n_session_rows"),
+           Exact.dsum(col("n_events"), 0).as("n_events_total"))
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), sessions AS (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |), per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events
+      |  FROM sessions GROUP BY user_id, session_id
+      |)
+      |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_session_rows,
+      |  CAST(SUM(CAST(n_events AS DECIMAL(38,0))) AS DOUBLE) AS n_events_total
+      |FROM per_session GROUP BY user_id""".stripMargin
+
+  /** Histogram bucketing: value distribution in width-50 buckets. */
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select((floor(col("value") / 50.0) * 50).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  val histogramSql: String =
+    """SELECT CAST(FLOOR(value / 50.0) * 50 AS BIGINT) AS bucket, COUNT(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Tumbling-window time aggregation (batch form of the streaming query in
+    * graft.streaming): events per hour per type. Window start rendered as a
+    * string so engine timestamp precision (µs vs ns) can't skew the hash.
+    */
+  def timeWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value"), 2).as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+
+  val timeWindowSql: String =
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       |event_type, COUNT(*) AS n, ${Exact.sqlSum("value", 2)} AS total
+       |FROM events GROUP BY 1, 2""".stripMargin
+}
