@@ -23,6 +23,10 @@ object SparkEntry {
     "q03_wordcount"     -> (Compositions.wordCount _),
     "q04_multistep"     -> (Compositions.multiStep _),
     "q05_filtered"      -> (Compositions.filteredCount _),
+    // §2A dataflow core run through the typed MR path (mapper → combiner →
+    // hash+sort shuffle → sorted-run reducer) and the typed Aggregator
+    "q06_mr_field_freq" -> (graft.mr.MrQueries.mrFieldFreq _),
+    "q07_typed_agg"     -> (graft.mr.MrQueries.typedAgg _),
     // Relational surface (user-space compositions in the MR model)
     "q10_join_broadcast" -> (Relational.joinBroadcast _),
     "q11_join_large"     -> (Relational.joinLarge _),
@@ -49,6 +53,8 @@ object SparkEntry {
     "q03_wordcount"     -> Compositions.wordCountSql,
     "q04_multistep"     -> Compositions.multiStepSql,
     "q05_filtered"      -> Compositions.filteredCountSql,
+    "q06_mr_field_freq" -> graft.mr.MrQueries.mrFieldFreqSql,
+    "q07_typed_agg"     -> graft.mr.MrQueries.typedAggSql,
     "q10_join_broadcast" -> Relational.joinBroadcastSql,
     "q11_join_large"     -> Relational.joinLargeSql,
     "q12_semi_join"      -> Relational.semiJoinSql,

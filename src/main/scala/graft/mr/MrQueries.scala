@@ -1,0 +1,69 @@
+package graft.mr
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The MR core exposed through the driver's verify gate: the same pipelines
+  * a gomrjob user would write, run in-engine, with DuckDB oracles.
+  */
+object MrQueries {
+
+  /** Flagship field-frequency job executed through the [[MrPipeline]] MR
+    * path (mapper → LRU combiner → hash+sort shuffle → sorted-run reducer)
+    * rather than the DataFrame path of queries.Compositions — both must
+    * agree with the same oracle. Keys stay JSON-quoted, as the reference
+    * emits them (/root/reference/mrproto/protocol.go:233-239).
+    */
+  def mrFieldFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.events(s, dir).select(col("props")).as[String]
+    val counters = Counters.create(s.sparkContext, s"graft.mr.$dir")
+    val out = MrPipeline.run(lines, Seq(new BuiltinSteps.FieldFrequencyStep()), counters)
+    MrPipeline.toDataFrame(out, "key", "cnt")
+      .select(col("key"), col("cnt").cast("long").as("cnt"))
+  }
+
+  val mrFieldFreqSql: String =
+    """SELECT '"' || k || '"' AS key, COUNT(*) AS cnt
+      |FROM (SELECT UNNEST(json_keys(props)) AS k FROM events)
+      |GROUP BY k
+      |UNION ALL
+      |SELECT '"lines_read"' AS key, COUNT(*) AS cnt FROM events""".stripMargin
+
+  /** Typed combiner-shaped aggregation — the reference's Combiner contract
+    * (/root/reference/map_reduce_step.go:15-17) as a Spark `Aggregator`,
+    * whose `merge` IS the combiner law. Buffer is exact BigDecimal so the
+    * result is independent of partitioning (and matches the DuckDB oracle
+    * bit-for-bit after the final double cast).
+    */
+  class ExactSumAgg[IN](f: IN => Double)
+      extends Aggregator[IN, java.math.BigDecimal, Double] {
+    override def zero: java.math.BigDecimal = java.math.BigDecimal.ZERO
+    override def reduce(b: java.math.BigDecimal, a: IN): java.math.BigDecimal =
+      b.add(java.math.BigDecimal.valueOf(f(a)))
+    override def merge(a: java.math.BigDecimal, b: java.math.BigDecimal): java.math.BigDecimal =
+      a.add(b)
+    override def finish(r: java.math.BigDecimal): Double = r.doubleValue()
+    override def bufferEncoder: Encoder[java.math.BigDecimal] = Encoders.DECIMAL
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** groupByKey + typed Aggregator: quantity totals per return flag — the
+    * `Reducer`-over-`KeyValueGroupedDataset` shape from SURVEY.md §1.3.
+    */
+  def typedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .agg(new ExactSumAgg[(String, Double)](_._2).toColumn.name("sum_qty"))
+      .toDF("l_returnflag", "sum_qty")
+  }
+
+  val typedAggSql: String =
+    """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+}
