@@ -45,6 +45,18 @@ object SparkEntry {
     "q24_sessionize"     -> (Relational.sessionize _),
     "q25_histogram"      -> (Relational.histogram _),
     "q26_time_window"    -> (Relational.timeWindow _),
+    // LLM-pipeline extensions: dedup, similarity, text analysis, multimodal
+    "d01_dedup_exact"    -> (graft.llm.Dedup.exact _),
+    "d02_dedup_minhash"  -> (graft.llm.Dedup.minhashLsh _),
+    "d03_dedup_simhash"  -> (graft.llm.Dedup.simhash _),
+    "d04_ngram_jaccard"  -> (graft.llm.Dedup.ngramJaccard _),
+    "d05_knn_brute"      -> (graft.llm.Similarity.bruteKnn _),
+    "d06_knn_lsh"        -> (graft.llm.Similarity.lshKnn _),
+    "t01_doc_stats"      -> (graft.llm.TextAnalysis.docStats _),
+    "t02_lang_dist"      -> (graft.llm.TextAnalysis.langDistribution _),
+    "t03_token_counts"   -> (graft.llm.TextAnalysis.tokenCounts _),
+    "t04_fingerprint"    -> (graft.llm.TextAnalysis.fingerprints _),
+    "m01_media_stats"    -> (graft.llm.Multimodal.mediaStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -72,5 +84,18 @@ object SparkEntry {
     "q24_sessionize"     -> Relational.sessionizeSql,
     "q25_histogram"      -> Relational.histogramSql,
     "q26_time_window"    -> Relational.timeWindowSql,
+    "d01_dedup_exact"    -> graft.llm.Dedup.exactSql,
+    "d02_dedup_minhash"  -> graft.llm.Dedup.minhashLshSql,
+    "d03_dedup_simhash"  -> graft.llm.Dedup.simhashSql,
+    "d04_ngram_jaccard"  -> graft.llm.Dedup.ngramJaccardSql,
+    "d05_knn_brute"      -> graft.llm.Similarity.bruteKnnSql,
+    // d06_knn_lsh: engine-side LSH bucketing isn't SQL-expressible in the
+    // oracle → driver records the weaker rows-only check; recall vs brute
+    // force is asserted in SimilaritySpec instead.
+    "t01_doc_stats"      -> graft.llm.TextAnalysis.docStatsSql,
+    "t02_lang_dist"      -> graft.llm.TextAnalysis.langDistributionSql,
+    "t03_token_counts"   -> graft.llm.TextAnalysis.tokenCountsSql,
+    "t04_fingerprint"    -> graft.llm.TextAnalysis.fingerprintsSql,
+    "m01_media_stats"    -> graft.llm.Multimodal.mediaStatsSql,
   )
 }

@@ -1,0 +1,191 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Hashing._
+
+/** Deduplication operators for training-data pipelines, designed
+  * partition-first: every variant is a groupBy/join on a derived key —
+  * the shape that scales linearly with executors — never a pairwise
+  * comparison of the full corpus.
+  *
+  * Scale ladder:
+  *  - exact: one hash-aggregate over the corpus (content hash as key).
+  *  - MinHash+LSH: signature → band buckets → self-join within buckets
+  *    only (candidate pairs ∝ actual near-dups, not n²) — the standard
+  *    banding construction from Broder's MinHash and the LSH literature.
+  *  - SimHash: one 64→32-bit signature per doc; near-dup candidates share
+  *    signatures (or band thereof); here we emit the signature itself.
+  *  - n-gram Jaccard: exact verifier via inverted-index join on shared
+  *    grams; bounded to a subset because its cost is driven by gram
+  *    document-frequency (a stop-gram appearing in d docs contributes
+  *    d² join rows) — at 100 TB you run this only on LSH candidates.
+  */
+object Dedup {
+
+  private val mh = 16 // minhash signature length
+  private val bandRows = 4 // rows per LSH band → 4 bands
+
+  /** Exact dedup by content hash: keep the smallest doc_id per distinct
+    * text, report group size. One shuffle on a 128-bit key.
+    */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val exactSql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** MinHash signatures: 16 min-hashes over distinct 5-char shingles. */
+  private def minhashes(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 5)).as("s"))
+    sh.groupBy(col("doc_id"))
+      .agg(
+        min(hash60(concat(lit("0:"), col("s")))).as("h0"),
+        (1 until mh).map(i => min(hash60(concat(lit(s"$i:"), col("s")))).as(s"h$i")): _*)
+  }
+
+  private def minhashesSql: String =
+    s"""SELECT doc_id, ${(0 until mh)
+         .map(i => s"min(${sqlHash60(s"'$i:'||s")}) AS h$i")
+         .mkString(", ")}
+       |FROM (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest(${sqlShingles("text", 5)}) AS s FROM documents))
+       |GROUP BY doc_id""".stripMargin
+
+  /** MinHash + LSH near-dup pairs: band the 16-hash signature into 4 bands
+    * of 4; docs sharing any full band become candidates; report estimated
+    * Jaccard = fraction of matching minhashes. The self-join keys on
+    * (band, signature) — bucket sizes stay tiny, so the join output is
+    * proportional to real near-duplicates at any corpus size.
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashes(s, dir)
+    val bandCols = (0 until mh / bandRows).map { b =>
+      concat_ws(":", (0 until bandRows).map(j => col(s"h${b * bandRows + j}")): _*)
+    }
+    val bands = sig
+      .select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "sig")
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    val pairs = a
+      .join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val ma = sig.alias("ma")
+    val mb = sig.alias("mb")
+    val matches: Column = (0 until mh)
+      .map(i => when(col(s"ma.h$i") === col(s"mb.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(ma, col("a_id") === col("ma.doc_id"))
+      .join(mb, col("b_id") === col("mb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (matches.cast("double") / lit(mh.toDouble)).as("est_jaccard"))
+  }
+
+  val minhashLshSql: String = {
+    val bandSelects = (0 until mh / bandRows).map { b =>
+      val sig = (0 until bandRows).map(j => s"h${b * bandRows + j}").mkString("||':'||")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+    }.mkString(" UNION ALL ")
+    val matchSum = (0 until mh)
+      .map(i => s"(CASE WHEN ma.h$i = mb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH mh AS (${minhashesSql}),
+       |bands AS ($bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |SELECT p.a_id, p.b_id, CAST($matchSum AS DOUBLE) / 16.0 AS est_jaccard
+       |FROM pairs p
+       |JOIN mh ma ON ma.doc_id = p.a_id
+       |JOIN mh mb ON mb.doc_id = p.b_id""".stripMargin
+  }
+
+  /** SimHash (32-bit) over whitespace tokens: per-bit weighted majority
+    * vote of token hashes. Computed as 32 conditional sums in ONE
+    * hash-aggregate pass (no per-bit explosion) — at 100 TB this is a
+    * single map-side-combinable aggregate, the cheapest possible shape.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val bits = 32
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("h", hash60(col("t")))
+    val votes = toks.groupBy(col("doc_id")).agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as("b0"),
+      (1 until bits).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")): _*)
+    val sig: Column = (0 until bits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  val simhashSql: String = {
+    val bits = 32
+    val votes = (0 until bits)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val sig = (0 until bits)
+      .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${sqlHash60("t")} AS h FROM (
+       |    SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents)),
+       |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes""".stripMargin
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) via inverted-index
+    * join on shared 3-grams. Bounded to doc_id < 600: the exact pass is the
+    * *verifier* you run on LSH candidates, not the corpus scan — its join
+    * cost is Σ_g df(g)², which stop-grams make quadratic.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 600)
+    val grams = docs
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("g"))
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = grams.alias("a")
+    val b = grams.alias("b")
+    val inter = a
+      .join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("i"))
+    val sa = sizes.alias("sa")
+    val sb = sizes.alias("sb")
+    inter
+      .join(sa, col("a_id") === col("sa.doc_id"))
+      .join(sb, col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH grams AS (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id, unnest(${sqlShingles("text", 3)}) AS g
+       |    FROM documents WHERE doc_id < 600)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT a_id, b_id,
+       |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a_id
+       |JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""".stripMargin
+}

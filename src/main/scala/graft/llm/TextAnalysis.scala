@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Hashing._
+
+/** Text-analysis operators for training-data curation: per-document quality
+  * statistics, corpus language distribution, regex token counting, and
+  * rolling-hash fingerprinting. All are single-pass scans or one
+  * hash-aggregate — the shapes that stay cheap at 100 TB.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "and", "of", "a", "in", "to", "is")
+
+  /** Per-document quality statistics: token counts, distinct-token ratio
+    * inputs, stopword count, average token length, alpha-char count.
+    * Pure per-row computation (no shuffle at all) — embarrassingly parallel.
+    */
+  def docStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val tokLenSum = aggregate(transform(toks, t => length(t)),
+      lit(0), (acc: Column, x: Column) => acc + x)
+    val stopCnt = size(filter(toks, t => t.isInCollection(stopwords)))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_actual"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      stopCnt.as("n_stopwords"),
+      (tokLenSum.cast("double") / size(toks).cast("double")).as("avg_token_len"),
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("n_alpha"))
+  }
+
+  val docStatsSql: String = {
+    val toks = sqlTokens("text")
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |CAST(length(text) AS INT) AS n_chars_actual,
+       |CAST(len($toks) AS INT) AS n_tokens,
+       |CAST(len(list_distinct($toks)) AS INT) AS n_distinct_tokens,
+       |CAST(len(list_filter($toks, t -> t IN ($stopList))) AS INT) AS n_stopwords,
+       |CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE)
+       |  / CAST(len($toks) AS DOUBLE) AS avg_token_len,
+       |CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INT) AS n_alpha
+       |FROM documents""".stripMargin
+  }
+
+  /** Corpus language distribution with size stats — groupBy on the lang
+    * label (map-side combinable, 1 tiny shuffle).
+    */
+  def langDistribution(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("avg_chars"))
+
+  val langDistributionSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+      |FROM documents GROUP BY lang""".stripMargin
+
+  /** BPE-ish regex token counting per source: runs of letters, runs of
+    * digits, or single non-space symbols — the pre-tokenization split most
+    * BPE pipelines apply before merges.
+    */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_bpe_tokens"), count(lit(1)).as("n_docs"))
+
+  val tokenCountsSql: String =
+    """SELECT source,
+      |CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS n_bpe_tokens,
+      |COUNT(*) AS n_docs
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** Document fingerprint: minimum rolling-window (8-char shingle) hash —
+    * the min-sampling end of winnowing. Equal fingerprints ⇒ shared
+    * 8-gram; used as a cheap first-pass near-dup key.
+    */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 8)).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(min(hash60(col("g"))).as("fingerprint"))
+
+  val fingerprintsSql: String =
+    s"""SELECT doc_id, min(${sqlHash60("g")}) AS fingerprint
+       |FROM (SELECT DISTINCT doc_id, g FROM (
+       |  SELECT doc_id, unnest(${sqlShingles("text", 8)}) AS g FROM documents))
+       |GROUP BY doc_id""".stripMargin
+
+  /** Heuristic language ID from character/stopword evidence — a Column
+    * function usable in any pipeline (tested on hand-built samples in
+    * TextAnalysisSpec; the synthetic corpus carries a `lang` label so the
+    * heuristic is not oracle-gated).
+    */
+  def langGuess(text: Column): Column = {
+    val t = lower(text)
+    when(length(regexp_replace(t, "[^\\u4e00-\\u9fff]", "")) > length(t) * 0.3, "zh")
+      .when(length(regexp_replace(t, "[^а-яё]", "")) > length(t) * 0.3, "ru")
+      .when(size(filter(tokens(t), w => w.isin("el", "la", "de", "que", "y", "los"))) >
+        size(filter(tokens(t), w => w.isin("the", "and", "of", "is"))), "es")
+      .otherwise("en")
+  }
+}
