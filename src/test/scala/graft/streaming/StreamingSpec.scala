@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.mr.TestSession
+import graft.queries.Relational
+
+/** Streaming ≡ batch equivalence: drive each continuous query to
+  * completion over the parquet-backed source (memory sink +
+  * processAllAvailable) and compare with the batch plan over the same
+  * data.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  test("streaming windowed counts equal the batch time-window query") {
+    val q = EventStream.windowedCounts(EventStream.readEvents(spark, sf))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .select($"window_start", $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      val batch = Relational.timeWindow(spark, sf)
+        .select($"window_start", $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stateful streaming sessionization equals the batch window query") {
+    val q = EventStream.sessionCountsStream(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // append mode may emit one row per trigger per user; keep the last
+      // (max) session count per user
+      val streamed = spark.table("sess_out")
+        .groupBy($"user_id").agg(max($"n_sessions").as("n_sessions"))
+        .as[(Long, Long)].collect().toSet
+      val batch = Relational.sessionize(spark, sf)
+        .select($"user_id", $"n_sessions")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
