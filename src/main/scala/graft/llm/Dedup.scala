@@ -39,22 +39,39 @@ object Dedup {
     """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text)""".stripMargin
 
-  /** MinHash signatures: 16 min-hashes over distinct 5-char shingles. */
+  /** MinHash signatures: 16 min-hashes over distinct 5-char shingles.
+    *
+    * Uses the standard two-hash construction (Kirsch–Mitzelmacher):
+    * h_i(s) = (a(s) + i·b(s)) mod 2^60 with a,b independent md5-derived
+    * hashes — 2 md5 computations per shingle instead of 16 (8× less hash
+    * work in the scan, the dominant cost of signature generation at any
+    * scale). b is masked to 56 bits so i·b can't overflow a signed 64-bit
+    * int in either engine (DuckDB errors on BIGINT overflow).
+    */
+  private val h60Mask = (1L << 60) - 1
+  private val b56Mask = (1L << 56) - 1
+
   private def minhashes(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), explode(shingles(col("text"), 5)).as("s"))
+      .select(col("doc_id"),
+        hash60(col("s")).as("a"),
+        hash60(concat(lit("#"), col("s"))).bitwiseAND(lit(b56Mask)).as("b"))
     sh.groupBy(col("doc_id"))
       .agg(
-        min(hash60(concat(lit("0:"), col("s")))).as("h0"),
-        (1 until mh).map(i => min(hash60(concat(lit(s"$i:"), col("s")))).as(s"h$i")): _*)
+        min(col("a").bitwiseAND(lit(h60Mask))).as("h0"),
+        (1 until mh).map(i =>
+          min((col("a") + lit(i.toLong) * col("b")).bitwiseAND(lit(h60Mask))).as(s"h$i")): _*)
   }
 
   private def minhashesSql: String =
     s"""SELECT doc_id, ${(0 until mh)
-         .map(i => s"min(${sqlHash60(s"'$i:'||s")}) AS h$i")
+         .map(i => s"min((a + $i * b) & $h60Mask) AS h$i")
          .mkString(", ")}
-       |FROM (SELECT DISTINCT doc_id, s FROM (
-       |  SELECT doc_id, unnest(${sqlShingles("text", 5)}) AS s FROM documents))
+       |FROM (SELECT doc_id, ${sqlHash60("s")} AS a,
+       |        ${sqlHash60("'#'||s")} & $b56Mask AS b
+       |  FROM (SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(${sqlShingles("text", 5)}) AS s FROM documents)))
        |GROUP BY doc_id""".stripMargin
 
   /** MinHash + LSH near-dup pairs: band the 16-hash signature into 4 bands
