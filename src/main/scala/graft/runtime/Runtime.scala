@@ -1,0 +1,79 @@
+package graft.runtime
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import scala.collection.concurrent.TrieMap
+
+/** Runtime-plane parity (SURVEY.md §2B #28-31).
+  *
+  * The reference's task plane: `reporter:status:` messages on stderr
+  * (/root/reference/reporter.go:17-21), rusage CPU counters on task exit
+  * (:23-34), driver-side TCP log aggregation
+  * (/root/reference/remote_logging.go), and a per-run temp workspace
+  * (/root/reference/runner.go:109-127). In Spark the log/metrics channels
+  * are native (executor logs, event bus); these helpers surface the same
+  * *information* through the public listener/conf APIs.
+  */
+object Reporter {
+
+  /** `reporter:status:<msg>` (#28): names the current job group in the UI/
+    * event log and mirrors to the driver log, like the reference's status
+    * channel.
+    */
+  def status(s: SparkSession, message: String): Unit = {
+    s.sparkContext.setJobDescription(message)
+    System.err.println(s"[graft status] $message")
+  }
+}
+
+/** CPU-time audit (#29): the reference emits rusage user/system ms as
+  * counters keyed `stage[step]` on task exit (/root/reference/reporter.go:
+  * 23-34). Spark publishes per-stage executor CPU/run time on the event
+  * bus; this listener aggregates it into the same shape.
+  */
+final class CpuAudit extends SparkListener {
+  private val stages = TrieMap.empty[Int, (Long, Long)] // stageId -> (cpuNs, runMs)
+
+  override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+    val m = sc.stageInfo.taskMetrics
+    stages.put(sc.stageInfo.stageId, (m.executorCpuTime, m.executorRunTime))
+  }
+
+  /** stageId → (cpu ms, wall ms), the reference's `user/system ms` analogue. */
+  def report: Map[Int, (Long, Long)] =
+    stages.readOnlySnapshot().toMap.map { case (k, (cpuNs, runMs)) =>
+      k -> (cpuNs / 1000000L, runMs)
+    }
+
+  def totalCpuMs: Long = report.values.map(_._1).sum
+}
+
+object CpuAudit {
+  /** Install on the session's listener bus; returns the handle to read. */
+  def install(s: SparkSession): CpuAudit = {
+    val a = new CpuAudit
+    s.sparkContext.addSparkListener(a)
+    a
+  }
+}
+
+/** Temp workspace lifecycle (#31): `user/<user>/tmp/<name>.<timestamp>`
+  * with cleanup (/root/reference/runner.go:109-127) — over any Hadoop
+  * scheme via FsUtil.
+  */
+object Workspace {
+  def create(s: SparkSession, base: String, name: String): String = {
+    val user = sys.props.getOrElse("user.name", "spark")
+    val ts = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd-HHmmss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val path = s"$base/user/$user/tmp/$name.$ts"
+    FsUtil.mkdir(s, path)
+    path
+  }
+
+  /** `Cleanup()` ≙ recursive delete of the workspace. */
+  def cleanup(s: SparkSession, path: String): Boolean =
+    FsUtil.rmr(s, path)
+}

@@ -1,0 +1,83 @@
+package graft.runtime
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.mr.{Counters, TestSession}
+import graft.sources.{KvSink, Sources}
+import java.nio.file.Files
+
+class RuntimeSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("json source counts and drops malformed lines (lenient ingestion)") {
+    val dir = Files.createTempDirectory("graft-src").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/in.json"),
+      Seq("""{"a":1,"b":"x"}""", "not-json", """{"a":2,"b":"y"}""", "{broken")
+        .mkString("\n").getBytes)
+    val counters = Counters.create(spark.sparkContext, "t-src")
+    val df = Sources.jsonLines(spark, s"$dir/in.json", counters)
+    assert(df.count() == 2)
+    assert(counters.get("unknown", "invalid line") == 2)
+    assert(df.columns.toSet == Set("a", "b"))
+  }
+
+  test("KV sink round-trip with gzip and controlled part count") {
+    val dir = Files.createTempDirectory("graft-sink").toString + "/out"
+    val df = Seq(("a", 1L), ("b", 2L), (("c"), 3L)).toDF("k", "v")
+    KvSink.writeKvLines(df, "k", "v", dir, gzip = true, numFiles = Some(2))
+    val files = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("part-"))
+    assert(files.length == 2, files.toSeq)           // reducer-count parity
+    assert(files.forall(_.endsWith(".gz")))          // CompressOutput parity
+    val back = KvSink.readKvLines(spark, dir).collect().sorted
+    assert(back.toSeq == Seq("\"a\"\t1", "\"b\"\t2", "\"c\"\t3"))
+  }
+
+  test("glob + multi-scheme text source") {
+    val dir = Files.createTempDirectory("graft-glob").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/f1.txt"), "l1\nl2".getBytes)
+    Files.write(java.nio.file.Paths.get(s"$dir/f2.txt"), "l3".getBytes)
+    // file:// scheme + glob, as the reference's input resolution allows
+    val got = Sources.textLines(spark, s"file://$dir/f*.txt").collect().sorted
+    assert(got.toSeq == Seq("l1", "l2", "l3"))
+  }
+
+  test("FsUtil: mkdir/exists/put/ls/move/copy/rmr on the local scheme") {
+    val base = Files.createTempDirectory("graft-fs").toString
+    assert(FsUtil.mkdir(spark, s"$base/d1"))
+    assert(FsUtil.exists(spark, s"$base/d1") && FsUtil.isDirectory(spark, s"$base/d1"))
+    val local = Files.createTempFile("graft", ".txt")
+    Files.write(local, "hello".getBytes)
+    FsUtil.put(spark, local.toString, s"$base/d1/f.txt")
+    val listed = FsUtil.ls(spark, s"$base/d1")
+    assert(listed.length == 1 && listed.head.size == 5 && !listed.head.isDirectory)
+    FsUtil.copy(spark, s"$base/d1/f.txt", s"$base/d1/f2.txt")
+    assert(FsUtil.move(spark, s"$base/d1/f2.txt", s"$base/d1/f3.txt"))
+    assert(FsUtil.exists(spark, s"$base/d1/f3.txt"))
+    var lines = Vector.empty[String]
+    FsUtil.cat(spark, s"$base/d1/f*.txt")(it => lines = it.toVector)
+    assert(lines == Vector("hello", "hello"))
+    assert(FsUtil.rmr(spark, s"$base/d1"))
+    assert(!FsUtil.exists(spark, s"$base/d1"))
+  }
+
+  test("CpuAudit reports nonzero per-stage cpu after a job") {
+    val audit = CpuAudit.install(spark)
+    spark.range(1000000).select(sum($"id")).collect()
+    // listener bus is async; poll for the stage-completed events
+    val deadline = System.currentTimeMillis() + 10000
+    while (audit.report.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(audit.report.nonEmpty)
+    assert(audit.totalCpuMs >= 0)
+  }
+
+  test("Workspace create/cleanup lifecycle") {
+    val base = Files.createTempDirectory("graft-ws").toString
+    Reporter.status(spark, "workspace test")
+    val ws = Workspace.create(spark, base, "jobname")
+    assert(ws.contains("/tmp/jobname."))
+    assert(FsUtil.exists(spark, ws))
+    assert(Workspace.cleanup(spark, ws))
+    assert(!FsUtil.exists(spark, ws))
+  }
+}
