@@ -14,8 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** 60-bit hash of a string column: first 15 hex digits of md5, as long. */
-  def hash60(c: Column): Column =
+  /** 60-bit hash of a string column: first 15 hex digits of md5, as long.
+    * Computed by the codegen'd native expression [[graft.functions.Md5Hash60]]
+    * (bit-identical to `conv(substring(md5(x),1,15),16,10)` — equivalence
+    * property-tested in FunctionsSpec — but without the hex-string and
+    * base-conversion allocations in the per-shingle hot loop).
+    */
+  def hash60(c: Column): Column = graft.functions.Md5Hash60(c)
+
+  /** The composed-builtins form (kept for the equivalence test). */
+  def hash60Reference(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** DuckDB mirror of [[hash60]]. */

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark 4's `private[sql]` Column↔Expression conversions
+  * (`org.apache.spark.sql.classic.ExpressionUtils`) so graft's custom
+  * Catalyst expressions can be exposed as user-facing `Column`s. This is
+  * the only file outside the `graft` namespace; it contains no logic.
+  */
+object GraftShims {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
