@@ -27,6 +27,7 @@ object SparkEntry {
     // hash+sort shuffle → sorted-run reducer) and the typed Aggregator
     "q06_mr_field_freq" -> (graft.mr.MrQueries.mrFieldFreq _),
     "q07_typed_agg"     -> (graft.mr.MrQueries.typedAgg _),
+    "q08_mapside_join"  -> (graft.mr.MrQueries.mapSideJoin _),
     // Relational surface (user-space compositions in the MR model)
     "q10_join_broadcast" -> (Relational.joinBroadcast _),
     "q11_join_large"     -> (Relational.joinLarge _),
@@ -67,6 +68,7 @@ object SparkEntry {
     "q05_filtered"      -> Compositions.filteredCountSql,
     "q06_mr_field_freq" -> graft.mr.MrQueries.mrFieldFreqSql,
     "q07_typed_agg"     -> graft.mr.MrQueries.typedAggSql,
+    "q08_mapside_join"  -> graft.mr.MrQueries.mapSideJoinSql,
     "q10_join_broadcast" -> Relational.joinBroadcastSql,
     "q11_join_large"     -> Relational.joinLargeSql,
     "q12_semi_join"      -> Relational.semiJoinSql,

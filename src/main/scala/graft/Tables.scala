@@ -28,4 +28,19 @@ object Tables {
   }
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so `spark.sql("...")` works over
+    * the star schema — the engine's ad-hoc SQL surface.
+    */
+  def registerAll(s: SparkSession, dir: String): Unit = {
+    val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "region" -> region _, "nation" -> nation _, "customer" -> customer _,
+      "supplier" -> supplier _, "part" -> part _, "orders" -> orders _,
+      "lineitem" -> lineitem _, "events" -> events _,
+      "documents" -> documents _, "embeddings" -> embeddings _)
+    names.foreach(n => loaders(n)(s, dir).createOrReplaceTempView(n))
+  }
 }

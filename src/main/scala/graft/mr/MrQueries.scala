@@ -66,4 +66,37 @@ object MrQueries {
   val typedAggSql: String =
     """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Map-side join via broadcast side data — the reference's distributed-
+    * cache pattern (`CacheFiles`/`Files`, /root/reference/runner.go:57-58):
+    * a small lookup table is shipped to every task and joined inside the
+    * mapper, no shuffle of the fact side. Here the side file is the
+    * supplier→nation mapping broadcast to executors; at 100 TB this is THE
+    * join strategy for small dims (zero fact-side movement).
+    */
+  def mapSideJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lookup: Map[Long, Int] = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .as[(Long, Int)].collect().toMap
+    val side = s.sparkContext.broadcast(lookup)
+    val mapped = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_quantity"))
+      .as[(Long, Double)]
+      .mapPartitions { it =>
+        val lk = side.value // one deref per partition, like a cached side file
+        it.flatMap { case (sk, q) => lk.get(sk).map(nk => (nk, q)) }
+      }
+      .toDF("nationkey", "qty")
+    mapped.groupBy(col("nationkey"))
+      .agg(graft.queries.Exact.dsum(col("qty"), 2).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val mapSideJoinSql: String =
+    s"""SELECT s_nationkey AS nationkey,
+       |${graft.queries.Exact.sqlSum("l_quantity", 2)} AS sum_qty,
+       |COUNT(*) AS n_items
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_nationkey""".stripMargin
 }
