@@ -53,6 +53,7 @@ object SparkEntry {
     "d04_ngram_jaccard"  -> (graft.llm.Dedup.ngramJaccard _),
     "d05_knn_brute"      -> (graft.llm.Similarity.bruteKnn _),
     "d06_knn_lsh"        -> (graft.llm.Similarity.lshKnn _),
+    "d07_embed_neardup"  -> (graft.llm.Similarity.embedNearDup _),
     "t01_doc_stats"      -> (graft.llm.TextAnalysis.docStats _),
     "t02_lang_dist"      -> (graft.llm.TextAnalysis.langDistribution _),
     "t03_token_counts"   -> (graft.llm.TextAnalysis.tokenCounts _),
@@ -94,6 +95,7 @@ object SparkEntry {
     // d06_knn_lsh: engine-side LSH bucketing isn't SQL-expressible in the
     // oracle → driver records the weaker rows-only check; recall vs brute
     // force is asserted in SimilaritySpec instead.
+    "d07_embed_neardup"  -> graft.llm.Similarity.embedNearDupSql,
     "t01_doc_stats"      -> graft.llm.TextAnalysis.docStatsSql,
     "t02_lang_dist"      -> graft.llm.TextAnalysis.langDistributionSql,
     "t03_token_counts"   -> graft.llm.TextAnalysis.tokenCountsSql,

@@ -65,6 +65,35 @@ object Similarity {
       |  FROM p)
       |WHERE rnk <= 5""".stripMargin
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥ 0.35
+    * (threshold calibrated to the synthetic corpus: 271 pairs at sf0.01,
+    * nearest value 2.9e-5 from the cut — engine float noise ~1e-15 cannot
+    * flip membership). Output is id pairs only. Bounded to vec_id < 1000:
+    * the exact pairwise pass is the *verifier*; at corpus scale the LSH
+    * buckets of [[lshKnn]] prefilter candidates first.
+    */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 1000)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", expr(normExpr))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding"), col("nrm"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("cos", expr(dotExpr) / (col("qn") * col("nrm")))
+      .filter(col("cos") >= 0.35)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  val embedNearDupSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings WHERE vec_id < 1000)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35""".stripMargin
+
   /** Deterministic pseudo-random hyperplane component r_j[i] ∈ [-1, 1),
     * derived from hash60 so every engine/executor agrees.
     */
