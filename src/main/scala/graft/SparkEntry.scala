@@ -28,6 +28,7 @@ object SparkEntry {
     "q06_mr_field_freq" -> (graft.mr.MrQueries.mrFieldFreq _),
     "q07_typed_agg"     -> (graft.mr.MrQueries.typedAgg _),
     "q08_mapside_join"  -> (graft.mr.MrQueries.mapSideJoin _),
+    "q09_mr_multistep"  -> (graft.mr.MrQueries.mrMultiStep _),
     // Relational surface (user-space compositions in the MR model)
     "q10_join_broadcast" -> (Relational.joinBroadcast _),
     "q11_join_large"     -> (Relational.joinLarge _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "q06_mr_field_freq" -> graft.mr.MrQueries.mrFieldFreqSql,
     "q07_typed_agg"     -> graft.mr.MrQueries.typedAggSql,
     "q08_mapside_join"  -> graft.mr.MrQueries.mapSideJoinSql,
+    "q09_mr_multistep"  -> graft.mr.MrQueries.mrMultiStepSql,
     "q10_join_broadcast" -> Relational.joinBroadcastSql,
     "q11_join_large"     -> Relational.joinLargeSql,
     "q12_semi_join"      -> Relational.semiJoinSql,

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration of graft's custom expressions, both ways Spark offers:
+  *
+  *  - [[GraftExtensions]]: injected at session build
+  *    (`SparkSession.builder().withExtensions(new GraftExtensions)`), the
+  *    deployment-grade path — every session on the cluster gets the
+  *    functions, including pure-SQL users.
+  *  - [[GraftFunctions.register]]: imperative registration on an existing
+  *    session (tests, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private[functions] val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_md5hash60",
+      new ExpressionInfo(classOf[Md5Hash60].getName, "graft_md5hash60"),
+      (exprs: Seq[Expression]) => Md5Hash60(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          exprs.head, org.apache.spark.sql.types.BinaryType))))
+
+  def register(s: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      s.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

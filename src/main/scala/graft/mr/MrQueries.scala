@@ -32,6 +32,28 @@ object MrQueries {
       |UNION ALL
       |SELECT '"lines_read"' AS key, COUNT(*) AS cnt FROM events""".stripMargin
 
+  /** Two-step MR pipeline through the verify gate: field-frequency then
+    * histogram-of-counts — the reference's `Steps` chaining
+    * (/root/reference/runner.go:50,352-356) with no tmp-dir I/O between
+    * steps (one lazy DAG).
+    */
+  def mrMultiStep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.events(s, dir).select(col("props")).as[String]
+    val counters = Counters.create(s.sparkContext, s"graft.mr.multistep.$dir")
+    val out = MrPipeline.run(lines,
+      Seq(new BuiltinSteps.FieldFrequencyStep(), BuiltinSteps.CountHistogramStep), counters)
+    MrPipeline.toDataFrame(out, "n_occurrences", "n_keys")
+      .select(col("n_occurrences").cast("long").as("n_occurrences"),
+        col("n_keys").cast("long").as("n_keys"))
+  }
+
+  val mrMultiStepSql: String =
+    """WITH keys AS (
+      |  SELECT UNNEST(list_append(json_keys(props), 'lines_read')) AS k FROM events),
+      |counts AS (SELECT k, COUNT(*) AS c FROM keys GROUP BY k)
+      |SELECT c AS n_occurrences, COUNT(*) AS n_keys FROM counts GROUP BY c""".stripMargin
+
   /** Typed combiner-shaped aggregation — the reference's Combiner contract
     * (/root/reference/map_reduce_step.go:15-17) as a Spark `Aggregator`,
     * whose `merge` IS the combiner law. Buffer is exact BigDecimal so the

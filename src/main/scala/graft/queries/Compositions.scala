@@ -25,22 +25,22 @@ object Compositions {
     * explode happens inside whole-stage codegen; the two aggregates share
     * one scan at 100 TB because the union branches both prune to `props`.
     */
-  def fieldFrequency(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val keys = ev
-      .select(explode(map_keys(from_json(col("props"), MapType(StringType, StringType)))).as("key"))
+  def fieldFrequency(s: SparkSession, dir: String): DataFrame =
+    // each record emits its top-level keys PLUS one "lines_read" token —
+    // exactly the reference mapper's emission (example_mr.go:31-44) — so
+    // the whole query is ONE scan + ONE map-side-combined aggregate (a
+    // union of a second count(*) branch would scan the input twice).
+    Tables.events(s, dir)
+      .select(explode(concat(
+        map_keys(from_json(col("props"), MapType(StringType, StringType))),
+        array(lit("lines_read")))).as("key"))
       .groupBy(col("key"))
       .agg(count(lit(1)).as("cnt"))
-    keys.unionByName(
-      ev.agg(count(lit(1)).as("cnt")).select(lit("lines_read").as("key"), col("cnt")))
-  }
 
   val fieldFrequencySql: String =
     """SELECT k AS key, COUNT(*) AS cnt
-      |FROM (SELECT UNNEST(json_keys(props)) AS k FROM events)
-      |GROUP BY k
-      |UNION ALL
-      |SELECT 'lines_read' AS key, COUNT(*) AS cnt FROM events""".stripMargin
+      |FROM (SELECT UNNEST(list_append(json_keys(props), 'lines_read')) AS k FROM events)
+      |GROUP BY k""".stripMargin
 
   /** #35 sum-by-key — the built-in `Sum` reducer
     * (/root/reference/mrproto/protocol.go:339-356): per event_type totals.

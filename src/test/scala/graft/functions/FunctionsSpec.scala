@@ -26,6 +26,12 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == java.lang.Long.parseLong("900150983cd24fb", 16))
   }
 
+  test("graft_md5hash60 is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT graft_md5hash60('abc') AS h").as[Long].head()
+    assert(got == java.lang.Long.parseLong("900150983cd24fb", 16))
+  }
+
   test("Md5Hash60 stays in whole-stage codegen") {
     val df = spark.range(100).select(Hashing.hash60(col("id").cast("string")).as("h"))
     val plan = df.queryExecution.executedPlan.toString
