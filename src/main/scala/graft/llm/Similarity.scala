@@ -18,17 +18,19 @@ import Hashing._
   *    bucket. At 100 TB the bucket join replaces the corpus cross
   *    product; recall is traded for a ~2^16 candidate reduction.
   *
-  * Dot products run through SQL higher-order functions (`zip_with` +
-  * `aggregate`), which stay inside codegen — no Scala UDF in the hot loop.
+  * Dot products run through the codegen'd [[graft.functions.FloatVecDot]]
+  * expression (index-order double accumulation, bit-equal to the HOF
+  * `aggregate(zip_with(...))` form but without per-element lambda
+  * interpretation) — no Scala UDF, no HOF interpreter in the hot loop.
   */
 object Similarity {
 
-  private val dotExpr =
-    "aggregate(zip_with(qv, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
-  private val normExpr =
-    "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z))"
+  import graft.functions.FloatVecDot
+
+  // codegen'd index-order double dot product (see FloatVecDot: bit-equal
+  // to the HOF aggregate/zip_with form, ~10× faster on candidate batches)
+  private def dotCol = FloatVecDot(col("qv"), col("embedding"))
+  private def normCol = sqrt(FloatVecDot(col("embedding"), col("embedding")))
 
   /** Exact cosine top-5 neighbors for each query vector (vec_id < 50).
     * Output is (qid, nid, rank) — ranks, not raw similarities, so the
@@ -38,11 +40,11 @@ object Similarity {
   def bruteKnn(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", expr(normExpr))
+      .withColumn("nrm", normCol)
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
     val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", expr(dotExpr) / (col("qn") * col("nrm")))
+      .withColumn("cos", dotCol / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     pairs
       .withColumn("rnk", row_number().over(w))
@@ -76,11 +78,11 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .filter(col("vec_id") < 1000)
       .select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", expr(normExpr))
+      .withColumn("nrm", normCol)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("qv"), col("nrm").as("qn"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding"), col("nrm"))
     a.join(broadcast(b), col("a_id") < col("b_id"))
-      .withColumn("cos", expr(dotExpr) / (col("qn") * col("nrm")))
+      .withColumn("cos", dotCol / (col("qn") * col("nrm")))
       .filter(col("cos") >= 0.35)
       .select(col("a_id"), col("b_id"))
   }
@@ -139,7 +141,7 @@ object Similarity {
     }
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", expr(normExpr))
+      .withColumn("nrm", normCol)
       .withColumn("sigs", sigsUdf(col("embedding")))
     val buckets = e.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(col("sigs")))
@@ -162,7 +164,7 @@ object Similarity {
     val cands = pairIds
       .join(corpus, "vec_id")
       .join(broadcast(qv), "qid")
-      .withColumn("cos", expr(dotExpr) / (col("qn") * col("nrm")))
+      .withColumn("cos", dotCol / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     cands
       .withColumn("rnk", row_number().over(w))

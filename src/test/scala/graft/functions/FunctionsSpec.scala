@@ -32,6 +32,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == java.lang.Long.parseLong("900150983cd24fb", 16))
   }
 
+  test("FloatVecDot is bit-identical to the HOF aggregate/zip_with form") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat))
+    }.toDF("id", "v")
+    val pairs = vecs.as("a").crossJoin(vecs.limit(10).as("b"))
+      .select(col("a.v").as("qv"), col("b.v").as("embedding"))
+    val hof = expr(
+      "aggregate(zip_with(qv, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)")
+    val mismatches = pairs
+      .select(FloatVecDot(col("qv"), col("embedding")).as("fast"), hof.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("Md5Hash60 stays in whole-stage codegen") {
     val df = spark.range(100).select(Hashing.hash60(col("id").cast("string")).as("h"))
     val plan = df.queryExecution.executedPlan.toString
