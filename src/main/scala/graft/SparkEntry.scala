@@ -59,6 +59,7 @@ object SparkEntry {
     "t02_lang_dist"      -> (graft.llm.TextAnalysis.langDistribution _),
     "t03_token_counts"   -> (graft.llm.TextAnalysis.tokenCounts _),
     "t04_fingerprint"    -> (graft.llm.TextAnalysis.fingerprints _),
+    "t05_quality_filter" -> (graft.llm.TextAnalysis.qualityFilter _),
     "m01_media_stats"    -> (graft.llm.Multimodal.mediaStats _),
   )
 
@@ -102,6 +103,7 @@ object SparkEntry {
     "t02_lang_dist"      -> graft.llm.TextAnalysis.langDistributionSql,
     "t03_token_counts"   -> graft.llm.TextAnalysis.tokenCountsSql,
     "t04_fingerprint"    -> graft.llm.TextAnalysis.fingerprintsSql,
+    "t05_quality_filter" -> graft.llm.TextAnalysis.qualityFilterSql,
     "m01_media_stats"    -> graft.llm.Multimodal.mediaStatsSql,
   )
 }

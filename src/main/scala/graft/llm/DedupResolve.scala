@@ -1,0 +1,66 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster resolution for deduplication: near-dup *pairs* (from MinHash
+  * LSH, SimHash, or exact Jaccard) are edges of a similarity graph; the
+  * corpus keeps one representative per connected component.
+  *
+  * Label propagation to the component-minimum id: each iteration is one
+  * join + one min-aggregate (both shuffle on id — the partitioning is
+  * reused across iterations), converging in O(component diameter)
+  * rounds — near-dup clusters are shallow (stars/cliques), so 3-5 rounds
+  * suffice in practice. `localCheckpoint` truncates lineage so plans
+  * don't grow with iterations. This is the standard Spark shape for
+  * connected components at scale (cf. large-join literature in
+  * /root/repo/PAPERS.md); no driver-side graph state.
+  */
+object DedupResolve {
+
+  /** pairs(a_id, b_id) → (id, cluster) where cluster = min doc id of the
+    * connected component. Ids not present in any pair are absent (they are
+    * their own cluster).
+    */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
+      .unionByName(pairs.select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
+        .groupBy(col("src"))
+        .agg(min(col("cluster")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val changed = updated.withColumnRenamed("cluster", "new_cluster")
+        .join(labels, "id")
+        .filter(col("new_cluster") =!= col("cluster"))
+        .limit(1).count() // converged ⇔ no label moved; limit(1) early-exits
+      labels = updated
+      done = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Deduplicated corpus: every doc, minus non-representative members of
+    * near-dup clusters (representative = smallest doc_id in component).
+    */
+  def dedupedDocIds(s: SparkSession, docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = resolveClusters(pairs)
+    val losers = clusters.filter(col("id") =!= col("cluster")).select(col("id"))
+    docs.select(col("doc_id"))
+      .join(losers, docs("doc_id") === losers("id"), "left_anti")
+  }
+}

@@ -97,6 +97,44 @@ object TextAnalysis {
        |  SELECT doc_id, unnest(${sqlShingles("text", 8)}) AS g FROM documents))
        |GROUP BY doc_id""".stripMargin
 
+  /** Quality filter: composite 0..1 score from length, lexical diversity,
+    * stopword evidence, and alpha ratio; keep docs scoring ≥ 0.5. Every
+    * input is an integer count, every operation is mirrored in the oracle
+    * in the same order — the doubles are bit-identical, so the threshold
+    * cut is engine-stable. Shuffle-free single scan.
+    */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nt = size(toks).cast("double")
+    val nd = size(array_distinct(toks)).cast("double")
+    val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val score =
+      lit(0.25) * least(nt / lit(100.0), lit(1.0)) +
+        lit(0.25) * (nd / nt) +
+        lit(0.25) * least(nStop / nt * lit(5.0), lit(1.0)) +
+        lit(0.25) * (nAlpha / nChars)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), score.as("quality"))
+      .filter(col("quality") >= 0.5)
+  }
+
+  val qualityFilterSql: String = {
+    val toks = sqlTokens("text")
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, quality FROM (
+       |  SELECT doc_id,
+       |    0.25 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) +
+       |    0.25 * (CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) +
+       |    0.25 * least(CAST(len(list_filter($toks, t -> t IN ($stopList))) AS DOUBLE)
+       |      / CAST(len($toks) AS DOUBLE) * 5.0, 1.0) +
+       |    0.25 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       |      / CAST(length(text) AS DOUBLE)) AS quality
+       |  FROM documents)
+       |WHERE quality >= 0.5""".stripMargin
+  }
+
   /** Heuristic language ID from character/stopword evidence — a Column
     * function usable in any pipeline (tested on hand-built samples in
     * TextAnalysisSpec; the synthetic corpus carries a `lang` label so the

@@ -66,6 +66,27 @@ class LlmSpec extends AnyFunSuite {
       again.map(f => (f.doc_id, f.checksum)).toSet)
   }
 
+  test("cluster resolution collapses near-dup pairs to canonical docs") {
+    val pairs = Dedup.ngramJaccard(spark, sf).select($"a_id", $"b_id")
+    val nPairs = pairs.count()
+    assert(nPairs > 0)
+    val clusters = DedupResolve.resolveClusters(pairs)
+    // every cluster label is the minimum id of its component
+    val byCluster = clusters.groupBy($"cluster")
+      .agg(min($"id").as("min_id"), count(lit(1)).as("sz")).collect()
+    byCluster.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // transitivity chain check: a~b and b~c ⇒ same cluster
+    val lbl = clusters.as[(Long, Long)].collect().toMap
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(lbl(a) == lbl(b), s"pair ($a,$b) split across clusters")
+    }
+    val docs = graft.Tables.documents(spark, sf)
+    val kept = DedupResolve.dedupedDocIds(spark, docs, pairs)
+    val clusterMembers = clusters.count()
+    val nClusters = clusters.select($"cluster").distinct().count()
+    assert(kept.count() == docs.count() - (clusterMembers - nClusters))
+  }
+
   test("langGuess discriminates hand-built samples") {
     val samples = Seq(
       ("the cat and the dog is of a house", "en"),
