@@ -47,6 +47,8 @@ object SparkEntry {
     "q24_sessionize"     -> (Relational.sessionize _),
     "q25_histogram"      -> (Relational.histogram _),
     "q26_time_window"    -> (Relational.timeWindow _),
+    "q27_asof_join"      -> (Relational.asofJoin _),
+    "q28_pivot"          -> (Relational.pivotCounts _),
     // LLM-pipeline extensions: dedup, similarity, text analysis, multimodal
     "d01_dedup_exact"    -> (graft.llm.Dedup.exact _),
     "d02_dedup_minhash"  -> (graft.llm.Dedup.minhashLsh _),
@@ -90,6 +92,8 @@ object SparkEntry {
     "q24_sessionize"     -> Relational.sessionizeSql,
     "q25_histogram"      -> Relational.histogramSql,
     "q26_time_window"    -> Relational.timeWindowSql,
+    "q27_asof_join"      -> Relational.asofJoinSql,
+    "q28_pivot"          -> Relational.pivotCountsSql,
     "d01_dedup_exact"    -> graft.llm.Dedup.exactSql,
     "d02_dedup_minhash"  -> graft.llm.Dedup.minhashLshSql,
     "d03_dedup_simhash"  -> graft.llm.Dedup.simhashSql,

@@ -345,6 +345,67 @@ object Relational {
     """SELECT CAST(FLOOR(value / 50.0) * 50 AS BIGINT) AS bucket, COUNT(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  /** As-of (temporal) join: for each event, the same user's most recent
+    * order at-or-before the event time. Spark has no asof operator; the
+    * scalable composition is the tagged merge + running last-non-null
+    * window — one shuffle on the key, no range cross product (an
+    * inequality join would be O(|events|·|orders|) per key). Total sort
+    * order (t, side, okey, event_id) makes the pick deterministic,
+    * including order-date ties (max orderkey wins).
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id").as("k"), col("ts").as("t"),
+      lit(1).as("is_event"), col("event_id"),
+      lit(null).cast("long").as("okey"))
+    val ord = Tables.orders(s, dir).select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+      col("o_orderkey").as("okey"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("is_event").asc,
+        coalesce(col("okey"), lit(-1L)).asc, coalesce(col("event_id"), lit(-1L)).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("matched", last(col("okey"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("matched").as("last_orderkey"))
+  }
+
+  val asofJoinSql: String =
+    """WITH u AS (
+      |  SELECT user_id AS k, ts AS t, 1 AS is_event, event_id,
+      |    CAST(NULL AS BIGINT) AS okey FROM events
+      |  UNION ALL
+      |  SELECT o_custkey, o_orderdate, 0, CAST(NULL AS BIGINT), o_orderkey FROM orders)
+      |SELECT event_id, k AS user_id, matched AS last_orderkey FROM (
+      |  SELECT *, last_value(okey IGNORE NULLS) OVER (
+      |    PARTITION BY k
+      |    ORDER BY t ASC, is_event ASC, coalesce(okey, -1) ASC, coalesce(event_id, -1) ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched
+      |  FROM u)
+      |WHERE is_event = 1""".stripMargin
+
+  /** Pivot: per-user event-type counts as columns (fixed column set so the
+    * output schema is plan-time static — the only pivot shape that scales,
+    * since a dynamic pivot needs a driver-side distinct first).
+    */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotCounts(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .count()
+    p.select(col("user_id") +: eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  val pivotCountsSql: String =
+    s"""SELECT user_id, ${eventTypes
+         .map(t => s"COUNT(*) FILTER (WHERE event_type = '$t') AS $t")
+         .mkString(", ")}
+       |FROM events GROUP BY user_id""".stripMargin
+
   /** Tumbling-window time aggregation (batch form of the streaming query in
     * graft.streaming): events per hour per type. Window start rendered as a
     * string so engine timestamp precision (µs vs ns) can't skew the hash.
