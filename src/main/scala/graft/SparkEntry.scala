@@ -49,6 +49,12 @@ object SparkEntry {
     "q26_time_window"    -> (Relational.timeWindow _),
     "q27_asof_join"      -> (Relational.asofJoin _),
     "q28_pivot"          -> (Relational.pivotCounts _),
+    "q29_distinct_counts" -> (Relational.distinctCounts _),
+    "q30_hash_sample"    -> (Relational.hashSample _),
+    "q31_salted_agg"     -> (Relational.saltedAgg _),
+    "q32_fuzzy_pairs"    -> (Relational.fuzzyPairs _),
+    "q33_discrete_median" -> (Relational.discreteMedian _),
+    "q34_collect_types"  -> (Relational.collectTypes _),
     // LLM-pipeline extensions: dedup, similarity, text analysis, multimodal
     "d01_dedup_exact"    -> (graft.llm.Dedup.exact _),
     "d02_dedup_minhash"  -> (graft.llm.Dedup.minhashLsh _),
@@ -94,6 +100,12 @@ object SparkEntry {
     "q26_time_window"    -> Relational.timeWindowSql,
     "q27_asof_join"      -> Relational.asofJoinSql,
     "q28_pivot"          -> Relational.pivotCountsSql,
+    "q29_distinct_counts" -> Relational.distinctCountsSql,
+    "q30_hash_sample"    -> Relational.hashSampleSql,
+    "q31_salted_agg"     -> Relational.saltedAggSql,
+    "q32_fuzzy_pairs"    -> Relational.fuzzyPairsSql,
+    "q33_discrete_median" -> Relational.discreteMedianSql,
+    "q34_collect_types"  -> Relational.collectTypesSql,
     "d01_dedup_exact"    -> graft.llm.Dedup.exactSql,
     "d02_dedup_minhash"  -> graft.llm.Dedup.minhashLshSql,
     "d03_dedup_simhash"  -> graft.llm.Dedup.simhashSql,

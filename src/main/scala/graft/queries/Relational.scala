@@ -406,6 +406,123 @@ object Relational {
          .mkString(", ")}
        |FROM events GROUP BY user_id""".stripMargin
 
+  /** Distinct counting: exact countDistinct (oracle-gated; the approximate
+    * HLL path `approx_count_distinct` is engine-specific by construction
+    * and is asserted to <2% relative error in RelationalSpec instead).
+    */
+  def distinctCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  val distinctCountsSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Deterministic hash sampling: ~10% of orders via md5-derived bucket —
+    * the reproducible sampling a data pipeline needs (rand()-based samples
+    * differ per run/engine; hash samples are stable, joinable, and
+    * auditable). Uses the same engine-portable hash as the dedup family.
+    */
+  def hashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(pmod(graft.llm.Hashing.hash60(col("o_orderkey").cast("string")), lit(100L)) < 10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val hashSampleSql: String =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       |WHERE (${graft.llm.Hashing.sqlHash60("CAST(o_orderkey AS VARCHAR)")}) % 100 < 10""".stripMargin
+
+  /** Skew-mitigated aggregation: two-phase salted aggregate. Phase 1
+    * splits each (potentially hot) key across `salts` sub-keys — partial
+    * sums happen on salted partitions so no single reducer sees a hot
+    * key's full volume; phase 2 merges the per-salt partials. The oracle
+    * is the plain aggregate: salting must be a pure physical rewrite.
+    */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    Tables.lineitem(s, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(salts.toLong)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity").cast("decimal(38,2)")).as("part_qty"),
+        count(lit(1)).as("part_n"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("part_qty")).cast("double").as("sum_qty"),
+        sum(col("part_n")).as("n_rows"))
+  }
+
+  val saltedAggSql: String =
+    s"""SELECT l_returnflag, ${Exact.sqlSum("l_quantity", 2)} AS sum_qty,
+       |COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Fuzzy matching: edit-distance pairs over name prefixes (levenshtein
+    * is a published exact algorithm — identical in both engines). Bounded
+    * scan-side; at scale the candidate pairs come from LSH banding first.
+    */
+  def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"), col("p_name"))
+    val a = p.select(col("p_partkey").as("a_id"), col("p_name").as("a_name"))
+    val b = p.select(col("p_partkey").as("b_id"), col("p_name").as("b_name"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 8)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
+  val fuzzyPairsSql: String =
+    """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+      |CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      |WHERE a.p_partkey <= 200 AND b.p_partkey <= 200
+      |  AND levenshtein(a.p_name, b.p_name) <= 8""".stripMargin
+
+  /** Exact discrete median (element pick, no interpolation arithmetic —
+    * engine-stable unlike continuous percentiles): the lower-median
+    * quantity per return flag via window row-number selection.
+    */
+  def discreteMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      // explicit floor: Spark's int cast truncates but DuckDB's rounds,
+      // so (n+1)/2 must be floored before casting in BOTH engines
+      .filter(col("rn") === floor((col("n") + 1) / 2.0).cast("int"))
+      .select(col("l_returnflag"), col("l_quantity").as("median_qty"))
+  }
+
+  val discreteMedianSql: String =
+    """SELECT l_returnflag, l_quantity AS median_qty FROM (
+      |  SELECT l_returnflag, l_quantity,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS INT)""".stripMargin
+
+  /** Collect-to-array with deterministic ordering: the distinct event
+    * types per user as a sorted array (a bare collect_list is
+    * partition-order-dependent — never oracle-stable, never
+    * reproducible; sort_array(collect_set(...)) is).
+    */
+  def collectTypes(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+        count(lit(1)).as("n_events"))
+
+  val collectTypesSql: String =
+    """SELECT user_id,
+      |array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
+      |COUNT(*) AS n_events
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** Tumbling-window time aggregation (batch form of the streaming query in
     * graft.streaming): events per hour per type. Window start rendered as a
     * string so engine timestamp precision (µs vs ns) can't skew the hash.

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.mr.TestSession
+import graft.queries.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct is within 2% of exact (HLL path)") {
+    val li = Tables.lineitem(spark, sf)
+    val (approx, exact) = li
+      .agg(approx_count_distinct($"l_partkey", 0.01).as("a"), countDistinct($"l_partkey").as("e"))
+      .as[(Long, Long)].head()
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr < 0.02, s"approx=$approx exact=$exact relErr=$relErr")
+  }
+
+  test("hash sampling is deterministic and roughly 10%") {
+    val s1 = Relational.hashSample(spark, sf).collect().map(_.getLong(0)).toSet
+    val s2 = Relational.hashSample(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // stable across runs — rand() sampling is not
+    val total = Tables.orders(spark, sf).count()
+    val frac = s1.size.toDouble / total
+    assert(frac > 0.05 && frac < 0.15, s"sampled $frac")
+  }
+
+  test("salted aggregate equals the plain aggregate") {
+    val salted = Relational.saltedAgg(spark, sf)
+      .as[(String, Double, Long)].collect().toSet
+    val plain = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_quantity".cast("decimal(38,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .as[(String, Double, Long)].collect().toSet
+    assert(salted == plain) // salting is a pure physical rewrite
+  }
+
+  test("discrete median picks an existing value at the lower-median rank") {
+    val med = Relational.discreteMedian(spark, sf).collect()
+    assert(med.nonEmpty)
+    val quantities = Tables.lineitem(spark, sf)
+      .select($"l_quantity").distinct().as[Double].collect().toSet
+    med.foreach(r => assert(quantities.contains(r.getDouble(1))))
+  }
+
+  test("asof join matches each event to its user's latest prior order") {
+    val got = Relational.asofJoin(spark, sf)
+    assert(got.count() == Tables.events(spark, sf).count())
+    // cross-check one user against a direct computation
+    val u0 = got.filter($"user_id" === 0).select($"last_orderkey").distinct()
+      .as[Long].collect().toSet
+    val expect = Tables.orders(spark, sf).filter($"o_custkey" === 0)
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc).limit(1)
+      .select($"o_orderkey").as[Long].collect().toSet
+    assert(u0 == expect, s"got $u0 expected $expect")
+  }
+}
