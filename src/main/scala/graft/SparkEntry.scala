@@ -63,6 +63,7 @@ object SparkEntry {
     "d05_knn_brute"      -> (graft.llm.Similarity.bruteKnn _),
     "d06_knn_lsh"        -> (graft.llm.Similarity.lshKnn _),
     "d07_embed_neardup"  -> (graft.llm.Similarity.embedNearDup _),
+    "d08_dedup_pipeline" -> (graft.llm.DedupResolve.dedupPipeline _),
     "t01_doc_stats"      -> (graft.llm.TextAnalysis.docStats _),
     "t02_lang_dist"      -> (graft.llm.TextAnalysis.langDistribution _),
     "t03_token_counts"   -> (graft.llm.TextAnalysis.tokenCounts _),
@@ -115,6 +116,7 @@ object SparkEntry {
     // oracle → driver records the weaker rows-only check; recall vs brute
     // force is asserted in SimilaritySpec instead.
     "d07_embed_neardup"  -> graft.llm.Similarity.embedNearDupSql,
+    "d08_dedup_pipeline" -> graft.llm.DedupResolve.dedupPipelineSql,
     "t01_doc_stats"      -> graft.llm.TextAnalysis.docStatsSql,
     "t02_lang_dist"      -> graft.llm.TextAnalysis.langDistributionSql,
     "t03_token_counts"   -> graft.llm.TextAnalysis.tokenCountsSql,

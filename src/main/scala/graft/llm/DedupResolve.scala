@@ -63,4 +63,33 @@ object DedupResolve {
     docs.select(col("doc_id"))
       .join(losers, docs("doc_id") === losers("id"), "left_anti")
   }
+
+  /** Full dedup pipeline through the verify gate: exact-Jaccard near-dup
+    * pairs → connected components → keep one representative per cluster.
+    * The oracle computes the same components with a recursive CTE
+    * (transitive closure) — an independent algorithm agreeing on the same
+    * fixpoint, which is the strongest check an iterative operator can get.
+    */
+  def dedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).filter(col("doc_id") < 600)
+    val pairs = Dedup.ngramJaccard(s, dir).select(col("a_id"), col("b_id"))
+    dedupedDocIds(s, docs, pairs).orderBy(col("doc_id"))
+  }
+
+  val dedupPipelineSql: String = {
+    val pairsSql = Dedup.ngramJaccardSql
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT a_id AS a, b_id AS b FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id < 600
+       |  AND doc_id NOT IN (SELECT id FROM lbl WHERE id <> cluster)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

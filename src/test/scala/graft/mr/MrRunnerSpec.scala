@@ -9,6 +9,29 @@ import java.nio.file.Files
 class MrRunnerSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
+  test("MrTest harness reproduces the reference's golden example") {
+    // the exact fixture of /root/reference/example/example_mr_test.go:14-31
+    val r = MrTest.testStep(spark, new BuiltinSteps.FieldFrequencyStep(),
+      input = Seq(
+        """{"key_field":"z"}""", """{"key_field":"a"}""", """{"key_field":"another"}""",
+        """{"key_field":"z"}""", """{"key_field":"z"}""", """{"another_key":"a"}"""),
+      golden = Seq("\"another_key\"\t1", "\"key_field\"\t5", "\"lines_read\"\t6"))
+    assert(r.passed, r.diff.mkString("\n"))
+    val bad = MrTest.testStep(spark, BuiltinSteps.Sum,
+      input = Seq("k\t1"), golden = Seq("k\t2"))
+    assert(!bad.passed && bad.diff.nonEmpty)
+  }
+
+  test("KV sink encodes composite array keys like encoding/json") {
+    // parity with /root/reference/mrproto/protocol_test.go:27-42
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kv-arr").toString + "/out"
+    val df = Seq((Seq("b", "c"), 1L)).toDF("k", "v")
+    graft.sources.KvSink.writeKvLines(df, "k", "v", dir)
+    val back = graft.sources.KvSink.readKvLines(spark, dir).collect()
+    assert(back.toSeq == Seq("[\"b\",\"c\"]\t1"))
+  }
+
   test("MrRunner runs the flagship job from files to compressed output") {
     val in = Files.createTempDirectory("graft-run-in")
     Files.write(in.resolve("part1.json"),
