@@ -55,6 +55,9 @@ object SparkEntry {
     "q32_fuzzy_pairs"    -> (Relational.fuzzyPairs _),
     "q33_discrete_median" -> (Relational.discreteMedian _),
     "q34_collect_types"  -> (Relational.collectTypes _),
+    "q35_outer_join"     -> (Relational.outerJoin _),
+    "q36_setops_all"     -> (Relational.setOpsAll _),
+    "q37_null_group"     -> (Relational.nullGroup _),
     // LLM-pipeline extensions: dedup, similarity, text analysis, multimodal
     "d01_dedup_exact"    -> (graft.llm.Dedup.exact _),
     "d02_dedup_minhash"  -> (graft.llm.Dedup.minhashLsh _),
@@ -64,6 +67,7 @@ object SparkEntry {
     "d06_knn_lsh"        -> (graft.llm.Similarity.lshKnn _),
     "d07_embed_neardup"  -> (graft.llm.Similarity.embedNearDup _),
     "d08_dedup_pipeline" -> (graft.llm.DedupResolve.dedupPipeline _),
+    "d09_knn_ivf"        -> (graft.llm.Similarity.ivfKnn _),
     "t01_doc_stats"      -> (graft.llm.TextAnalysis.docStats _),
     "t02_lang_dist"      -> (graft.llm.TextAnalysis.langDistribution _),
     "t03_token_counts"   -> (graft.llm.TextAnalysis.tokenCounts _),
@@ -107,6 +111,9 @@ object SparkEntry {
     "q32_fuzzy_pairs"    -> Relational.fuzzyPairsSql,
     "q33_discrete_median" -> Relational.discreteMedianSql,
     "q34_collect_types"  -> Relational.collectTypesSql,
+    "q35_outer_join"     -> Relational.outerJoinSql,
+    "q36_setops_all"     -> Relational.setOpsAllSql,
+    "q37_null_group"     -> Relational.nullGroupSql,
     "d01_dedup_exact"    -> graft.llm.Dedup.exactSql,
     "d02_dedup_minhash"  -> graft.llm.Dedup.minhashLshSql,
     "d03_dedup_simhash"  -> graft.llm.Dedup.simhashSql,
@@ -117,6 +124,7 @@ object SparkEntry {
     // force is asserted in SimilaritySpec instead.
     "d07_embed_neardup"  -> graft.llm.Similarity.embedNearDupSql,
     "d08_dedup_pipeline" -> graft.llm.DedupResolve.dedupPipelineSql,
+    "d09_knn_ivf"        -> graft.llm.Similarity.ivfKnnSql,
     "t01_doc_stats"      -> graft.llm.TextAnalysis.docStatsSql,
     "t02_lang_dist"      -> graft.llm.TextAnalysis.langDistributionSql,
     "t03_token_counts"   -> graft.llm.TextAnalysis.tokenCountsSql,

@@ -96,6 +96,86 @@ object Similarity {
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35""".stripMargin
 
+  /** IVF (inverted-file) ANN: partition the corpus into cells around
+    * centroids; a query probes only its nearest `nprobe` cells. Centroids
+    * here are the first 16 vectors (deterministic, training-free seeding —
+    * production swaps in k-means centroids; the cell/probe machinery,
+    * which is what scales, is identical). Everything is joins + windows
+    * over the codegen'd dot product — no UDF, so the whole operator is
+    * SQL-expressible and oracle-checked. All float comparisons are
+    * argmax/rank decisions with gaps far above engine noise.
+    *
+    * At 100 TB: cells are the partition key — each probe touches
+    * corpus/nCells of the data, and the cell assignment is a one-off
+    * broadcast join materialized with the corpus.
+    */
+  def ivfKnn(s: SparkSession, dir: String): DataFrame = {
+    val nCentroids = 16
+    val nProbe = 2
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normCol)
+    val cent = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("qv"), col("nrm").as("cnrm"))
+    // score every vector against every centroid (|corpus| × 16, broadcast)
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", dotCol / (col("cnrm") * col("nrm")))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
+    val ranked = scored.withColumn("r", row_number().over(byVec))
+    val cells = ranked.filter(col("r") === 1).select(col("vec_id"), col("cid").as("cell"))
+    val probes = ranked.filter(col("vec_id") < 50 && col("r") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cid").as("probe_cell"))
+    val candIds = probes
+      .join(cells.withColumnRenamed("vec_id", "nid"), col("cell") === col("probe_cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"))
+      .distinct()
+    val qv = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val corpus = e.select(col("vec_id").as("nid"), col("embedding"), col("nrm"))
+    val cands = candIds
+      .join(corpus, "nid")
+      .join(broadcast(qv), "qid")
+      .withColumn("cos", dotCol / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("nid"), col("rnk"))
+  }
+
+  val ivfKnnSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+      |scored AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_dot_product(e.v, c.cv) / (c.cnrm * e.nrm) AS ccos
+      |  FROM e, cent c),
+      |ranked AS (
+      |  SELECT vec_id, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS r
+      |  FROM scored),
+      |cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE r = 1),
+      |probes AS (SELECT vec_id AS qid, cid AS probe_cell FROM ranked
+      |           WHERE vec_id < 50 AND r <= 2),
+      |cand_ids AS (
+      |  SELECT DISTINCT p.qid, c.vec_id AS nid
+      |  FROM probes p JOIN cells c ON c.cell = p.probe_cell
+      |  WHERE c.vec_id <> p.qid),
+      |cands AS (
+      |  SELECT ci.qid, ci.nid,
+      |    list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos
+      |  FROM cand_ids ci
+      |  JOIN e q ON q.vec_id = ci.qid
+      |  JOIN e n ON n.vec_id = ci.nid)
+      |SELECT qid, nid, rnk FROM (
+      |  SELECT qid, nid,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+      |  FROM cands)
+      |WHERE rnk <= 5""".stripMargin
+
   /** Deterministic pseudo-random hyperplane component r_j[i] ∈ [-1, 1),
     * derived from hash60 so every engine/executor agrees.
     */

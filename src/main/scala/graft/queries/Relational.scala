@@ -406,6 +406,73 @@ object Relational {
          .mkString(", ")}
        |FROM events GROUP BY user_id""".stripMargin
 
+  /** Full outer join with null-surviving aggregation: per-nation customer
+    * and supplier account balances — rows survive from BOTH unmatched
+    * sides (nations with customers but no suppliers and vice versa).
+    */
+  def outerJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(Exact.dsum(col("c_acctbal"), 2).as("cust_bal"), count(lit(1)).as("n_cust"))
+    val sp = Tables.supplier(s, dir)
+      .groupBy(col("s_nationkey").as("nk"))
+      .agg(Exact.dsum(col("s_acctbal"), 2).as("supp_bal"), count(lit(1)).as("n_supp"))
+    c.withColumnRenamed("nk", "c_nk")
+      .join(sp.withColumnRenamed("nk", "s_nk"), col("c_nk") === col("s_nk"), "full_outer")
+      .select(coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+        coalesce(col("cust_bal"), lit(0.0)).as("cust_bal"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("supp_bal"), lit(0.0)).as("supp_bal"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  val outerJoinSql: String =
+    s"""WITH c AS (
+       |  SELECT c_nationkey AS nk, ${Exact.sqlSum("c_acctbal", 2)} AS cust_bal,
+       |    COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+       |sp AS (
+       |  SELECT s_nationkey AS nk, ${Exact.sqlSum("s_acctbal", 2)} AS supp_bal,
+       |    COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+       |SELECT coalesce(c.nk, sp.nk) AS nationkey,
+       |  coalesce(cust_bal, 0.0) AS cust_bal, coalesce(n_cust, 0) AS n_cust,
+       |  coalesce(supp_bal, 0.0) AS supp_bal, coalesce(n_supp, 0) AS n_supp
+       |FROM c FULL OUTER JOIN sp ON c.nk = sp.nk""".stripMargin
+
+  /** Bag-semantics set operations: INTERSECT ALL / EXCEPT ALL preserve
+    * multiplicity (the DISTINCT variants in q19 collapse it).
+    */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+    val sp = Tables.supplier(s, dir).select(col("s_nationkey").as("nk"))
+    c.intersectAll(sp).groupBy(col("nk")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+      .unionByName(
+        c.exceptAll(sp).groupBy(col("nk")).agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all")))
+  }
+
+  val setOpsAllSql: String =
+    """SELECT nk, COUNT(*) AS n, 'intersect_all' AS op FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  INTERSECT ALL SELECT s_nationkey FROM supplier) GROUP BY nk
+      |UNION ALL
+      |SELECT nk, COUNT(*) AS n, 'except_all' AS op FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY nk""".stripMargin
+
+  /** Null-key grouping: SQL group-by treats NULL as one group (unlike the
+    * reference's byte-compare grouping where a missing key can't exist);
+    * both engines must agree on the null row.
+    */
+  def nullGroup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(nullif(col("event_type"), lit("error")).as("etype"))
+      .agg(count(lit(1)).as("n"))
+
+  val nullGroupSql: String =
+    """SELECT nullif(event_type, 'error') AS etype, COUNT(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Distinct counting: exact countDistinct (oracle-gated; the approximate
     * HLL path `approx_count_distinct` is engine-specific by construction
     * and is asserted to <2% relative error in RelationalSpec instead).

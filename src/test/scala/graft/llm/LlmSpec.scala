@@ -66,6 +66,17 @@ class LlmSpec extends AnyFunSuite {
       again.map(f => (f.doc_id, f.checksum)).toSet)
   }
 
+  test("IVF knn recall vs brute force is substantial with 2-of-16 probes") {
+    val brute = Similarity.bruteKnn(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnn(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = ivf.count(brute.contains).toDouble / brute.size
+    // probing 2/16 cells scans ~12.5% of the corpus; near-random vectors
+    // still cluster enough around centroids for useful recall
+    assert(recall >= 0.3, s"IVF recall@5 $recall (ivf=${ivf.size} brute=${brute.size})")
+  }
+
   test("cluster resolution collapses near-dup pairs to canonical docs") {
     val pairs = Dedup.ngramJaccard(spark, sf).select($"a_id", $"b_id")
     val nPairs = pairs.count()
