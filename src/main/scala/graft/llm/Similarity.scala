@@ -112,9 +112,11 @@ object Similarity {
   def ivfKnn(s: SparkSession, dir: String): DataFrame = {
     val nCentroids = 16
     val nProbe = 2
+    // 4 branches reference e (cent, scored, qv, corpus) — materialize once
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normCol)
+      .localCheckpoint(false)
     val cent = e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("qv"), col("nrm").as("cnrm"))
     // score every vector against every centroid (|corpus| × 16, broadcast)
@@ -219,10 +221,13 @@ object Similarity {
         sig
       }
     }
+    // e is referenced by 3 branches (buckets×2, corpus, qv); localCheckpoint
+    // materializes the scan+norm+signature ONCE instead of per branch
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normCol)
       .withColumn("sigs", sigsUdf(col("embedding")))
+      .localCheckpoint(false)
     val buckets = e.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(col("sigs")))
       .withColumnRenamed("pos", "table_id")
