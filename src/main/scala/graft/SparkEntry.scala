@@ -58,6 +58,8 @@ object SparkEntry {
     "q35_outer_join"     -> (Relational.outerJoin _),
     "q36_setops_all"     -> (Relational.setOpsAll _),
     "q37_null_group"     -> (Relational.nullGroup _),
+    "q38_above_nation_avg" -> (Relational.aboveNationAvg _),
+    "q39_session_window" -> (Relational.sessionWindowNative _),
     // LLM-pipeline extensions: dedup, similarity, text analysis, multimodal
     "d01_dedup_exact"    -> (graft.llm.Dedup.exact _),
     "d02_dedup_minhash"  -> (graft.llm.Dedup.minhashLsh _),
@@ -73,6 +75,7 @@ object SparkEntry {
     "t03_token_counts"   -> (graft.llm.TextAnalysis.tokenCounts _),
     "t04_fingerprint"    -> (graft.llm.TextAnalysis.fingerprints _),
     "t05_quality_filter" -> (graft.llm.TextAnalysis.qualityFilter _),
+    "t06_bigrams"        -> (graft.llm.TextAnalysis.bigramCounts _),
     "m01_media_stats"    -> (graft.llm.Multimodal.mediaStats _),
   )
 
@@ -114,6 +117,8 @@ object SparkEntry {
     "q35_outer_join"     -> Relational.outerJoinSql,
     "q36_setops_all"     -> Relational.setOpsAllSql,
     "q37_null_group"     -> Relational.nullGroupSql,
+    "q38_above_nation_avg" -> Relational.aboveNationAvgSql,
+    "q39_session_window" -> Relational.sessionWindowNativeSql,
     "d01_dedup_exact"    -> graft.llm.Dedup.exactSql,
     "d02_dedup_minhash"  -> graft.llm.Dedup.minhashLshSql,
     "d03_dedup_simhash"  -> graft.llm.Dedup.simhashSql,
@@ -130,6 +135,7 @@ object SparkEntry {
     "t03_token_counts"   -> graft.llm.TextAnalysis.tokenCountsSql,
     "t04_fingerprint"    -> graft.llm.TextAnalysis.fingerprintsSql,
     "t05_quality_filter" -> graft.llm.TextAnalysis.qualityFilterSql,
+    "t06_bigrams"        -> graft.llm.TextAnalysis.bigramCountsSql,
     "m01_media_stats"    -> graft.llm.Multimodal.mediaStatsSql,
   )
 }

@@ -77,6 +77,44 @@ object Multimodal {
     }
   }
 
+  /** Resized media (thumbnail pipeline): target box fit preserving aspect
+    * ratio — integer arithmetic on the decoded dims. Same per-partition
+    * decoder lifecycle; resize itself is part of the STUB (a real codec
+    * would transform `payload`).
+    */
+  case class ResizedMedia(
+      doc_id: Long, width: Int, height: Int, out_w: Int, out_h: Int, n_bytes: Long)
+
+  def resizeTo(media: Dataset[MediaRow], maxSide: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new StubDecoder
+      rows.map { r =>
+        val (w, h, _) = decoder.decode(r.payload)
+        val scaleNum = maxSide
+        val longSide = math.max(w, h)
+        val ow = math.max(1, w * scaleNum / longSide)
+        val oh = math.max(1, h * scaleNum / longSide)
+        ResizedMedia(r.doc_id, w, h, ow, oh, r.n_bytes)
+      }
+    }
+  }
+
+  /** Frame sampling (video-style): deterministic every-k-th "frame"
+    * positions derived from content length — the batch shape of a frame
+    * extractor (one row in → array of frame records out, exploded
+    * downstream). Frames are stubbed as (index, byte offset) pairs.
+    */
+  case class Frame(doc_id: Long, frame_idx: Int, byte_offset: Long)
+
+  def sampleFrames(media: Dataset[MediaRow], everyNBytes: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = (r.n_bytes / everyNBytes).toInt
+      (0 to n).map(i => Frame(r.doc_id, i, i.toLong * everyNBytes))
+    }
+  }
+
   /** Oracle-checkable slice of the plumbing: sizes + content hash through
     * the binary column (encode → octet_length / md5 must agree with
     * DuckDB's blob semantics).

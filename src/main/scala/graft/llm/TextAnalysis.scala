@@ -135,6 +135,46 @@ object TextAnalysis {
        |WHERE quality >= 0.5""".stripMargin
   }
 
+  /** Token-bigram counts per language (n-gram language-model statistics):
+    * one pass, bigrams built positionally inside codegen, count ≥ 5 floor
+    * to bound the long tail. Top-k per lang with bigram tiebreak.
+    */
+  def bigramCounts(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    // sequence(1, 0) yields a DESCENDING [1,0] in Spark, not empty — guard
+    // short token lists explicitly (DuckDB's range(1,1) is naturally empty)
+    val bigrams = when(size(toks) >= 2,
+      transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val counts = Tables.documents(s, dir)
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+    counts
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("rnk"), col("bigram"), col("cnt"))
+  }
+
+  val bigramCountsSql: String = {
+    val toks = sqlTokens("text")
+    s"""WITH bg AS (
+       |  SELECT lang,
+       |    unnest([t[i] || ' ' || t[i+1] for i in range(1, greatest(len(t), 1))]) AS bigram
+       |  FROM (SELECT lang, $toks AS t FROM documents)),
+       |counts AS (SELECT lang, bigram, COUNT(*) AS cnt FROM bg GROUP BY lang, bigram)
+       |SELECT lang, rnk, bigram, cnt FROM (
+       |  SELECT lang, bigram, cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram ASC) AS rnk
+       |  FROM counts)
+       |WHERE rnk <= 5""".stripMargin
+  }
+
   /** Heuristic language ID from character/stopword evidence — a Column
     * function usable in any pipeline (tested on hand-built samples in
     * TextAnalysisSpec; the synthetic corpus carries a `lang` label so the

@@ -473,6 +473,63 @@ object Relational {
     """SELECT nullif(event_type, 'error') AS etype, COUNT(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Correlated-subquery semantics: customers whose balance exceeds their
+    * nation's average. Spark plans it as an aggregate + rebroadcast join
+    * (the decorrelated form Catalyst would produce for the subquery);
+    * the oracle keeps the correlated form — both must agree. The average
+    * is exact decimal divided once → bit-stable threshold.
+    */
+  def aboveNationAvg(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val nationAvg = c.groupBy(col("c_nationkey").as("nk"))
+      .agg((sum(col("c_acctbal").cast("decimal(38,2)")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_bal"))
+    c.join(broadcast(nationAvg), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+  }
+
+  val aboveNationAvgSql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c1
+      |WHERE c_acctbal > (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE)
+      |  FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)""".stripMargin
+
+  /** Native session windows: Spark's `session_window` (30-minute gap)
+    * against the SAME oracle as the manual lag+cumsum sessionizer (q24) —
+    * the built-in operator and the hand-rolled plan must agree on session
+    * counts.
+    */
+  def sessionWindowNative(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        Exact.dsum(col("n_events"), 0).as("n_events_total"))
+
+  val sessionWindowNativeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR (ts - lag(ts) OVER w) >= INTERVAL '30' MINUTE
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), sessions AS (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |), per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events
+      |  FROM sessions GROUP BY user_id, session_id
+      |)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(CAST(n_events AS DECIMAL(38,0))) AS DOUBLE) AS n_events_total
+      |FROM per_session GROUP BY user_id""".stripMargin
+
   /** Distinct counting: exact countDistinct (oracle-gated; the approximate
     * HLL path `approx_count_distinct` is engine-specific by construction
     * and is asserted to <2% relative error in RelationalSpec instead).

@@ -98,6 +98,25 @@ class LlmSpec extends AnyFunSuite {
     assert(kept.count() == docs.count() - (clusterMembers - nClusters))
   }
 
+  test("multimodal resize and frame-sample stages are deterministic and bounded") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val resized = Multimodal.resizeTo(media, 128).collect()
+    assert(resized.length == media.count())
+    resized.foreach { r =>
+      assert(math.max(r.out_w, r.out_h) <= 128 && math.min(r.out_w, r.out_h) >= 1, r.toString)
+      // aspect preserved within integer rounding
+      val inRatio = r.width.toDouble / r.height
+      val outRatio = r.out_w.toDouble / r.out_h
+      assert(math.abs(inRatio - outRatio) / inRatio < 0.1, s"$r ratio drift")
+    }
+    val frames = Multimodal.sampleFrames(media, 100)
+    val perDoc = frames.groupByKey(_.doc_id).count().collect().toMap
+    val sizes = media.collect().map(m => m.doc_id -> m.n_bytes).toMap
+    sizes.foreach { case (id, nb) =>
+      assert(perDoc(id) == nb / 100 + 1, s"doc $id: ${perDoc(id)} frames for $nb bytes")
+    }
+  }
+
   test("langGuess discriminates hand-built samples") {
     val samples = Seq(
       ("the cat and the dog is of a house", "en"),
