@@ -67,6 +67,17 @@ object EventStream {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"))
 
+  /** Streaming deduplication: drop re-deliveries by event_id with a
+    * watermark bounding the dedup state (ids older than 1 hour of event
+    * time are forgotten — at-least-once sources redeliver within that
+    * horizon, and state stays O(events/hour), not O(stream lifetime)).
+    * The streaming face of the llm.Dedup family.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
+
   case class Ev(user_id: Long, ts_us: Long)
   case class SessionState(lastTsUs: Long, sessions: Long)
   case class UserSessions(user_id: Long, n_sessions: Long)

@@ -32,6 +32,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup collapses a doubled source to unique events") {
+    // stage a source dir with TWO links to the same file: every event is
+    // delivered twice, like an at-least-once source redelivery
+    val d = java.nio.file.Files.createTempDirectory("graft-dup-stream")
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    java.nio.file.Files.createSymbolicLink(d.resolve("a.parquet"), src)
+    java.nio.file.Files.createSymbolicLink(d.resolve("b.parquet"), src)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val doubled = spark.readStream
+      .schema(EventStream.eventsRawSchema)
+      .parquet(d.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.dedupedEvents(doubled)
+      .groupBy().count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").as[Long].head()
+      val expected = graft.Tables.events(spark, sf).count()
+      assert(got == expected, s"got $got, expected $expected unique events")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization equals the batch window query") {
     val q = EventStream.sessionCountsStream(spark, sf)
       .writeStream.outputMode("append")
