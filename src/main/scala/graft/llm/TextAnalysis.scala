@@ -155,7 +155,11 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("bigram").asc)
+    // prune the singleton tail BEFORE the per-lang window sort — the
+    // window partitions by lang (cardinality ~5), so everything surviving
+    // this filter funnels into 5 sorts; the tail is the bulk of the rows
     counts
+      .filter(col("cnt") >= 2)
       .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("lang"), col("rnk"), col("bigram"), col("cnt"))
@@ -167,7 +171,8 @@ object TextAnalysis {
        |  SELECT lang,
        |    unnest([t[i] || ' ' || t[i+1] for i in range(1, greatest(len(t), 1))]) AS bigram
        |  FROM (SELECT lang, $toks AS t FROM documents)),
-       |counts AS (SELECT lang, bigram, COUNT(*) AS cnt FROM bg GROUP BY lang, bigram)
+       |counts AS (SELECT lang, bigram, COUNT(*) AS cnt FROM bg
+       |           GROUP BY lang, bigram HAVING COUNT(*) >= 2)
        |SELECT lang, rnk, bigram, cnt FROM (
        |  SELECT lang, bigram, cnt,
        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram ASC) AS rnk
