@@ -60,6 +60,8 @@ object SparkEntry {
     "q37_null_group"     -> (Relational.nullGroup _),
     "q38_above_nation_avg" -> (Relational.aboveNationAvg _),
     "q39_session_window" -> (Relational.sessionWindowNative _),
+    "q40_date_functions" -> (Relational.dateFunctions _),
+    "q41_string_functions" -> (Relational.stringFunctions _),
     // LLM-pipeline extensions: dedup, similarity, text analysis, multimodal
     "d01_dedup_exact"    -> (graft.llm.Dedup.exact _),
     "d02_dedup_minhash"  -> (graft.llm.Dedup.minhashLsh _),
@@ -119,6 +121,8 @@ object SparkEntry {
     "q37_null_group"     -> Relational.nullGroupSql,
     "q38_above_nation_avg" -> Relational.aboveNationAvgSql,
     "q39_session_window" -> Relational.sessionWindowNativeSql,
+    "q40_date_functions" -> Relational.dateFunctionsSql,
+    "q41_string_functions" -> Relational.stringFunctionsSql,
     "d01_dedup_exact"    -> graft.llm.Dedup.exactSql,
     "d02_dedup_minhash"  -> graft.llm.Dedup.minhashLshSql,
     "d03_dedup_simhash"  -> graft.llm.Dedup.simhashSql,

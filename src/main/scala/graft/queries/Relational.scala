@@ -647,6 +647,70 @@ object Relational {
       |COUNT(*) AS n_events
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Date/time function surface: add/diff/trunc/last_day/day-of-week over
+    * order dates (engine-paired forms only — months_between-style
+    * fractional semantics differ across engines by definition and are
+    * deliberately excluded).
+    */
+  def dateFunctions(s: SparkSession, dir: String): DataFrame = {
+    // date-typed outputs are rendered as ISO strings: engines (and their
+    // pandas bridges) disagree on DATE vs TIMESTAMP physical types, which
+    // would make a hash compare about dtypes, not values
+    def iso(c: org.apache.spark.sql.Column) = date_format(c, "yyyy-MM-dd")
+    val od = col("o_orderdate").cast("date")
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        iso(od).as("od"),
+        iso(date_add(od, 30)).as("plus30"),
+        datediff(lit("1998-01-01").cast("date"), od).as("days_to_98"),
+        iso(trunc(od, "MM")).as("month_start"),
+        iso(last_day(od)).as("month_end"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("month_index"))
+  }
+
+  val dateFunctionsSql: String =
+    """SELECT o_orderkey,
+      |strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS od,
+      |strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+      |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_98,
+      |strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start,
+      |strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+      |CAST(dayofweek(o_orderdate) AS INT) AS dow,
+      |CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS month_index
+      |FROM orders WHERE o_orderkey <= 1000""".stripMargin
+
+  /** String function surface over part names. */
+  def stringFunctions(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_partkey") <= 500)
+      .select(
+        col("p_partkey"),
+        trim(col("p_name")).as("trimmed"),
+        lpad(col("p_brand"), 12, "_").as("padded"),
+        regexp_replace(col("p_name"), " ", "-").as("dashed"),
+        reverse(col("p_type")).as("rev_type"),
+        element_at(split(col("p_type"), " "), 1).as("type_head"),
+        instr(col("p_name"), "a").as("first_a"),
+        translate(col("p_brand"), "#", "N").as("brand_norm"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        repeat(col("p_brand"), 2).as("brand2"))
+
+  val stringFunctionsSql: String =
+    """SELECT p_partkey,
+      |trim(p_name) AS trimmed,
+      |lpad(p_brand, 12, '_') AS padded,
+      |replace(p_name, ' ', '-') AS dashed,
+      |reverse(p_type) AS rev_type,
+      |split_part(p_type, ' ', 1) AS type_head,
+      |CAST(instr(p_name, 'a') AS INT) AS first_a,
+      |translate(p_brand, '#', 'N') AS brand_norm,
+      |substring(p_name, 1, 5) AS prefix5,
+      |repeat(p_brand, 2) AS brand2
+      |FROM part WHERE p_partkey <= 500""".stripMargin
+
   /** Tumbling-window time aggregation (batch form of the streaming query in
     * graft.streaming): events per hour per type. Window start rendered as a
     * string so engine timestamp precision (µs vs ns) can't skew the hash.
