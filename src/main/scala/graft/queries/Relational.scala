@@ -222,10 +222,16 @@ object Relational {
       .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
+      // timestamp rendered as string: Spark writes timestamp[us], DuckDB
+      // carries [ms] — equal instants, different physical units; a strict
+      // arrow-level comparator would flag the unit, not the value
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+        col("revenue"))
   }
 
   val shippingPrioritySql: String =
-    s"""SELECT l_orderkey, o_orderdate,
+    s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
        |${Exact.sqlSum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey
