@@ -90,6 +90,28 @@ object Compositions {
       |FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
       |GROUP BY n_orders""".stripMargin
 
+  /** JSON scalar extraction with lenient numeric coercion — the `Sum`
+    * reducer's skip-semantics (/root/reference/mrproto/protocol.go:343-350)
+    * as a relational query: pull `$.k` from the props payload, try_cast to
+    * long (non-numeric → null → excluded from the sum, counted separately),
+    * aggregate per event type.
+    */
+  def jsonExtractSum(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_valid"),
+        (count(lit(1)) - count(col("k"))).as("n_skipped"))
+
+  val jsonExtractSumSql: String =
+    """SELECT event_type,
+      |CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_valid,
+      |COUNT(*) - COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_skipped
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** #37 heartbeat/garbage filtering — drop records whose props payload is
     * not a JSON object with a data key (the reference skips `_HEARTBEAT_`
     * and non-JSON lines, mrproto/protocol_test.go:14-16). Filter pushes to

@@ -19,6 +19,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(relErr < 0.02, s"approx=$approx exact=$exact relErr=$relErr")
   }
 
+  test("approx quantiles are within the requested relative error of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val approx = li.stat.approxQuantile("l_extendedprice", Array(0.25, 0.5, 0.75), 0.01)
+    val n = li.count()
+    val sorted = li.select($"l_extendedprice").orderBy($"l_extendedprice")
+      .as[Double].collect()
+    Seq(0.25, 0.5, 0.75).zip(approx).foreach { case (q, a) =>
+      // the sketch guarantees rank error <= eps*n
+      val lo = sorted(math.max(0, (q * n - 0.02 * n).toInt))
+      val hi = sorted(math.min(n - 1, (q * n + 0.02 * n).toLong).toInt)
+      assert(a >= lo && a <= hi, s"q$q: $a outside [$lo, $hi]")
+    }
+  }
+
   test("hash sampling is deterministic and roughly 10%") {
     val s1 = Relational.hashSample(spark, sf).collect().map(_.getLong(0)).toSet
     val s2 = Relational.hashSample(spark, sf).collect().map(_.getLong(0)).toSet
