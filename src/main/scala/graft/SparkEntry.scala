@@ -63,6 +63,7 @@ object SparkEntry {
     "q40_date_functions" -> (Relational.dateFunctions _),
     "q41_string_functions" -> (Relational.stringFunctions _),
     "q42_json_extract"   -> (Compositions.jsonExtractSum _),
+    "q43_topk_custom_op" -> (Relational.topKCustomOp _),
     // LLM-pipeline extensions: dedup, similarity, text analysis, multimodal
     "d01_dedup_exact"    -> (graft.llm.Dedup.exact _),
     "d02_dedup_minhash"  -> (graft.llm.Dedup.minhashLsh _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "q40_date_functions" -> Relational.dateFunctionsSql,
     "q41_string_functions" -> Relational.stringFunctionsSql,
     "q42_json_extract"   -> Compositions.jsonExtractSumSql,
+    "q43_topk_custom_op" -> Relational.topKCustomOpSql,
     "d01_dedup_exact"    -> graft.llm.Dedup.exactSql,
     "d02_dedup_minhash"  -> graft.llm.Dedup.minhashLshSql,
     "d03_dedup_simhash"  -> graft.llm.Dedup.simhashSql,

@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, GraftShims}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import scala.collection.mutable
+
+/** Whole-operator customization (SURVEY.md §7.4 case (c)): top-k rows per
+  * group as a first-class physical operator.
+  *
+  * Why custom: the DataFrame formulation (`row_number().over(window) <= k`)
+  * fully SORTS every group — O(n log n) per partition and materializes the
+  * rank for every row just to throw away all but k. At 100 TB with small k
+  * that sort is the cost. This operator keeps a bounded k-heap per group:
+  * O(n log k), memory O(groups·k) per partition, no full sort anywhere.
+  *
+  * Plan integration, the Spark-native way:
+  *  - [[TopKPerGroup]] — logical node (resolution happens through the
+  *    analyzer's generic expression rules)
+  *  - [[TopKStrategy]] — planner strategy (injectable via
+  *    `GraftExtensions`, or per-session through
+  *    `spark.experimental.extraStrategies`)
+  *  - [[TopKPerGroupExec]] — physical node declaring
+  *    `ClusteredDistribution(groupExprs)` so Catalyst inserts the ONE
+  *    required hash exchange (and can satisfy it from an existing
+  *    partitioning if the child already clusters by the key)
+  */
+case class TopKPerGroup(
+    groupExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, so, k, child) =>
+      TopKPerGroupExec(g, so, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val gExprs = groupExprs
+    val order = sortOrder
+    val kk = k
+    child.execute().mapPartitions { it =>
+      val groupProj = UnsafeProjection.create(gExprs, childOutput)
+      // comparator consistent with the requested rank order: row a ranks
+      // before b  ⇔  compare(a, b) < 0
+      val cmp = GenerateOrdering.generate(order, childOutput)
+      // max-heap keyed by the WORST retained row → O(log k) replace
+      val heapOrd = new Ordering[InternalRow] {
+        def compare(a: InternalRow, b: InternalRow): Int = cmp.compare(a, b)
+      }
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      it.foreach { row =>
+        val key = groupProj(row)
+        val heap = heaps.getOrElseUpdate(key.copy(), mutable.PriorityQueue.empty(heapOrd))
+        if (heap.size < kk) {
+          heap.enqueue(row.copy())
+        } else if (cmp.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      heaps.iterator.flatMap { case (_, heap) =>
+        heap.dequeueAll.reverseIterator // rank order within the group
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** User-facing API. */
+object TopK {
+
+  /** Register the strategy on a session (idempotent). `GraftSession.build`
+    * sessions get it via extensions; this covers externally-built ones.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies = cur :+ TopKStrategy
+    }
+  }
+
+  /** Top `k` rows per group of `groupCols`, ranked by `orderCols`
+    * ((name, ascending) pairs). Columns are resolved by name against the
+    * child's analyzed output here — Spark 4's Column nodes resolve lazily
+    * through per-operator analyzer support that custom logical nodes don't
+    * get, so name-based resolution is the robust seam. Output keeps the
+    * child schema; rows emit in rank order within each group.
+    */
+  def perGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    ensureRegistered(spark)
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String) = analyzed.output
+      .find(a => spark.sessionState.conf.resolver(a.name, name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val sortOrder = orderCols.map { case (name, asc) =>
+      SortOrder(attr(name), if (asc) Ascending else Descending)
+    }
+    val plan = TopKPerGroup(groupCols.map(attr), sortOrder, k, analyzed)
+    GraftShims.ofRows(spark, plan)
+  }
+}

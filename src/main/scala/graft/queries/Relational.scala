@@ -124,6 +124,26 @@ object Relational {
       |  FROM orders)
       |WHERE rnk <= 3""".stripMargin
 
+  /** Top-k per group through the custom heap-based physical operator
+    * (graft.plans.TopKPerGroup: O(n log k) bounded heaps instead of the
+    * window's full per-group sort) — same semantics and oracle as the
+    * window form, minus the materialized rank column.
+    */
+  def topKCustomOp(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perGroup(
+      Tables.orders(s, dir).select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+      groupCols = Seq("o_orderpriority"),
+      orderCols = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+      k = 3)
+
+  val topKCustomOpSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3""".stripMargin
+
   /** Global top-k: 10 highest-value orders. orderBy+limit lets Spark run
     * TakeOrderedAndProject — per-partition heaps, no global sort.
     */

@@ -1,0 +1,58 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.mr.TestSession
+import graft.Tables
+
+class TopKSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  private def windowTopK(k: Int) = {
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, sf)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+  }
+
+  private def customTopK(k: Int) =
+    TopK.perGroup(
+      Tables.orders(spark, sf).select($"o_orderpriority", $"o_orderkey", $"o_totalprice"),
+      Seq("o_orderpriority"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true),
+      k)
+
+  test("heap operator equals the window formulation for several k") {
+    for (k <- Seq(1, 3, 10, 100)) {
+      val expected = windowTopK(k).as[(String, Long, Double)].collect().toSet
+      val got = customTopK(k).as[(String, Long, Double)].collect().toSet
+      assert(got == expected, s"k=$k: ${got.size} vs ${expected.size}")
+    }
+  }
+
+  test("physical plan uses the custom exec with one exchange and NO sort") {
+    val p = customTopK(3).queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup ["), p) // exec node prints without the Exec suffix
+    assert(p.contains("Exchange hashpartitioning(o_orderpriority"), p)
+    assert(!p.toLowerCase.contains("sortexec") && !p.contains("\nSort "), p)
+  }
+
+  test("rows come out in rank order within each group") {
+    val rows = customTopK(5).collect()
+    val byGroup = rows.groupBy(_.getString(0))
+    byGroup.values.foreach { grp =>
+      val prices = grp.map(_.getDouble(2)).toSeq
+      assert(prices == prices.sortBy(-(_: Double)), s"not rank-ordered: $prices")
+    }
+  }
+
+  test("k larger than any group degrades to identity content") {
+    val total = Tables.orders(spark, sf).count()
+    assert(customTopK(1000000).count() == total)
+  }
+}
