@@ -64,6 +64,8 @@ object SparkEntry {
     "q41_string_functions" -> (Relational.stringFunctions _),
     "q42_json_extract"   -> (Compositions.jsonExtractSum _),
     "q43_topk_custom_op" -> (Relational.topKCustomOp _),
+    "q44_grouping_sets"  -> (Relational.groupingSets _),
+    "q45_array_functions" -> (Relational.arrayFunctions _),
     // LLM-pipeline extensions: dedup, similarity, text analysis, multimodal
     "d01_dedup_exact"    -> (graft.llm.Dedup.exact _),
     "d02_dedup_minhash"  -> (graft.llm.Dedup.minhashLsh _),
@@ -80,6 +82,7 @@ object SparkEntry {
     "t04_fingerprint"    -> (graft.llm.TextAnalysis.fingerprints _),
     "t05_quality_filter" -> (graft.llm.TextAnalysis.qualityFilter _),
     "t06_bigrams"        -> (graft.llm.TextAnalysis.bigramCounts _),
+    "t07_term_importance" -> (graft.llm.TextAnalysis.termImportance _),
     "m01_media_stats"    -> (graft.llm.Multimodal.mediaStats _),
   )
 
@@ -127,6 +130,8 @@ object SparkEntry {
     "q41_string_functions" -> Relational.stringFunctionsSql,
     "q42_json_extract"   -> Compositions.jsonExtractSumSql,
     "q43_topk_custom_op" -> Relational.topKCustomOpSql,
+    "q44_grouping_sets"  -> Relational.groupingSetsSql,
+    "q45_array_functions" -> Relational.arrayFunctionsSql,
     "d01_dedup_exact"    -> graft.llm.Dedup.exactSql,
     "d02_dedup_minhash"  -> graft.llm.Dedup.minhashLshSql,
     "d03_dedup_simhash"  -> graft.llm.Dedup.simhashSql,
@@ -144,6 +149,7 @@ object SparkEntry {
     "t04_fingerprint"    -> graft.llm.TextAnalysis.fingerprintsSql,
     "t05_quality_filter" -> graft.llm.TextAnalysis.qualityFilterSql,
     "t06_bigrams"        -> graft.llm.TextAnalysis.bigramCountsSql,
+    "t07_term_importance" -> graft.llm.TextAnalysis.termImportanceSql,
     "m01_media_stats"    -> graft.llm.Multimodal.mediaStatsSql,
   )
 }

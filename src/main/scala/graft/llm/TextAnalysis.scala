@@ -180,6 +180,50 @@ object TextAnalysis {
        |WHERE rnk <= 5""".stripMargin
   }
 
+  /** TF-IDF-style term importance: score = tf × N / df (linear rarity
+    * weighting — deliberately log-free: ln() differs by ulps across libm
+    * implementations, while integer products and one IEEE division are
+    * bit-identical everywhere). Top-3 terms per doc with term tiebreak.
+    * Two aggregates + one broadcast join — the classic scalable TF-IDF
+    * shape (df table ≪ corpus).
+    */
+  def termImportance(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = Tables.documents(s, dir).agg(count(lit(1)).as("nn"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") * col("nn") / col("df")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+  }
+
+  val termImportanceSql: String = {
+    val toks = sqlTokens("text")
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS nn FROM documents),
+       |scored AS (
+       |  SELECT doc_id, tf.term AS term,
+       |    CAST(tf AS DOUBLE) * nn / df AS score
+       |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+       |SELECT doc_id, rnk, term, score FROM (
+       |  SELECT doc_id, term, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 3""".stripMargin
+  }
+
   /** Heuristic language ID from character/stopword evidence — a Column
     * function usable in any pipeline (tested on hand-built samples in
     * TextAnalysisSpec; the synthetic corpus carries a `lang` label so the

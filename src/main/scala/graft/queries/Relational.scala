@@ -556,6 +556,60 @@ object Relational {
       |  CAST(SUM(CAST(n_events AS DECIMAL(38,0))) AS DOUBLE) AS n_events_total
       |FROM per_session GROUP BY user_id""".stripMargin
 
+  /** Explicit GROUPING SETS with per-column GROUPING() flags, exercised
+    * through the engine's SQL surface (`Tables.registerAll` + spark.sql) —
+    * per-column GROUPING() rather than engine-ordered GROUPING_ID bitmaps,
+    * which engines number differently.
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_gs")
+    s.sql(
+      """SELECT event_type, user_id,
+        |  CAST(grouping(event_type) AS INT) AS g_type,
+        |  CAST(grouping(user_id) AS INT) AS g_user,
+        |  COUNT(*) AS n
+        |FROM events_gs
+        |GROUP BY GROUPING SETS ((event_type), (user_id), ())""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT event_type, user_id,
+      |  CAST(grouping(event_type) AS INT) AS g_type,
+      |  CAST(grouping(user_id) AS INT) AS g_user,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (user_id), ())""".stripMargin
+
+  /** Array function surface over integer arrays (constructed per row from
+    * scalars): size/element_at/aggregate-sum/reverse/slice/contains —
+    * the array algebra a payload-heavy pipeline leans on, all exact ints.
+    */
+  def arrayFunctions(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") <= 500)
+      .withColumn("arr", sequence(lit(1L), pmod(col("o_orderkey"), lit(5L)) + 1L))
+      .select(
+        col("o_orderkey"),
+        size(col("arr")).as("n"),
+        element_at(col("arr"), 1).as("head"),
+        element_at(col("arr"), -1).as("last"),
+        aggregate(col("arr"), lit(0L), (a, x) => a + x).as("arr_sum"),
+        concat_ws(",", reverse(col("arr"))).as("rev_str"),
+        concat_ws(",", slice(col("arr"), 1, 2)).as("first2"),
+        array_contains(col("arr"), 3L).cast("int").as("has3"))
+
+  val arrayFunctionsSql: String =
+    """SELECT o_orderkey,
+      |CAST(len(arr) AS INT) AS n,
+      |arr[1] AS head,
+      |arr[-1] AS last,
+      |CAST(list_sum(arr) AS BIGINT) AS arr_sum,
+      |array_to_string(list_reverse(arr), ',') AS rev_str,
+      |array_to_string(arr[1:2], ',') AS first2,
+      |CAST(list_contains(arr, 3) AS INT) AS has3
+      |FROM (SELECT o_orderkey, range(1, (o_orderkey % 5) + 2) AS arr
+      |      FROM orders WHERE o_orderkey <= 500)""".stripMargin
+
   /** Distinct counting: exact countDistinct (oracle-gated; the approximate
     * HLL path `approx_count_distinct` is engine-specific by construction
     * and is asserted to <2% relative error in RelationalSpec instead).
