@@ -82,9 +82,10 @@ object MrPipeline {
     //    partition — Hadoop Streaming's partition/sort/merge.
     val numParts = step.reducerTasks
       .getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val sortCols = if (step.sortValues) Seq(col("key"), col("value")) else Seq(col("key"))
     val shuffled = combined
       .repartition(numParts, col("key"))
-      .sortWithinPartitions(col("key"))
+      .sortWithinPartitions(sortCols: _*)
       .as[KV]
 
     // 4. reduce: sorted-run group iteration per partition.

@@ -46,4 +46,12 @@ trait MrStep extends Serializable {
   def reducer(key: String, values: Iterator[String], counters: Counters): Iterator[KV]
   def combiner: Option[(String, Iterator[String], Counters) => Iterator[String]] = None
   def reducerTasks: Option[Int] = None
+
+  /** Secondary sort: when true, a key's values arrive byte-ordered — the
+    * semantics of the reference's in-process harness, which sorts whole
+    * `key\tvalue` lines (/root/reference/mrtest/testing.go:23,26-53).
+    * Default false = Hadoop's key-only sort (value order undefined), which
+    * is what the reference's production runtime provides (notes.txt:9-12).
+    */
+  def sortValues: Boolean = false
 }

@@ -78,6 +78,18 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id", "ts")
 
+  /** Stream-static join: enrich the event stream with a static dimension
+    * (here: customer attributes keyed by user_id≡custkey). The static side
+    * is a plain DataFrame — Spark broadcasts/rescans it per micro-batch;
+    * no state, no watermark needed. The streaming face of the map-side
+    * join (SURVEY.md §2B #24).
+    */
+  def enrichedEvents(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      events("user_id") === dim("c_custkey"),
+      "left")
+
   case class Ev(user_id: Long, ts_us: Long)
   case class SessionState(lastTsUs: Long, sessions: Long)
   case class UserSessions(user_id: Long, n_sessions: Long)

@@ -127,6 +127,22 @@ class MrPipelineSpec extends AnyFunSuite {
     assert(c1.get("graft.combiner", "lru evictions") > 0)
   }
 
+  /** Secondary sort: with sortValues, a key's values stream byte-ordered
+    * (the mrtest whole-line sort, /root/reference/mrtest/testing.go:23).
+    */
+  test("sortValues delivers values byte-ordered within each key") {
+    val input = Seq("k\tc", "k\ta", "k\tb", "j\t2", "j\t10", "j\t1")
+    val step = new MrStep {
+      override val sortValues: Boolean = true
+      override def reducer(key: String, values: Iterator[String], c: Counters): Iterator[KV] =
+        Iterator.single(KV(key, values.mkString("|")))
+    }
+    val counters = Counters.create(spark.sparkContext, "t-secsort")
+    val out = MrPipeline.runStep(spark.createDataset(input), step, counters).collect().sorted
+    // byte order: "1" < "10" < "2" (lexicographic, like the reference sort)
+    assert(out.toSeq == Seq("j\t1|10|2", "k\ta|b|c"))
+  }
+
   /** Lenient Sum semantics (/root/reference/mrproto/protocol.go:343-350):
     * non-integral values are skipped and counted.
     */

@@ -57,6 +57,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches every event with its dimension row") {
+    val dim = graft.Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_mktsegment")
+    val q = EventStream.enrichedEvents(EventStream.readEvents(spark, sf), dim)
+      .groupBy($"c_mktsegment").count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .as[(String, Long)].collect().toMap
+      val batch = graft.Tables.events(spark, sf)
+        .join(dim, $"user_id" === $"c_custkey", "left")
+        .groupBy($"c_mktsegment").count()
+        .as[(String, Long)].collect().toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization equals the batch window query") {
     val q = EventStream.sessionCountsStream(spark, sf)
       .writeStream.outputMode("append")
