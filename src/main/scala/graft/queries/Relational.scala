@@ -641,6 +641,30 @@ object Relational {
     s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
        |WHERE (${graft.llm.Hashing.sqlHash60("CAST(o_orderkey AS VARCHAR)")}) % 100 < 10""".stripMargin
 
+  /** Stratified deterministic sampling: per-stratum rates (20% of 'R'
+    * rows, 5% of the rest) through the same md5-bucket mechanism as
+    * [[hashSample]] — reproducible, joinable, and exactly mirrorable,
+    * unlike `sampleBy`'s engine-private RNG streams.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(graft.llm.Hashing.hash60(
+      concat_ws(":", col("l_orderkey"), col("l_linenumber"))), lit(100L))
+    Tables.lineitem(s, dir)
+      .filter((col("l_returnflag") === "R" && bucket < 20) ||
+        (col("l_returnflag") =!= "R" && bucket < 5))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val bucket = s"(${graft.llm.Hashing.sqlHash60(
+      "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")}) % 100"
+    s"""SELECT l_returnflag, COUNT(*) AS n_sampled FROM lineitem
+       |WHERE (l_returnflag = 'R' AND $bucket < 20)
+       |   OR (l_returnflag <> 'R' AND $bucket < 5)
+       |GROUP BY l_returnflag""".stripMargin
+  }
+
   /** Skew-mitigated aggregation: two-phase salted aggregate. Phase 1
     * splits each (potentially hot) key across `salts` sub-keys — partial
     * sums happen on salted partitions so no single reducer sees a hot

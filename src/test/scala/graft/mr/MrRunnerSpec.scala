@@ -32,6 +32,31 @@ class MrRunnerSpec extends AnyFunSuite {
     assert(back.toSeq == Seq("[\"b\",\"c\"]\t1"))
   }
 
+  test("MrRunner reads gzipped input globs transparently") {
+    val in = Files.createTempDirectory("graft-gz-in")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(in.resolve("part1.json.gz")))
+    gz.write(Seq("""{"key_field":"z"}""", """{"key_field":"z"}""").mkString("\n").getBytes)
+    gz.close()
+    val (outPath, _) = MrRunner(
+      name = "gz-input",
+      inputFiles = Seq(s"$in/*.json.gz"),
+      steps = Seq(new BuiltinSteps.FieldFrequencyStep())).run(spark)
+    val lines = graft.sources.KvSink.readKvLines(spark, outPath).collect().sorted
+    assert(lines.toSeq == Seq("\"key_field\"\t2", "\"lines_read\"\t2"))
+  }
+
+  test("keys containing tabs and newlines survive the wire format") {
+    // JSON string escaping keeps the k\tv line format unambiguous even for
+    // keys with raw tabs/newlines (encoding/json parity,
+    // /root/reference/mrproto/protocol.go:233-239)
+    val input = Seq("{\"a\\tb\":1}", "{\"c\\nd\":1}", "{\"a\\tb\":2}")
+    val r = MrTest.testStep(spark, new BuiltinSteps.FieldFrequencyStep(),
+      input = input,
+      golden = Seq("\"a\\tb\"\t2", "\"c\\nd\"\t1", "\"lines_read\"\t3"))
+    assert(r.passed, r.diff.mkString("\n"))
+  }
+
   test("MrRunner runs the flagship job from files to compressed output") {
     val in = Files.createTempDirectory("graft-run-in")
     Files.write(in.resolve("part1.json"),
