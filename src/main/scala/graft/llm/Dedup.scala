@@ -170,8 +170,12 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 600)
+    // grams join/aggregate on their 60-bit hash, not the string: long keys
+    // shuffle and compare cheaper, and both engines hash identically so
+    // the (negligible, identical) collision behavior is mirrored too
     val grams = docs
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("g"))
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("gs"))
+      .select(col("doc_id"), hash60(col("gs")).as("g"))
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = grams.alias("a")
     val b = grams.alias("b")
@@ -191,9 +195,10 @@ object Dedup {
 
   val ngramJaccardSql: String =
     s"""WITH grams AS (
-       |  SELECT DISTINCT doc_id, g FROM (
-       |    SELECT doc_id, unnest(${sqlShingles("text", 3)}) AS g
-       |    FROM documents WHERE doc_id < 600)),
+       |  SELECT doc_id, ${sqlHash60("gs")} AS g FROM (
+       |    SELECT DISTINCT doc_id, gs FROM (
+       |      SELECT doc_id, unnest(${sqlShingles("text", 3)}) AS gs
+       |      FROM documents WHERE doc_id < 600))),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i

@@ -716,12 +716,19 @@ object Relational {
   def discreteMedian(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc)
-    Tables.lineitem(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    val li = Tables.lineitem(s, dir)
+    // group sizes via a broadcast-joined aggregate, NOT a second
+    // unbounded count window — the rank window is one full pass already;
+    // a count-over-partition window would re-buffer every row a second
+    // time in the same few partitions
+    val counts = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
       // explicit floor: Spark's int cast truncates but DuckDB's rounds,
       // so (n+1)/2 must be floored before casting in BOTH engines
-      .filter(col("rn") === floor((col("n") + 1) / 2.0).cast("int"))
+      .select(col("l_returnflag"), floor((col("n") + 1) / 2.0).cast("int").as("target_rn"))
+    li.withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), "l_returnflag")
+      .filter(col("rn") === col("target_rn"))
       .select(col("l_returnflag"), col("l_quantity").as("median_qty"))
   }
 
