@@ -67,6 +67,7 @@ object SparkEntry {
     "q44_grouping_sets"  -> (Relational.groupingSets _),
     "q45_array_functions" -> (Relational.arrayFunctions _),
     "q46_stratified_sample" -> (Relational.stratifiedSample _),
+    "q47_variant_json"   -> (Compositions.variantExtract _),
     // LLM-pipeline extensions: dedup, similarity, text analysis, multimodal
     "d01_dedup_exact"    -> (graft.llm.Dedup.exact _),
     "d02_dedup_minhash"  -> (graft.llm.Dedup.minhashLsh _),
@@ -134,6 +135,7 @@ object SparkEntry {
     "q44_grouping_sets"  -> Relational.groupingSetsSql,
     "q45_array_functions" -> Relational.arrayFunctionsSql,
     "q46_stratified_sample" -> Relational.stratifiedSampleSql,
+    "q47_variant_json"   -> Compositions.variantExtractSql,
     "d01_dedup_exact"    -> graft.llm.Dedup.exactSql,
     "d02_dedup_minhash"  -> graft.llm.Dedup.minhashLshSql,
     "d03_dedup_simhash"  -> graft.llm.Dedup.simhashSql,

@@ -112,6 +112,25 @@ object Compositions {
       |COUNT(*) - COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_skipped
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Dynamic JSON via Spark 4 VariantType — the engine-native successor to
+    * string-typed JSON payloads: `parse_json` once, typed `variant_get`
+    * access after (binary-encoded, no re-parse per field). Semantically the
+    * reference's `*simplejson.Json` record (schema-on-read), but columnar.
+    * Same result contract as the string-path q42.
+    */
+  def variantExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_valid"))
+
+  val variantExtractSql: String =
+    """SELECT event_type,
+      |CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_valid
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** #37 heartbeat/garbage filtering — drop records whose props payload is
     * not a JSON object with a data key (the reference skips `_HEARTBEAT_`
     * and non-JSON lines, mrproto/protocol_test.go:14-16). Filter pushes to
