@@ -224,6 +224,37 @@ object TextAnalysis {
        |WHERE rnk <= 3""".stripMargin
   }
 
+  /** Column profiling — the data-quality scan every ingestion pipeline
+    * runs first: per-column null counts, distinct counts, and extrema over
+    * the events table, emitted long-form (one row per column). One pass,
+    * map-side combinable.
+    */
+  def profile(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def row(name: String, c: org.apache.spark.sql.Column, asStr: org.apache.spark.sql.Column) =
+      ev.agg(
+        count(lit(1)).as("n_rows"),
+        count(c).as("n_nonnull"),
+        countDistinct(c).as("n_distinct"),
+        min(asStr).as("min_str"),
+        max(asStr).as("max_str"))
+        .select(lit(name).as("column_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+    row("event_type", col("event_type"), col("event_type"))
+      .unionByName(row("user_id", col("user_id"), col("user_id").cast("string")))
+      .unionByName(row("event_id", col("event_id"), col("event_id").cast("string")))
+  }
+
+  val profileSql: String = {
+    def row(name: String, expr: String) =
+      s"""SELECT '$name' AS column_name, COUNT(*) AS n_rows,
+         |COUNT($expr) AS n_nonnull, COUNT(DISTINCT $expr) AS n_distinct,
+         |MIN(CAST($expr AS VARCHAR)) AS min_str,
+         |MAX(CAST($expr AS VARCHAR)) AS max_str FROM events""".stripMargin
+    Seq(row("event_type", "event_type"), row("user_id", "user_id"),
+      row("event_id", "event_id")).mkString("\nUNION ALL\n")
+  }
+
   /** Heuristic language ID from character/stopword evidence — a Column
     * function usable in any pipeline (tested on hand-built samples in
     * TextAnalysisSpec; the synthetic corpus carries a `lang` label so the

@@ -641,6 +641,50 @@ object Relational {
     s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
        |WHERE (${graft.llm.Hashing.sqlHash60("CAST(o_orderkey AS VARCHAR)")}) % 100 < 10""".stripMargin
 
+  /** Left outer join preserving unmatched rows: order counts per customer
+    * including zero-order customers (the join+coalesce shape; semi/anti
+    * cover existence, this covers enumeration-with-default).
+    */
+  def leftJoinCounts(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_big_orders"))
+  }
+
+  val leftJoinCountsSql: String =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders
+      |FROM customer LEFT JOIN orders
+      |  ON o_custkey = c_custkey AND o_totalprice > 400000.0
+      |GROUP BY c_custkey""".stripMargin
+
+  /** Window-function breadth: lead, first/last value over frames, ntile —
+    * all under a deterministic total order.
+    */
+  def windowMisc(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") <= 5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        lead(col("l_orderkey"), 1).over(w).as("next_order"),
+        first(col("l_orderkey")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_order"),
+        ntile(4).over(w).as("quartile"))
+  }
+
+  val windowMiscSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |lead(l_orderkey, 1) OVER w AS next_order,
+      |first_value(l_orderkey) OVER (PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
+      |ntile(4) OVER w AS quartile
+      |FROM lineitem WHERE l_suppkey <= 5
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)""".stripMargin
+
   /** Stratified deterministic sampling: per-stratum rates (20% of 'R'
     * rows, 5% of the rest) through the same md5-bucket mechanism as
     * [[hashSample]] — reproducible, joinable, and exactly mirrorable,
