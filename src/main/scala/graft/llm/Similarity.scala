@@ -9,14 +9,16 @@ import Hashing._
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`embedding: array<float>`, 64-dim).
   *
-  * Two paths, per the standard ANN playbook:
-  *  - [[bruteKnn]]: exact cosine top-k — broadcast the (small) query set
-  *    against the corpus; one scan, per-partition heaps via the window
-  *    rank. The baseline every ANN variant is measured against.
-  *  - [[lshKnn]]: sign-random-projection LSH — 16 deterministic
-  *    hyperplanes bucket the corpus; search only within the query's
-  *    bucket. At 100 TB the bucket join replaces the corpus cross
-  *    product; recall is traded for a ~2^16 candidate reduction.
+  * Three paths, per the standard ANN playbook:
+  *  - [[bruteKnn]]/[[embedNearDup]]: exact cosine — broadcast the (small)
+  *    query set against the corpus. The baseline/verifier every ANN
+  *    variant is measured against.
+  *  - [[lshKnn]]: multi-table sign-random-projection LSH (8 tables × 4
+  *    bits of deterministic hyperplanes) — candidates only from shared
+  *    buckets; the (table, bucket) equi-join replaces the corpus cross
+  *    product.
+  *  - [[ivfKnn]]: inverted-file cells around centroids with nprobe
+  *    probing — the partition-key formulation.
   *
   * Dot products run through the codegen'd [[graft.functions.FloatVecDot]]
   * expression (index-order double accumulation, bit-equal to the HOF
@@ -66,6 +68,40 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
       |  FROM p)
       |WHERE rnk <= 5""".stripMargin
+
+  /** DuckDB mirror of [[lshKnn]]: hyperplanes recomputed from the same
+    * md5 derivation, buckets from dot-product signs, then the same
+    * candidate join + rank. Sign decisions are safe against fp summation
+    * order (P(|dot| < 1e-13) ≈ 1e-13 per vector-plane).
+    */
+  val lshKnnSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |planes AS (
+       |  SELECT j, i,
+       |    (((${Hashing.sqlHash60("j||':'||i")}) % 2000) - 1000)/1000.0 AS w
+       |  FROM range(0, 32) t1(j), range(0, 64) t2(i)),
+       |dots AS (
+       |  SELECT e.vec_id, p.j, SUM(e.v[p.i + 1] * p.w) AS d
+       |  FROM e, planes p GROUP BY e.vec_id, p.j),
+       |buckets AS (
+       |  SELECT vec_id, j // 4 AS table_id,
+       |    SUM(CASE WHEN d >= 0 THEN (1 << (j % 4)) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY vec_id, j // 4),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM buckets q JOIN buckets c
+       |    ON q.table_id = c.table_id AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 50),
+       |scored AS (
+       |  SELECT ci.qid, ci.nid, list_dot_product(a.v, b.v)/(a.nrm*b.nrm) AS cos
+       |  FROM cand ci JOIN e a ON a.vec_id = ci.qid JOIN e b ON b.vec_id = ci.nid)
+       |SELECT qid, nid, rnk FROM (
+       |  SELECT qid, nid,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+       |  FROM scored) WHERE rnk <= 5""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥ 0.35
     * (threshold calibrated to the synthetic corpus: 271 pairs at sf0.01,
@@ -196,8 +232,9 @@ object Similarity {
     * two share a full bucket in ANY table; the (table, bucket) equi-join
     * replaces the corpus cross product — the part that matters at 100 TB,
     * where bits/tables are retuned so bucket sizes stay O(corpus/2^bits).
-    * Rows-only checked by the driver (engine-side bucketing is not
-    * SQL-expressible); recall vs [[bruteKnn]] is asserted in LlmSpec.
+    * The md5-derived hyperplanes make even the bucketing oracle-checkable
+    * ([[lshKnnSql]] recomputes the same planes from the same hashes);
+    * recall vs [[bruteKnn]] is additionally asserted in LlmSpec.
     */
   def lshKnn(s: SparkSession, dir: String): DataFrame = {
     val nTables = 8
