@@ -685,6 +685,49 @@ object Relational {
       |WINDOW w AS (PARTITION BY l_suppkey
       |  ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)""".stripMargin
 
+  /** Range (interval) join: orders bucketed by a generated price-band
+    * dimension via `lo <= x < hi` predicates — the interval-join pattern
+    * (dimension is tiny → broadcast nested loop is the right plan; a large
+    * interval table would first be bucketized to convert this to an
+    * equi-join, per SCALING.md).
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(0, 5).select(
+      col("id").as("band"),
+      (col("id") * 100000.0).as("lo"),
+      ((col("id") + 1) * 100000.0).as("hi"))
+    Tables.orders(s, dir)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.dsum(col("o_totalprice"), 2).as("band_total"))
+  }
+
+  val rangeJoinSql: String =
+    s"""SELECT band, COUNT(*) AS n_orders,
+       |${Exact.sqlSum("o_totalprice", 2)} AS band_total
+       |FROM orders JOIN (
+       |  SELECT i AS band, i * 100000.0 AS lo, (i + 1) * 100000.0 AS hi
+       |  FROM range(0, 5) t(i)) bands
+       |ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY band""".stripMargin
+
+  /** Aggregate filtering (HAVING): customers with 12+ orders and their
+    * exact spend.
+    */
+  def havingFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.dsum(col("o_totalprice"), 2).as("total_spend"))
+      .filter(col("n_orders") >= 12)
+
+  val havingFilterSql: String =
+    s"""SELECT o_custkey, COUNT(*) AS n_orders,
+       |${Exact.sqlSum("o_totalprice", 2)} AS total_spend
+       |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12""".stripMargin
+
   /** Stratified deterministic sampling: per-stratum rates (20% of 'R'
     * rows, 5% of the rest) through the same md5-bucket mechanism as
     * [[hashSample]] — reproducible, joinable, and exactly mirrorable,
