@@ -77,8 +77,14 @@ case class TopKPerGroupExec(
       }
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       it.foreach { row =>
+        // lookup with the projection's reused row; copy only on first sight
+        // (getOrElseUpdate would evaluate key.copy() for every input row)
         val key = groupProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(), mutable.PriorityQueue.empty(heapOrd))
+        var heap = heaps.getOrElse(key, null)
+        if (heap == null) {
+          heap = mutable.PriorityQueue.empty(heapOrd)
+          heaps.put(key.copy(), heap)
+        }
         if (heap.size < kk) {
           heap.enqueue(row.copy())
         } else if (cmp.compare(row, heap.head) < 0) {
