@@ -89,6 +89,30 @@ object MrQueries {
     """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Reduce-side join via cogroup — the tag+group-by-key pattern gomrjob
+    * users hand-build (SURVEY.md §2 "deliberately absent" list): both
+    * inputs shuffle on the key; the reducer sees each key once with both
+    * value streams. `KeyValueGroupedDataset.cogroup` IS that contract.
+    * Emits for keys present on either side (≡ full outer aggregate join,
+    * which is the oracle).
+    */
+  def cogroupJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select(col("user_id")).as[Long].groupByKey(identity)
+    val ord = Tables.orders(s, dir).select(col("o_custkey")).as[Long].groupByKey(identity)
+    ev.cogroup(ord) { (k, evs, ords) =>
+      Iterator.single((k, evs.size.toLong, ords.size.toLong))
+    }.toDF("key_id", "n_events", "n_orders")
+  }
+
+  val cogroupJoinSql: String =
+    """WITH e AS (SELECT user_id AS key_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+      |o AS (SELECT o_custkey AS key_id, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+      |SELECT coalesce(e.key_id, o.key_id) AS key_id,
+      |  coalesce(n_events, 0) AS n_events,
+      |  coalesce(n_orders, 0) AS n_orders
+      |FROM e FULL OUTER JOIN o ON e.key_id = o.key_id""".stripMargin
+
   /** Map-side join via broadcast side data — the reference's distributed-
     * cache pattern (`CacheFiles`/`Files`, /root/reference/runner.go:57-58):
     * a small lookup table is shipped to every task and joined inside the

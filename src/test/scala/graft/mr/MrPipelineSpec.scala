@@ -143,6 +143,23 @@ class MrPipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("j\t1|10|2", "k\ta|b|c"))
   }
 
+  /** Fail-fast: a throwing reducer fails the job (the reference's task
+    * exits non-zero so Hadoop marks it failed, runner.go:299-305) —
+    * data errors are lenient, CODE errors are not.
+    */
+  test("a throwing reducer fails the job, not silently drops data") {
+    val step = new MrStep {
+      override def reducer(key: String, values: Iterator[String], c: Counters): Iterator[KV] =
+        throw new IllegalStateException("user reducer bug")
+    }
+    val counters = Counters.create(spark.sparkContext, "t-throw")
+    val ex = intercept[org.apache.spark.SparkException] {
+      MrPipeline.runStep(spark.createDataset(Seq("k\t1")), step, counters).collect()
+    }
+    assert(ex.getMessage.contains("user reducer bug") ||
+      Option(ex.getCause).exists(_.getMessage.contains("user reducer bug")))
+  }
+
   /** Lenient Sum semantics (/root/reference/mrproto/protocol.go:343-350):
     * non-integral values are skipped and counted.
     */
