@@ -224,6 +224,39 @@ object TextAnalysis {
        |WHERE rnk <= 3""".stripMargin
   }
 
+  /** Character-diversity score: Gini impurity of the character
+    * distribution, 1 − Σ(cnt²)/len² — catches repeated-character spam and
+    * degenerate payloads. Gini instead of entropy on purpose: no log(),
+    * so the score is integer arithmetic + one IEEE division, bit-stable
+    * across engines (ln() differs by ulps between libm builds).
+    */
+  def charDiversity(s: SparkSession, dir: String): DataFrame = {
+    val chars = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("len"),
+        explode(transform(sequence(lit(1), length(col("text"))),
+          i => col("text").substr(i, lit(1)))).as("ch"))
+    chars
+      .groupBy(col("doc_id"), col("len"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("len"))
+      .agg(sum(col("cnt") * col("cnt")).as("sumsq"))
+      .select(col("doc_id"),
+        (lit(1.0) - col("sumsq").cast("double") /
+          (col("len").cast("double") * col("len").cast("double"))).as("char_gini"))
+  }
+
+  val charDiversitySql: String =
+    """SELECT doc_id,
+      |  1.0 - CAST(sumsq AS DOUBLE) / (CAST(len AS DOUBLE) * CAST(len AS DOUBLE)) AS char_gini
+      |FROM (
+      |  SELECT doc_id, len, SUM(cnt * cnt) AS sumsq FROM (
+      |    SELECT doc_id, len, ch, COUNT(*) AS cnt FROM (
+      |      SELECT doc_id, length(text) AS len,
+      |        unnest([substr(text, x, 1) for x in range(1, length(text) + 1)]) AS ch
+      |      FROM documents)
+      |    GROUP BY doc_id, len, ch)
+      |  GROUP BY doc_id, len)""".stripMargin
+
   /** Column profiling — the data-quality scan every ingestion pipeline
     * runs first: per-column null counts, distinct counts, and extrema over
     * the events table, emitted long-form (one row per column). One pass,

@@ -713,6 +713,33 @@ object Relational {
        |ON o_totalprice >= lo AND o_totalprice < hi
        |GROUP BY band""".stripMargin
 
+  /** Null-preserving explode (`explode_outer`): rows whose array is empty
+    * survive with a NULL element — the LATERAL-join semantics batch
+    * pipelines need so empty payloads aren't silently dropped. DuckDB has
+    * no outer unnest; the oracle pads empty lists with [NULL], which is
+    * exactly explode_outer's contract.
+    */
+  def explodeOuter(s: SparkSession, dir: String): DataFrame = {
+    // arr empty whenever o_orderkey % 4 == 0 → ~25% null-element rows
+    // (explicit empty branch: Spark's sequence(1,0) is a DESCENDING [1,0])
+    val m = pmod(col("o_orderkey"), lit(4L))
+    val arr = when(m === 0L, array().cast("array<bigint>"))
+      .otherwise(sequence(lit(1L), m))
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") <= 400)
+      .withColumn("el", explode_outer(arr))
+      .groupBy(col("el"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val explodeOuterSql: String =
+    """SELECT el, COUNT(*) AS n FROM (
+      |  SELECT unnest(CASE WHEN len(arr) = 0 THEN [NULL] ELSE arr END) AS el
+      |  FROM (SELECT CASE WHEN o_orderkey % 4 = 0 THEN []
+      |               ELSE range(1, (o_orderkey % 4) + 1) END AS arr
+      |        FROM orders WHERE o_orderkey <= 400))
+      |GROUP BY el""".stripMargin
+
   /** Aggregate filtering (HAVING): customers with 12+ orders and their
     * exact spend.
     */
