@@ -230,32 +230,32 @@ object TextAnalysis {
     * so the score is integer arithmetic + one IEEE division, bit-stable
     * across engines (ln() differs by ulps between libm builds).
     */
-  def charDiversity(s: SparkSession, dir: String): DataFrame = {
-    val chars = Tables.documents(s, dir)
-      .select(col("doc_id"), length(col("text")).as("len"),
+  def charDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
         explode(transform(sequence(lit(1), length(col("text"))),
           i => col("text").substr(i, lit(1)))).as("ch"))
-    chars
-      .groupBy(col("doc_id"), col("len"), col("ch"))
+      .groupBy(col("doc_id"), col("ch"))
       .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"), col("len"))
-      .agg(sum(col("cnt") * col("cnt")).as("sumsq"))
+      .groupBy(col("doc_id"))
+      // text length = Σcnt — recovered from the aggregate instead of
+      // riding the 2M-row shuffle as an extra group key
+      .agg(sum(col("cnt") * col("cnt")).as("sumsq"), sum(col("cnt")).as("len"))
       .select(col("doc_id"),
         (lit(1.0) - col("sumsq").cast("double") /
           (col("len").cast("double") * col("len").cast("double"))).as("char_gini"))
-  }
 
   val charDiversitySql: String =
     """SELECT doc_id,
       |  1.0 - CAST(sumsq AS DOUBLE) / (CAST(len AS DOUBLE) * CAST(len AS DOUBLE)) AS char_gini
       |FROM (
-      |  SELECT doc_id, len, SUM(cnt * cnt) AS sumsq FROM (
-      |    SELECT doc_id, len, ch, COUNT(*) AS cnt FROM (
-      |      SELECT doc_id, length(text) AS len,
+      |  SELECT doc_id, SUM(cnt * cnt) AS sumsq, SUM(cnt) AS len FROM (
+      |    SELECT doc_id, ch, COUNT(*) AS cnt FROM (
+      |      SELECT doc_id,
       |        unnest([substr(text, x, 1) for x in range(1, length(text) + 1)]) AS ch
       |      FROM documents)
-      |    GROUP BY doc_id, len, ch)
-      |  GROUP BY doc_id, len)""".stripMargin
+      |    GROUP BY doc_id, ch)
+      |  GROUP BY doc_id)""".stripMargin
 
   /** Column profiling — the data-quality scan every ingestion pipeline
     * runs first: per-column null counts, distinct counts, and extrema over
