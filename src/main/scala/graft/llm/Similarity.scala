@@ -63,7 +63,7 @@ object Similarity {
       |  SELECT q.vec_id AS qid, e.vec_id AS nid,
       |    list_dot_product(q.v, e.v) / (q.nrm * e.nrm) AS cos
       |  FROM n q, n e WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id)
-      |SELECT qid, nid, rnk FROM (
+      |SELECT qid, nid, CAST(rnk AS INT) AS rnk FROM (
       |  SELECT qid, nid,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
       |  FROM p)
@@ -98,7 +98,7 @@ object Similarity {
        |scored AS (
        |  SELECT ci.qid, ci.nid, list_dot_product(a.v, b.v)/(a.nrm*b.nrm) AS cos
        |  FROM cand ci JOIN e a ON a.vec_id = ci.qid JOIN e b ON b.vec_id = ci.nid)
-       |SELECT qid, nid, rnk FROM (
+       |SELECT qid, nid, CAST(rnk AS INT) AS rnk FROM (
        |  SELECT qid, nid,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
        |  FROM scored) WHERE rnk <= 5""".stripMargin
@@ -208,7 +208,7 @@ object Similarity {
       |  FROM cand_ids ci
       |  JOIN e q ON q.vec_id = ci.qid
       |  JOIN e n ON n.vec_id = ci.nid)
-      |SELECT qid, nid, rnk FROM (
+      |SELECT qid, nid, CAST(rnk AS INT) AS rnk FROM (
       |  SELECT qid, nid,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
       |  FROM cands)

@@ -173,7 +173,7 @@ object TextAnalysis {
        |  FROM (SELECT lang, $toks AS t FROM documents)),
        |counts AS (SELECT lang, bigram, COUNT(*) AS cnt FROM bg
        |           GROUP BY lang, bigram HAVING COUNT(*) >= 2)
-       |SELECT lang, rnk, bigram, cnt FROM (
+       |SELECT lang, CAST(rnk AS INT) AS rnk, bigram, cnt FROM (
        |  SELECT lang, bigram, cnt,
        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram ASC) AS rnk
        |  FROM counts)
@@ -217,7 +217,7 @@ object TextAnalysis {
        |  SELECT doc_id, tf.term AS term,
        |    CAST(tf AS DOUBLE) * nn / df AS score
        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
-       |SELECT doc_id, rnk, term, score FROM (
+       |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, score FROM (
        |  SELECT doc_id, term, score,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
        |  FROM scored)

@@ -117,7 +117,7 @@ object Relational {
   }
 
   val topKPerGroupSql: String =
-    """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+    """SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, o_orderkey, o_totalprice FROM (
       |  SELECT o_orderpriority, o_orderkey, o_totalprice,
       |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
       |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
@@ -680,7 +680,7 @@ object Relational {
       |first_value(l_orderkey) OVER (PARTITION BY l_suppkey
       |  ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
-      |ntile(4) OVER w AS quartile
+      |CAST(ntile(4) OVER w AS INT) AS quartile
       |FROM lineitem WHERE l_suppkey <= 5
       |WINDOW w AS (PARTITION BY l_suppkey
       |  ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)""".stripMargin
