@@ -45,6 +45,10 @@ def main():
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}"); n_fail += 1; continue
+        dt = [(c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
+              if str(a[c].dtype) != str(b[c].dtype)]
+        if dt:
+            print(f"FAIL {name}: dtype mismatch {dt}"); n_fail += 1; continue
         if len(a) != len(b):
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); n_fail += 1; continue
         try:
