@@ -29,7 +29,13 @@ object GraftFunctions {
       new ExpressionInfo(classOf[Md5Hash60].getName, "graft_md5hash60"),
       (exprs: Seq[Expression]) => Md5Hash60(
         org.apache.spark.sql.catalyst.expressions.Cast(
-          exprs.head, org.apache.spark.sql.types.BinaryType))))
+          exprs.head, org.apache.spark.sql.types.BinaryType))),
+    ("graft_chargini",
+      new ExpressionInfo(classOf[CharGini].getName, "graft_chargini"),
+      (exprs: Seq[Expression]) => CharGini(exprs.head)),
+    ("graft_floatvecdot",
+      new ExpressionInfo(classOf[FloatVecDot].getName, "graft_floatvecdot"),
+      (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
 
   def register(s: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>

@@ -84,12 +84,21 @@ object TextAnalysis {
   /** Document fingerprint: minimum rolling-window (8-char shingle) hash —
     * the min-sampling end of winnowing. Equal fingerprints ⇒ shared
     * 8-gram; used as a cheap first-pass near-dup key.
+    *
+    * Shuffle-free per-row form: `array_min` over the hashed shingle array.
+    * The min is invariant under shingle dedup, so this matches the
+    * DISTINCT-based oracle exactly; the old explode→groupBy→min plan
+    * shuffled one row per shingle (≈ one per character of the corpus),
+    * which is a scale-killer for a per-document statistic. Docs too short
+    * for a single shingle were absent from the exploded group-by, so the
+    * empty-array guard preserves those semantics.
     */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shingles(col("text"), 8)).as("g"))
-      .groupBy(col("doc_id"))
-      .agg(min(hash60(col("g"))).as("fingerprint"))
+      .select(col("doc_id"), shingles(col("text"), 8).as("gs"))
+      .where(size(col("gs")) > 0)
+      .select(col("doc_id"),
+        array_min(transform(col("gs"), g => hash60(g))).as("fingerprint"))
 
   val fingerprintsSql: String =
     s"""SELECT doc_id, min(${sqlHash60("g")}) AS fingerprint
@@ -148,18 +157,43 @@ object TextAnalysis {
         sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val counts = Tables.documents(s, dir)
+    val docs = Tables.documents(s, dir)
+
+    // Pass 1: count on 60-bit bigram hashes — the heavy shuffle carries
+    // (lang, long) instead of (lang, string): fixed 8-byte keys hash and
+    // compare without touching string bytes. Singleton tail pruned BEFORE
+    // any per-lang sort. (60-bit hashing makes in-lang collisions
+    // vanishingly rare at test scale; at 100 TB a collision merges two
+    // bigrams' counts — acceptable for a frequency top-k.)
+    val counts = docs
       .select(col("lang"), explode(bigrams).as("bigram"))
-      .groupBy(col("lang"), col("bigram"))
+      .select(col("lang"), hash60(col("bigram")).as("h"))
+      .groupBy(col("lang"), col("h"))
       .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    // rank() (not row_number) over cnt alone is a SUPERSET of the final
+    // top-5 under the string tiebreak: any final winner has at most 4
+    // strictly-greater counts, so its rank ≤ 5 no matter how ties order.
+    val wCnt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("cnt").desc)
+    val candidates = counts
+      .withColumn("r", org.apache.spark.sql.functions.rank().over(wCnt))
+      .filter(col("r") <= 5)
+      .select(col("lang"), col("h"), col("cnt"))
+
+    // Pass 2: recover the few candidate hashes' strings — broadcast the
+    // tiny candidate set against a re-scan, so only winners' rows survive
+    // to the (tiny) distinct + final tie-broken window.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("bigram").asc)
-    // prune the singleton tail BEFORE the per-lang window sort — the
-    // window partitions by lang (cardinality ~5), so everything surviving
-    // this filter funnels into 5 sorts; the tail is the bulk of the rows
-    counts
-      .filter(col("cnt") >= 2)
+    docs
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .select(col("lang"), col("bigram"), hash60(col("bigram")).as("h"))
+      .join(broadcast(candidates), Seq("lang", "h"))
+      .select(col("lang"), col("bigram"), col("cnt"))
+      .distinct()
       .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("lang"), col("rnk"), col("bigram"), col("cnt"))
@@ -231,19 +265,16 @@ object TextAnalysis {
     * across engines (ln() differs by ulps between libm builds).
     */
   def charDiversity(s: SparkSession, dir: String): DataFrame =
+    // Shuffle-free: one codegen'd histogram pass per row
+    // (graft.functions.CharGini) instead of explode-per-character + two
+    // aggregations (~2M shuffle rows at sf0.1; hopeless at 100 TB). Counts
+    // and Σcnt² accumulate in longs with one IEEE division at the end —
+    // bit-identical to the aggregate form and the oracle. Empty docs were
+    // absent from the exploded group-by; the length guard keeps that.
     Tables.documents(s, dir)
+      .where(length(col("text")) > 0)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), length(col("text"))),
-          i => col("text").substr(i, lit(1)))).as("ch"))
-      .groupBy(col("doc_id"), col("ch"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      // text length = Σcnt — recovered from the aggregate instead of
-      // riding the 2M-row shuffle as an extra group key
-      .agg(sum(col("cnt") * col("cnt")).as("sumsq"), sum(col("cnt")).as("len"))
-      .select(col("doc_id"),
-        (lit(1.0) - col("sumsq").cast("double") /
-          (col("len").cast("double") * col("len").cast("double"))).as("char_gini"))
+        graft.functions.CharGini(col("text")).as("char_gini"))
 
   val charDiversitySql: String =
     """SELECT doc_id,

@@ -143,32 +143,57 @@ object MrPipeline {
     * user combiner on the buffered group and emit the partial results.
     * Correct for any associative combiner because the reducer sees the
     * partials grouped again after the shuffle.
+    *
+    * Streaming on BOTH sides: input is consumed only as output is pulled,
+    * and evicted partials are yielded as they happen — retained memory is
+    * O(capacity) groups plus one combiner call's output, never
+    * O(distinct keys in partition). The reference gets the same property by
+    * writing partials straight to stdout as the LRU evicts
+    * (/root/reference/example/example_mr.go:25-29).
     */
   private[mr] def combinePartition(
       it: Iterator[KV],
       combiner: (String, Iterator[String], Counters) => Iterator[String],
       counters: Counters,
-      capacity: Int): Iterator[KV] = {
-    val out = mutable.ArrayBuffer.empty[KV]
-    val lru = new java.util.LinkedHashMap[String, mutable.ArrayBuffer[String]](16, 0.75f, true) {
+      capacity: Int): Iterator[KV] = new Iterator[KV] {
+    // Partials from at most ONE eviction wait here between pulls.
+    private val pending = mutable.Queue.empty[KV]
+    private var flush: Iterator[KV] = null // end-of-input drain, built lazily
+
+    private val lru = new java.util.LinkedHashMap[String, mutable.ArrayBuffer[String]](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, mutable.ArrayBuffer[String]]): Boolean = {
         if (size() > capacity) {
           counters.inc("graft.combiner", "lru evictions")
           combiner(e.getKey, e.getValue.iterator, counters)
-            .foreach(v => out += KV(e.getKey, v))
+            .foreach(v => pending += KV(e.getKey, v))
           true
         } else false
       }
     }
-    it.foreach { kv =>
-      var vs = lru.get(kv.key)
-      if (vs == null) { vs = mutable.ArrayBuffer.empty[String]; lru.put(kv.key, vs) }
-      vs += kv.value
+
+    private def advance(): Unit = {
+      while (pending.isEmpty && it.hasNext) {
+        val kv = it.next()
+        var vs = lru.get(kv.key)
+        if (vs == null) { vs = mutable.ArrayBuffer.empty[String]; lru.put(kv.key, vs) }
+        vs += kv.value
+      }
+      if (pending.isEmpty && !it.hasNext && flush == null) {
+        import scala.jdk.CollectionConverters._
+        flush = lru.entrySet().iterator().asScala.flatMap { e =>
+          combiner(e.getKey, e.getValue.iterator, counters).map(v => KV(e.getKey, v))
+        }
+      }
     }
-    lru.forEach { (k, vs) =>
-      combiner(k, vs.iterator, counters).foreach(v => out += KV(k, v))
+
+    def hasNext: Boolean = {
+      advance()
+      pending.nonEmpty || (flush != null && flush.hasNext)
     }
-    out.iterator
+    def next(): KV = {
+      if (!hasNext) throw new NoSuchElementException
+      if (pending.nonEmpty) pending.dequeue() else flush.next()
+    }
   }
 }

@@ -38,15 +38,8 @@ final case class MrRunner(
       case Some(n) =>
         // job-wide default; steps may still override per-step
         val adjusted = steps.map {
-          case s if s.reducerTasks.isEmpty =>
-            new MrStep {
-              override def mapper = s.mapper
-              override def reducer(k: String, vs: Iterator[String], c: Counters) =
-                s.reducer(k, vs, c)
-              override def combiner = s.combiner
-              override def reducerTasks: Option[Int] = Some(n)
-            }
-          case s => s
+          case s if s.reducerTasks.isEmpty => s.withReducerTasks(n)
+          case s                           => s
         }
         MrPipeline.run(input, adjusted, counters)
       case None => MrPipeline.run(input, steps, counters)

@@ -54,4 +54,21 @@ trait MrStep extends Serializable {
     * is what the reference's production runtime provides (notes.txt:9-12).
     */
   def sortValues: Boolean = false
+
+  /** Copy of this step with a different parallelism, forwarding EVERY other
+    * member — the one sanctioned way to re-wrap a step (ad-hoc anonymous
+    * wrappers silently drop members added later, which is exactly how
+    * `sortValues` once got lost under a job-wide `reducerTasks`).
+    */
+  final def withReducerTasks(n: Int): MrStep = {
+    val self = this
+    new MrStep {
+      override def mapper = self.mapper
+      override def reducer(k: String, vs: Iterator[String], c: Counters) =
+        self.reducer(k, vs, c)
+      override def combiner = self.combiner
+      override def reducerTasks: Option[Int] = Some(n)
+      override def sortValues: Boolean = self.sortValues
+    }
+  }
 }

@@ -49,4 +49,51 @@ class PlanSpec extends AnyFunSuite {
     assert(schemas.nonEmpty)
     assert(!schemas.exists(_.contains("user_id")), schemas.mkString("\n"))
   }
+
+  test("t04: per-document fingerprint plan has no exchange at all") {
+    val p = planOf("t04_fingerprint")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("t09: char-diversity plan has no exchange at all") {
+    val p = planOf("t09_char_diversity")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("d02: minhash-LSH candidate generation never goes Cartesian") {
+    // the LSH promise is similarity → equi-join; a Cartesian product at any
+    // broadcast threshold means the banding keys fell out of the join
+    val p = planOf("d02_dedup_minhash")
+    assert(!p.contains("CartesianProduct"), p)
+    withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p2 = planOf("d02_dedup_minhash")
+      assert(!p2.contains("CartesianProduct"), p2)
+    }
+  }
+
+  test("d06: LSH bucket join is an equi-join on (table, bucket)") {
+    val p = planOf("d06_knn_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    // with broadcast disabled the bucket join must still be hash/merge-able
+    withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p2 = planOf("d06_knn_lsh")
+      assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"), p2)
+    }
+  }
+
+  test("t06: heavy shuffle carries hashed longs, winners join is broadcast") {
+    val p = planOf("t06_bigrams")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  private def withSqlConf[A](kv: (String, String)*)(body: => A): A = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -48,6 +48,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("CharGini is bit-identical to the explode-aggregate form") {
+    // adversarial: repeats, unicode (incl. astral plane), whitespace, long
+    val data = (Seq("a", "aa", "ab", "aab", "é中文é", "x" * 5000,
+      "😀😀y", "the quick brown fox") ++
+      (0 until 500).map(i => s"doc $i " * (i % 17 + 1))).toDF("text")
+    val agg = data
+      .withColumn("id", monotonically_increasing_id())
+      .select(col("id"), explode(transform(sequence(lit(1), length(col("text"))),
+        i => col("text").substr(i, lit(1)))).as("ch"))
+      .groupBy(col("id"), col("ch")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(sum(col("cnt") * col("cnt")).as("sumsq"), sum(col("cnt")).as("len"))
+      .select(col("id"),
+        (lit(1.0) - col("sumsq").cast("double") /
+          (col("len").cast("double") * col("len").cast("double"))).as("ref"))
+    val fast = data
+      .withColumn("id", monotonically_increasing_id())
+      .select(col("id"), CharGini(col("text")).as("fast"))
+    val mismatches = fast.join(agg, "id").filter(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+  }
+
+  test("CharGini known values and SQL registration") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT graft_chargini('aab') AS g").as[Double].head()
+    assert(got == 1.0 - 5.0 / 9.0) // counts 2,1 → 1 - (4+1)/9
+    val uniform = Seq("abcd").toDF("s").select(CharGini($"s")).as[Double].head()
+    assert(uniform == 0.75)
+  }
+
+  test("CharGini stays in whole-stage codegen") {
+    val df = spark.range(100).select(CharGini(concat(lit("v"), col("id").cast("string"))).as("g"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [chargini"), plan)
+    assert(df.filter($"g" > 0).count() == 100)
+  }
+
   test("Md5Hash60 stays in whole-stage codegen") {
     val df = spark.range(100).select(Hashing.hash60(col("id").cast("string")).as("h"))
     val plan = df.queryExecution.executedPlan.toString

@@ -127,6 +127,30 @@ class MrPipelineSpec extends AnyFunSuite {
     assert(c1.get("graft.combiner", "lru evictions") > 0)
   }
 
+  /** The combiner must stream on BOTH sides: high-cardinality partitions may
+    * not accumulate their whole combined output before yielding (the
+    * reference streams partials to stdout as the LRU evicts,
+    * example/example_mr.go:25-29). We prove it by pulling one output element
+    * and checking the input has barely been consumed.
+    */
+  test("combinePartition streams output without draining the input first") {
+    val n = 100000
+    var consumed = 0
+    val input = Iterator.tabulate(n) { i =>
+      consumed += 1
+      KV(s"key-$i", "1") // every key distinct → eviction on every insert past capacity
+    }
+    val counters = Counters.create(spark.sparkContext, "t-stream-comb")
+    val sumComb = (k: String, vs: Iterator[String], c: Counters) =>
+      Iterator.single(vs.map(_.toLong).sum.toString)
+    val out = MrPipeline.combinePartition(input, sumComb, counters, capacity = 4)
+    val first = out.next()
+    assert(first.value == "1")
+    // one eviction needs capacity+1 inserts; anything near n means buffering
+    assert(consumed <= 16, s"input consumed eagerly: $consumed of $n")
+    assert(out.size == n - 1) // the rest still arrives, exactly once each
+  }
+
   /** Secondary sort: with sortValues, a key's values stream byte-ordered
     * (the mrtest whole-line sort, /root/reference/mrtest/testing.go:23).
     */

@@ -57,6 +57,43 @@ class MrRunnerSpec extends AnyFunSuite {
     assert(r.passed, r.diff.mkString("\n"))
   }
 
+  test("job-wide reducerTasks preserves a step's sortValues (secondary sort)") {
+    // regression: the old anonymous re-wrap dropped sortValues, so a
+    // secondary-sort reducer saw undefined value order under a job-wide
+    // parallelism override
+    val in = Files.createTempDirectory("graft-secsort-in")
+    Files.write(in.resolve("part1.txt"),
+      Seq("k\tc", "k\ta", "k\tb", "j\t2", "j\t10", "j\t1").mkString("\n").getBytes)
+    val step = new MrStep {
+      override val sortValues: Boolean = true
+      override def reducer(key: String, values: Iterator[String], c: Counters): Iterator[KV] =
+        Iterator.single(KV(key, values.mkString("|")))
+    }
+    val (outPath, _) = MrRunner(
+      name = "secsort-parallel",
+      inputFiles = Seq(s"$in/part*.txt"),
+      steps = Seq(step),
+      reducerTasks = Some(3)).run(spark)
+    val lines = graft.sources.KvSink.readKvLines(spark, outPath).collect().sorted
+    assert(lines.toSeq == Seq("j\t1|10|2", "k\ta|b|c"))
+  }
+
+  test("withReducerTasks forwards every member of the original step") {
+    val base = new MrStep {
+      override val mapper = Some((it: Iterator[String], c: Counters) =>
+        it.flatMap(KV.fromLine))
+      override def reducer(key: String, values: Iterator[String], c: Counters): Iterator[KV] =
+        Iterator.single(KV(key, values.size.toString))
+      override val combiner =
+        Some((k: String, vs: Iterator[String], c: Counters) => Iterator.single(vs.mkString(",")))
+      override val sortValues: Boolean = true
+    }
+    val copied = base.withReducerTasks(7)
+    assert(copied.reducerTasks.contains(7))
+    assert(copied.sortValues)
+    assert(copied.mapper.isDefined && copied.combiner.isDefined)
+  }
+
   test("MrRunner runs the flagship job from files to compressed output") {
     val in = Files.createTempDirectory("graft-run-in")
     Files.write(in.resolve("part1.json"),
