@@ -50,7 +50,13 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
 
 object FloatVecDot {
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // equal lengths are the contract (fixed-dim embedding columns); a
+    // silent truncation would return a plausible-but-wrong partial product
+    // and break the bit-equality claim vs the zip_with HOF form
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"FloatVecDot requires equal-length vectors, got $n vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {

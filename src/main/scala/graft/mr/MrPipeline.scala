@@ -56,6 +56,32 @@ object MrPipeline {
       counters: Counters,
       combinerCapacity: Int = DefaultCombinerCapacity): Dataset[String] = {
     val spark = input.sparkSession
+    withProperties(spark, step.properties) { runStepImpl(input, step, counters, combinerCapacity) }
+  }
+
+  /** Apply engine properties for the duration of `body`, restoring prior
+    * values (or unsetting) after — the scope of a per-step/per-job `-D`.
+    */
+  private[mr] def withProperties[A](
+      spark: org.apache.spark.sql.SparkSession,
+      props: Map[String, String])(body: => A): A =
+    if (props.isEmpty) body
+    else {
+      val old = props.keys.map(k => k -> spark.conf.getOption(k)).toSeq
+      props.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally old.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+
+  private def runStepImpl(
+      input: Dataset[String],
+      step: MrStep,
+      counters: Counters,
+      combinerCapacity: Int): Dataset[String] = {
+    val spark = input.sparkSession
     import spark.implicits._
 
     // 1. map (identity = parse k\tv lines, counting tab-less ones like

@@ -120,11 +120,19 @@ object MrQueries {
     * supplier→nation mapping broadcast to executors; at 100 TB this is THE
     * join strategy for small dims (zero fact-side movement).
     */
-  def mapSideJoin(s: SparkSession, dir: String): DataFrame = {
+  def mapSideJoin(s: SparkSession, dir: String, maxSideRows: Long = 10000000L): DataFrame = {
     import s.implicits._
-    val lookup: Map[Long, Int] = Tables.supplier(s, dir)
+    val side0 = Tables.supplier(s, dir)
       .select(col("s_suppkey"), col("s_nationkey"))
-      .as[(Long, Int)].collect().toMap
+    // Fail fast before the driver-side collect: a side table past the bound
+    // would OOM the driver (the reference has the same implicit limit — a
+    // distributed-cache file must fit in task memory). The count is one
+    // cheap metadata-ish job on the dim table, nothing from the fact side.
+    val sideRows = side0.count()
+    require(sideRows <= maxSideRows,
+      s"map-side join side table has $sideRows rows, over the $maxSideRows bound — " +
+        "use a broadcast/shuffle join instead of the distributed-cache pattern")
+    val lookup: Map[Long, Int] = side0.as[(Long, Int)].collect().toMap
     val side = s.sparkContext.broadcast(lookup)
     val mapped = Tables.lineitem(s, dir)
       .select(col("l_suppkey"), col("l_quantity"))

@@ -21,12 +21,19 @@ final case class MrRunner(
     output: Option[String] = None,
     compressOutput: Boolean = false, // ≙ CompressOutput (runner.go:160-163)
     reducerTasks: Option[Int] = None, // ≙ job-wide ReducerTasks (runner.go:54)
+    // ≙ job-wide `-D k=v` engine properties (runner.go:59, hdfs/job.go:59-70):
+    // applied to the session conf for the WHOLE run (plan build + execution,
+    // since the sink write happens inside run) and restored afterwards
+    properties: Map[String, String] = Map.empty,
     tmpBase: String = System.getProperty("java.io.tmpdir")) {
 
   require(steps.nonEmpty, "at least one step required")
 
   /** Run all steps; returns (output path, counters). */
-  def run(spark: SparkSession): (String, Counters) = {
+  def run(spark: SparkSession): (String, Counters) =
+    MrPipeline.withProperties(spark, properties) { runImpl(spark) }
+
+  private def runImpl(spark: SparkSession): (String, Counters) = {
     val counters = Counters.create(spark.sparkContext, s"graft.mr.$name")
     Reporter.status(spark, s"graft.mr job $name: ${steps.size} step(s)")
     val workspace = Workspace.create(spark, tmpBase, name)

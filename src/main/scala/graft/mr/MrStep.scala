@@ -55,6 +55,14 @@ trait MrStep extends Serializable {
     */
   def sortValues: Boolean = false
 
+  /** Per-step engine properties — the reference's `-D k=v` passthrough
+    * (`Properties map[string]string`, /root/reference/runner.go:59, applied
+    * as Hadoop -D flags at /root/reference/hdfs/job.go:59-70). Applied to
+    * the session conf while THIS step's plan is built (so build-time reads
+    * like `spark.sql.shuffle.partitions` take effect) and restored after.
+    */
+  def properties: Map[String, String] = Map.empty
+
   /** Copy of this step with a different parallelism, forwarding EVERY other
     * member — the one sanctioned way to re-wrap a step (ad-hoc anonymous
     * wrappers silently drop members added later, which is exactly how
@@ -69,6 +77,7 @@ trait MrStep extends Serializable {
       override def combiner = self.combiner
       override def reducerTasks: Option[Int] = Some(n)
       override def sortValues: Boolean = self.sortValues
+      override def properties: Map[String, String] = self.properties
     }
   }
 }

@@ -98,8 +98,11 @@ object Compositions {
     */
   def jsonExtractSum(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
+      // try_cast, not cast: under Spark 4's default ANSI mode a plain cast
+      // THROWS on a non-numeric $.k, while the lenient contract (and the
+      // TRY_CAST oracle) skips-and-counts it as null
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        expr("try_cast(get_json_object(props, '$.k') AS long)").as("k"))
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"),
         count(col("k")).as("n_valid"),
@@ -120,8 +123,10 @@ object Compositions {
     */
   def variantExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
+      // try_variant_get for the same ANSI-mode reason as q42's try_cast:
+      // a non-long $.k must become null (skip-and-count), not a runtime error
       .select(col("event_type"),
-        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        expr("try_variant_get(parse_json(props), '$.k', 'long')").as("k"))
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_valid"))
 

@@ -47,6 +47,26 @@ object FsUtil {
   def put(s: SparkSession, localSrc: String, dst: String): Unit =
     fs(s, dst).copyFromLocalFile(new Path(localSrc), new Path(dst))
 
+  /** `hdfs.PutStream` parity (/root/reference/hdfs/hadoop.go:90-100):
+    * stream an arbitrary InputStream (stdin, a socket, a generator) to a
+    * file on any scheme without a local temp copy. Returns bytes written;
+    * closes neither stream's source, but flushes/closes the destination.
+    */
+  def putStream(s: SparkSession, in: java.io.InputStream, dst: String): Long = {
+    val out = fs(s, dst).create(new Path(dst), true)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var total = 0L
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        total += n
+        n = in.read(buf)
+      }
+      total
+    } finally out.close()
+  }
+
   /** `hadoop fs -rm -r` */
   def rmr(s: SparkSession, path: String): Boolean =
     fs(s, path).delete(new Path(path), true)

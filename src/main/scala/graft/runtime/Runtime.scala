@@ -1,6 +1,6 @@
 package graft.runtime
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import scala.collection.concurrent.TrieMap
 
@@ -54,6 +54,59 @@ object CpuAudit {
     val a = new CpuAudit
     s.sparkContext.addSparkListener(a)
     a
+  }
+}
+
+/** Driver-side task-failure surfacing (#30): the reference funnels every
+  * task's stderr to the driver over a TCP channel, each line prefixed with
+  * the worker hostname (/root/reference/remote_logging.go:13-76). Spark's
+  * log plane is platform-native (executor logs, event bus), but the
+  * user-visible half — one merged, host-prefixed stream of task-side
+  * failure diagnostics readable at the driver — is this listener: every
+  * failed task contributes a `[host] class: message + top frames` excerpt.
+  */
+final class TaskFailureLog(maxEntries: Int = 256) extends SparkListener {
+
+  final case class FailureEntry(
+      stageId: Int,
+      taskId: Long,
+      host: String,
+      excerpt: String)
+
+  private val buf = new java.util.concurrent.ConcurrentLinkedQueue[FailureEntry]
+
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = te.reason match {
+    case org.apache.spark.Success => ()
+    case ef: org.apache.spark.ExceptionFailure =>
+      add(te, s"${ef.className}: ${ef.description}" +
+        ef.stackTrace.take(5).map(f => s"\n    at $f").mkString)
+    case other: org.apache.spark.TaskFailedReason => add(te, other.toErrorString)
+    case _ => ()
+  }
+
+  private def add(te: SparkListenerTaskEnd, msg: String): Unit = {
+    // bounded like the reference's log window — keep the newest
+    while (buf.size() >= maxEntries) buf.poll()
+    val host = Option(te.taskInfo).map(_.host).getOrElse("unknown")
+    val taskId = Option(te.taskInfo).map(_.taskId).getOrElse(-1L)
+    buf.add(FailureEntry(te.stageId, taskId, host, s"[$host] $msg"))
+  }
+
+  /** Newest-last failure excerpts collected so far. */
+  def failures: Seq[FailureEntry] = {
+    import scala.jdk.CollectionConverters._
+    buf.iterator().asScala.toSeq
+  }
+
+  /** The merged, host-prefixed stream (the reference's aggregated log). */
+  def merged: String = failures.map(_.excerpt).mkString("\n")
+}
+
+object TaskFailureLog {
+  def install(s: SparkSession): TaskFailureLog = {
+    val l = new TaskFailureLog()
+    s.sparkContext.addSparkListener(l)
+    l
   }
 }
 

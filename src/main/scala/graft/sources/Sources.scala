@@ -61,10 +61,17 @@ object Sources {
     val withParsed = lines.withColumn("_parsed",
       from_json(col("value"), parseSchema,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)))
+    // asNondeterministic pins evaluation (the optimizer may otherwise elide
+    // or duplicate a "deterministic" UDF). Counter semantics are
+    // AT-LEAST-ONCE, like the reference's Hadoop counters under task retry:
+    // Spark only guarantees exactly-once accumulator updates inside actions,
+    // so retries/speculation/re-execution of this transformation can
+    // over-count. Exact invalid-line counts, when needed, come from an
+    // aggregate over the corrupt column instead.
     val keep = udf { (ok: Boolean) =>
       if (!ok) counters.inc("unknown", "invalid line")
       ok
-    }
+    }.asNondeterministic()
     withParsed
       .filter(keep(col(s"_parsed.$corrupt").isNull))
       .select(col("_parsed.*"))

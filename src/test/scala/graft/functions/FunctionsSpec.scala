@@ -48,6 +48,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("FloatVecDot throws on length-mismatched vectors, never truncates") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val ex = intercept[Throwable] {
+      df.select(FloatVecDot(col("a"), col("b"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("equal-length")), ex.toString)
+  }
+
   test("CharGini is bit-identical to the explode-aggregate form") {
     // adversarial: repeats, unicode (incl. astral plane), whitespace, long
     val data = (Seq("a", "aa", "ab", "aab", "é中文é", "x" * 5000,

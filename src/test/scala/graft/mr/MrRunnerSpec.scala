@@ -87,11 +87,13 @@ class MrRunnerSpec extends AnyFunSuite {
       override val combiner =
         Some((k: String, vs: Iterator[String], c: Counters) => Iterator.single(vs.mkString(",")))
       override val sortValues: Boolean = true
+      override def properties: Map[String, String] = Map("spark.graft.flag" -> "on")
     }
     val copied = base.withReducerTasks(7)
     assert(copied.reducerTasks.contains(7))
     assert(copied.sortValues)
     assert(copied.mapper.isDefined && copied.combiner.isDefined)
+    assert(copied.properties == Map("spark.graft.flag" -> "on"))
   }
 
   test("MrRunner runs the flagship job from files to compressed output") {

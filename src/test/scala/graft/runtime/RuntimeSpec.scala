@@ -71,6 +71,74 @@ class RuntimeSpec extends AnyFunSuite {
     assert(audit.totalCpuMs >= 0)
   }
 
+  test("FsUtil.putStream streams an in-memory source to the filesystem") {
+    val base = Files.createTempDirectory("graft-ps").toString
+    val payload = ("line1\nline2\n" * 1000).getBytes
+    val n = FsUtil.putStream(spark, new java.io.ByteArrayInputStream(payload), s"$base/s.txt")
+    assert(n == payload.length)
+    val listed = FsUtil.ls(spark, base)
+    assert(listed.exists(f => f.path.endsWith("s.txt") && f.size == payload.length))
+    var lines = Vector.empty[String]
+    FsUtil.cat(spark, s"$base/s.txt")(it => lines = it.toVector)
+    assert(lines.length == 2000 && lines.head == "line1")
+  }
+
+  test("TaskFailureLog surfaces a failed task's excerpt at the driver") {
+    val log = TaskFailureLog.install(spark)
+    val boom = udf { (i: Long) =>
+      if (i == 13L) throw new IllegalStateException("task-side boom on row 13")
+      i
+    }
+    intercept[Throwable] {
+      spark.range(100).repartition(4).select(boom($"id")).collect()
+    }
+    // listener bus is async — poll like the CpuAudit test
+    val deadline = System.currentTimeMillis() + 10000
+    while (log.failures.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(log.failures.nonEmpty)
+    val f = log.failures.head
+    assert(f.excerpt.startsWith(s"[${f.host}]"), f.excerpt)
+    assert(log.merged.contains("task-side boom on row 13"), log.merged)
+  }
+
+  test("per-job properties apply during run and restore after") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val in = Files.createTempDirectory("graft-props-in")
+    // 50 distinct keys so both shuffle partitions are non-empty
+    Files.write(in.resolve("p.json"),
+      (0 until 50).map(i => s"""{"key$i":1}""").mkString("\n").getBytes)
+    val (outPath, _) = graft.mr.MrRunner(
+      name = "props-job",
+      inputFiles = Seq(s"$in/p.json"),
+      steps = Seq(new graft.mr.BuiltinSteps.FieldFrequencyStep()),
+      properties = Map("spark.sql.shuffle.partitions" -> "2")).run(spark)
+    val files = new java.io.File(outPath).listFiles().map(_.getName)
+    assert(files.count(_.startsWith("part-")) == 2, files.toSeq) // -D took effect
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before) // and restored
+  }
+
+  test("per-step properties scope to that step's plan build") {
+    val counters = Counters.create(spark.sparkContext, "t-step-props")
+    val step = new graft.mr.MrStep {
+      override def properties: Map[String, String] =
+        Map("spark.sql.shuffle.partitions" -> "3")
+      override def reducer(key: String, values: Iterator[String],
+          c: Counters): Iterator[graft.mr.KV] =
+        Iterator.single(graft.mr.KV(key, values.size.toString))
+    }
+    val input = spark.createDataset((0 until 20).map(i => s"k$i\tv"))
+    val out = graft.mr.MrPipeline.runStep(input, step, counters)
+    assert(out.rdd.getNumPartitions == 3) // the step's -D sized its shuffle
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "4") // restored
+  }
+
+  test("map-side join fails fast when the side table is over the bound") {
+    val ex = intercept[IllegalArgumentException] {
+      graft.mr.MrQueries.mapSideJoin(spark, "/root/testdata/sf0.001", maxSideRows = 3)
+    }
+    assert(ex.getMessage.contains("over the 3 bound"), ex.getMessage)
+  }
+
   test("Workspace create/cleanup lifecycle") {
     val base = Files.createTempDirectory("graft-ws").toString
     Reporter.status(spark, "workspace test")
