@@ -85,20 +85,17 @@ object TextAnalysis {
     * the min-sampling end of winnowing. Equal fingerprints ⇒ shared
     * 8-gram; used as a cheap first-pass near-dup key.
     *
-    * Shuffle-free per-row form: `array_min` over the hashed shingle array.
-    * The min is invariant under shingle dedup, so this matches the
-    * DISTINCT-based oracle exactly; the old explode→groupBy→min plan
-    * shuffled one row per shingle (≈ one per character of the corpus),
-    * which is a scale-killer for a per-document statistic. Docs too short
-    * for a single shingle were absent from the exploded group-by, so the
-    * empty-array guard preserves those semantics.
+    * Shuffle-free per-row form via the fused codegen expression
+    * [[graft.functions.MinShingleHash60]] (one pass over the UTF-8 bytes,
+    * no shingle array, no interpreted lambda). The min is invariant under
+    * shingle dedup, so this matches the DISTINCT-based oracle exactly; the
+    * old explode→groupBy→min plan shuffled one row per shingle (≈ one per
+    * character of the corpus) — a scale-killer for a per-doc statistic.
     */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), shingles(col("text"), 8).as("gs"))
-      .where(size(col("gs")) > 0)
       .select(col("doc_id"),
-        array_min(transform(col("gs"), g => hash60(g))).as("fingerprint"))
+        graft.functions.MinShingleHash60(col("text"), 8).as("fingerprint"))
 
   val fingerprintsSql: String =
     s"""SELECT doc_id, min(${sqlHash60("g")}) AS fingerprint
