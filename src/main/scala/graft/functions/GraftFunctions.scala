@@ -35,7 +35,28 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => CharGini(exprs.head)),
     ("graft_floatvecdot",
       new ExpressionInfo(classOf[FloatVecDot].getName, "graft_floatvecdot"),
-      (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))),
+    ("graft_minshinglehash60",
+      new ExpressionInfo(classOf[MinShingleHash60].getName, "graft_minshinglehash60"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_minshinglehash60(text, n) takes exactly 2 arguments")
+        // n parameterizes the generated code, so it must be a constant
+        val n = exprs(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int  => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_minshinglehash60: n must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_minshinglehash60: n must be a foldable integer literal")
+        }
+        MinShingleHash60(exprs.head, n)
+      }),
+    ("graft_wordbigrams",
+      new ExpressionInfo(classOf[WordBigrams].getName, "graft_wordbigrams"),
+      (exprs: Seq[Expression]) => WordBigrams(exprs.head)))
 
   def register(s: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>

@@ -146,51 +146,32 @@ object TextAnalysis {
     * to bound the long tail. Top-k per lang with bigram tiebreak.
     */
   def bigramCounts(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    // sequence(1, 0) yields a DESCENDING [1,0] in Spark, not empty — guard
-    // short token lists explicitly (DuckDB's range(1,1) is naturally empty)
-    val bigrams = when(size(toks) >= 2,
-      transform(
-        sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
     val docs = Tables.documents(s, dir)
 
-    // Pass 1: count on 60-bit bigram hashes — the heavy shuffle carries
-    // (lang, long) instead of (lang, string): fixed 8-byte keys hash and
-    // compare without touching string bytes. Singleton tail pruned BEFORE
-    // any per-lang sort. (60-bit hashing makes in-lang collisions
-    // vanishingly rare at test scale; at 100 TB a collision merges two
-    // bigrams' counts — acceptable for a frequency top-k.)
+    // Single pass: bigram arrays come from the fused codegen expression
+    // [[graft.functions.WordBigrams]] (the HOF transform+concat_ws form ran
+    // its lambda interpreted and cost ~75% of the query — same finding as
+    // t04/t09), then ONE explode and ONE string group-by. Grouping directly
+    // on the string beats hashed-key variants here: partial aggregation
+    // already bounds what the exchange carries (one (lang, bigram, cnt) row
+    // per distinct bigram per task), so a per-occurrence hash is pure extra
+    // CPU — measured slower with both md5-60 and xxhash64 keys — and the
+    // string key keeps the result collision-free. This replaces a two-pass
+    // rewrite that re-ran the whole explode under broadcast(candidates) —
+    // see SCALING.md "recompute-under-broadcast" for the post-mortem; the
+    // single-Scan shape is pinned in PlanSpec.
     val counts = docs
-      .select(col("lang"), explode(bigrams).as("bigram"))
-      .select(col("lang"), hash60(col("bigram")).as("h"))
-      .groupBy(col("lang"), col("h"))
+      .select(col("lang"),
+        explode(graft.functions.WordBigrams(col("text"))).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
-    // rank() (not row_number) over cnt alone is a SUPERSET of the final
-    // top-5 under the string tiebreak: any final winner has at most 4
-    // strictly-greater counts, so its rank ≤ 5 no matter how ties order.
-    val wCnt = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"))
-      .orderBy(col("cnt").desc)
-    val candidates = counts
-      .withColumn("r", org.apache.spark.sql.functions.rank().over(wCnt))
-      .filter(col("r") <= 5)
-      .select(col("lang"), col("h"), col("cnt"))
-
-    // Pass 2: recover the few candidate hashes' strings — broadcast the
-    // tiny candidate set against a re-scan, so only winners' rows survive
-    // to the (tiny) distinct + final tie-broken window.
+    // Singleton tail pruned BEFORE the per-lang sort; the final window sees
+    // only repeated bigrams, tie-broken on the string for determinism.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("bigram").asc)
-    docs
-      .select(col("lang"), explode(bigrams).as("bigram"))
-      .select(col("lang"), col("bigram"), hash60(col("bigram")).as("h"))
-      .join(broadcast(candidates), Seq("lang", "h"))
-      .select(col("lang"), col("bigram"), col("cnt"))
-      .distinct()
+    counts
       .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("lang"), col("rnk"), col("bigram"), col("cnt"))

@@ -120,20 +120,15 @@ object MrQueries {
     * supplier→nation mapping broadcast to executors; at 100 TB this is THE
     * join strategy for small dims (zero fact-side movement).
     */
-  def mapSideJoin(s: SparkSession, dir: String, maxSideRows: Long = 10000000L): DataFrame = {
+  def mapSideJoin(s: SparkSession, dir: String, maxSideRows: Int = 10000000): DataFrame = {
     import s.implicits._
     val side0 = Tables.supplier(s, dir)
       .select(col("s_suppkey"), col("s_nationkey"))
-    // Fail fast before the driver-side collect: a side table past the bound
-    // would OOM the driver (the reference has the same implicit limit — a
-    // distributed-cache file must fit in task memory). The count is one
-    // cheap metadata-ish job on the dim table, nothing from the fact side.
-    val sideRows = side0.count()
-    require(sideRows <= maxSideRows,
-      s"map-side join side table has $sideRows rows, over the $maxSideRows bound — " +
-        "use a broadcast/shuffle join instead of the distributed-cache pattern")
-    val lookup: Map[Long, Int] = side0.as[(Long, Int)].collect().toMap
-    val side = s.sparkContext.broadcast(lookup)
+    // Side data via the named distributed-cache API: the size guard is
+    // folded into the single bounded collect job (limit(max+1)) — a side
+    // table past the bound fails before broadcasting, with no extra count
+    // job over the dim table and nothing read from the fact side.
+    val side = graft.runtime.SideData.broadcastMap(side0.as[(Long, Int)], maxSideRows)
     val mapped = Tables.lineitem(s, dir)
       .select(col("l_suppkey"), col("l_quantity"))
       .as[(Long, Double)]

@@ -110,6 +110,90 @@ object TaskFailureLog {
   }
 }
 
+/** Task-side log channel: the half of the reference's remote-logging plane
+  * that [[TaskFailureLog]] doesn't cover — lines a *running, non-failing*
+  * task emits, readable at the driver. The reference ships every task's
+  * stderr over TCP with a `[host stage:step]` prefix
+  * (/root/reference/remote_logging.go:58-76, wiring runner.go:259-272);
+  * here the transport is a collection accumulator (Spark's driver-bound
+  * channel), with the same prefix stamped task-side from `TaskContext`.
+  *
+  * Semantics: accumulator delivery is at-least-once under task retries /
+  * speculation (like any log stream — a retried task logs twice); lines
+  * arrive at the driver on task completion, not mid-task. Serializable so
+  * it can be captured in mapper closures; only the accumulator handle
+  * ships.
+  */
+final class TaskLogChannel private[runtime] (
+    acc: org.apache.spark.util.CollectionAccumulator[String]) extends Serializable {
+
+  /** Call from task-side code: stamps `[host stage:partition]` and ships. */
+  def log(msg: String): Unit = {
+    val tc = org.apache.spark.TaskContext.get()
+    val where =
+      if (tc == null) "driver"
+      else s"${java.net.InetAddress.getLocalHost.getHostName} ${tc.stageId()}:${tc.partitionId()}"
+    acc.add(s"[$where] $msg")
+  }
+
+  /** Driver-side: all lines received so far, in arrival order. */
+  def lines: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    acc.value.asScala.toSeq
+  }
+
+  /** The merged, host-prefixed stream (reference's aggregated log view). */
+  def merged: String = lines.mkString("\n")
+}
+
+/** Driver-side merged task-log collector completing §2B #30: combines
+  *  - a [[TaskLogChannel]] for user log lines from inside tasks, and
+  *  - an opt-in listener that records one `[host stage:task]` completion
+  *    excerpt per task (status + wall/cpu time) — so even tasks that never
+  *    log and never fail leave a retrievable trace, the way the reference's
+  *    streamed stderr always shows task lifecycles.
+  * Bounded like the reference's log window — newest `maxEntries` kept.
+  */
+final class TaskLogStream private (
+    val channel: TaskLogChannel,
+    maxEntries: Int) extends SparkListener {
+
+  private val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]
+
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    while (buf.size() >= maxEntries) buf.poll()
+    val host = Option(te.taskInfo).map(_.host).getOrElse("unknown")
+    val taskId = Option(te.taskInfo).map(_.taskId).getOrElse(-1L)
+    val status = te.reason match {
+      case org.apache.spark.Success => "ok"
+      case other: org.apache.spark.TaskFailedReason => s"FAILED: ${other.toErrorString}"
+      case _ => "unknown"
+    }
+    val runMs = Option(te.taskMetrics).map(_.executorRunTime).getOrElse(0L)
+    buf.add(s"[$host ${te.stageId}:$taskId] $status in ${runMs} ms")
+  }
+
+  /** Per-task completion excerpts (newest `maxEntries`). */
+  def taskLines: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    buf.iterator().asScala.toSeq
+  }
+
+  /** User lines then lifecycle lines — the full driver-side view. */
+  def merged: String =
+    (channel.lines ++ taskLines).mkString("\n")
+}
+
+object TaskLogStream {
+  def install(s: SparkSession, maxEntries: Int = 4096): TaskLogStream = {
+    val channel = new TaskLogChannel(
+      s.sparkContext.collectionAccumulator[String]("graft.tasklog"))
+    val l = new TaskLogStream(channel, maxEntries)
+    s.sparkContext.addSparkListener(l)
+    l
+  }
+}
+
 /** Temp workspace lifecycle (#31): `user/<user>/tmp/<name>.<timestamp>`
   * with cleanup (/root/reference/runner.go:109-127) — over any Hadoop
   * scheme via FsUtil.

@@ -81,11 +81,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("t06: heavy shuffle carries hashed longs, winners join is broadcast") {
+  test("t06: single-pass plan — exactly one scan, one explode, no join") {
+    // Guards the recompute-under-broadcast regression (SCALING.md): a
+    // second Scan/Generate means some subtree re-reads and re-explodes the
+    // corpus — at 100 TB that doubles the dominant cost.
     val p = planOf("t06_bigrams")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    assert(countOccurrences(p, "Scan parquet") == 1, p)
+    assert(countOccurrences(p, "Generate") == 1, p)
+    assert(!p.contains("Join"), p)
   }
+
+  test("t04/t09: per-doc statistics read the corpus exactly once") {
+    for (q <- Seq("t04_fingerprint", "t09_char_diversity")) {
+      val p = planOf(q)
+      assert(countOccurrences(p, "Scan parquet") == 1, s"$q:\n$p")
+    }
+  }
+
+  private def countOccurrences(haystack: String, needle: String): Int =
+    haystack.sliding(needle.length).count(_ == needle)
 
   private def withSqlConf[A](kv: (String, String)*)(body: => A): A = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }

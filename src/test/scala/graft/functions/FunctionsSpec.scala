@@ -88,6 +88,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(uniform == 0.75)
   }
 
+  test("WordBigrams is identical to the transform/concat_ws HOF form") {
+    // adversarial: empties, runs of spaces, leading/trailing, unicode,
+    // single token, two tokens, long docs
+    val data = (Seq("", " ", "a", "a b", "a  b", "  a b  ", "a b c d",
+      "é中 文é x", "😀 y 😀", "one") ++
+      (0 until 500).map(i => (0 to i % 23).map(j => s"w$i$j").mkString(" "))).toDF("text")
+    val toks = graft.llm.Hashing.tokens($"text")
+    val hof = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val mismatches = data
+      .select(WordBigrams($"text").as("fast"), hof.as("ref"))
+      .filter($"fast" =!= $"ref")
+      .count()
+    assert(mismatches == 0)
+    // and it stays in whole-stage codegen
+    val df = spark.range(50)
+      .select(WordBigrams(concat(lit("a b c"), col("id").cast("string"))).as("b"))
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project [wordbigrams"),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("graft_minshinglehash60 is callable from SQL and matches the Column form") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT graft_minshinglehash60('the quick brown fox', 8) AS f")
+      .as[Long].head()
+    val viaCol = Seq("the quick brown fox").toDF("t")
+      .select(MinShingleHash60($"t", 8)).as[Long].head()
+    assert(viaSql == viaCol)
+    // n must be constant — the expression bakes it into generated code
+    intercept[Exception] {
+      spark.sql("SELECT graft_minshinglehash60('abc', CAST(id AS INT)) FROM range(3)")
+        .collect()
+    }
+  }
+
   test("CharGini stays in whole-stage codegen") {
     val df = spark.range(100).select(CharGini(concat(lit("v"), col("id").cast("string"))).as("g"))
     val plan = df.queryExecution.executedPlan.toString

@@ -136,7 +136,39 @@ class RuntimeSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException] {
       graft.mr.MrQueries.mapSideJoin(spark, "/root/testdata/sf0.001", maxSideRows = 3)
     }
-    assert(ex.getMessage.contains("over the 3 bound"), ex.getMessage)
+    assert(ex.getMessage.contains("3-row distributed-cache bound"), ex.getMessage)
+  }
+
+  test("SideData.broadcastMap ships a guarded lookup; shipFile round-trips") {
+    val bc = SideData.broadcastMap(Seq((1L, "a"), (2L, "b")).toDS(), maxRows = 10)
+    assert(bc.value == Map(1L -> "a", 2L -> "b"))
+    intercept[IllegalArgumentException] {
+      SideData.broadcastMap(spark.range(100).as[Long].map(i => (i, i)), maxRows = 10)
+    }
+    val f = Files.createTempFile("graft-side", ".txt")
+    Files.write(f, "lookup-payload".getBytes)
+    val name = SideData.shipFile(spark, f.toString)
+    val local = SideData.localPath(name)
+    assert(new String(Files.readAllBytes(java.nio.file.Paths.get(local))) == "lookup-payload")
+  }
+
+  test("TaskLogStream: non-failing tasks' log lines reach the driver, prefixed") {
+    val log = TaskLogStream.install(spark)
+    val ch = log.channel
+    spark.range(40).as[Long].repartition(4).mapPartitions { it =>
+      val rows = it.toVector
+      ch.log(s"partition processed ${rows.size} rows")
+      rows.iterator
+    }.collect()
+    // accumulator values land with task completion; listener bus is async
+    val deadline = System.currentTimeMillis() + 10000
+    while ((ch.lines.size < 4 || log.taskLines.isEmpty) &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(ch.lines.size == 4, ch.lines)
+    assert(ch.lines.forall(l => l.matches("\\[\\S+ \\d+:\\d+\\] partition processed \\d+ rows")), ch.lines)
+    // lifecycle excerpts exist for successful tasks too, host-prefixed
+    assert(log.taskLines.exists(_.contains("] ok in")), log.taskLines)
+    assert(log.merged.contains("partition processed"))
   }
 
   test("Workspace create/cleanup lifecycle") {
