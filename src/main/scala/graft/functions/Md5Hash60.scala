@@ -45,6 +45,21 @@ object Md5Hash60 {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Thread-local digest for span-based hashing in sibling expressions. */
+  private[functions] def threadMd: java.security.MessageDigest = localMd.get()
+
+  /** Finish the digest and truncate to the 60-bit value (same contract as
+    * [[hash]]) — for callers that fed the digest incrementally.
+    */
+  private[functions] def digest60(md: java.security.MessageDigest): Long = {
+    val d = md.digest()
+    val be =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    be >>> 4
+  }
+
   /** First 15 hex digits of md5(bytes) as an unsigned 60-bit long. */
   def hash(bytes: Array[Byte]): Long = {
     val md = localMd.get()

@@ -41,28 +41,21 @@ object Dedup {
 
   /** MinHash signatures: 16 min-hashes over distinct 5-char shingles.
     *
-    * Uses the standard two-hash construction (Kirsch–Mitzelmacher):
+    * Uses the standard two-hash construction (Kirsch–Mitzenmacher):
     * h_i(s) = (a(s) + i·b(s)) mod 2^60 with a,b independent md5-derived
     * hashes — 2 md5 computations per shingle instead of 16 (8× less hash
     * work in the scan, the dominant cost of signature generation at any
     * scale). b is masked to 56 bits so i·b can't overflow a signed 64-bit
     * int in either engine (DuckDB errors on BIGINT overflow).
+    *
+    * The whole signature comes from the fused codegen expression
+    * [[graft.functions.MinHashSig]] (same construction, same md5-60, the
+    * min is dedup-invariant): a per-document computation with ZERO data
+    * movement — the composed explode → 16-way min-aggregate form it
+    * replaces shuffled ~one row per corpus character into an aggregate.
     */
   private val h60Mask = (1L << 60) - 1
   private val b56Mask = (1L << 56) - 1
-
-  private def minhashes(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shingles(col("text"), 5)).as("s"))
-      .select(col("doc_id"),
-        hash60(col("s")).as("a"),
-        hash60(concat(lit("#"), col("s"))).bitwiseAND(lit(b56Mask)).as("b"))
-    sh.groupBy(col("doc_id"))
-      .agg(
-        min(col("a").bitwiseAND(lit(h60Mask))).as("h0"),
-        (1 until mh).map(i =>
-          min((col("a") + lit(i.toLong) * col("b")).bitwiseAND(lit(h60Mask))).as(s"h$i")): _*)
-  }
 
   private def minhashesSql: String =
     s"""SELECT doc_id, ${(0 until mh)
@@ -81,31 +74,36 @@ object Dedup {
     * proportional to real near-duplicates at any corpus size.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashes(s, dir)
+    val sig = Tables.documents(s, dir)
+      .select(col("doc_id"), graft.functions.MinHashSig(col("text"), 5, mh).as("sig"))
     val bandCols = (0 until mh / bandRows).map { b =>
-      concat_ws(":", (0 until bandRows).map(j => col(s"h${b * bandRows + j}")): _*)
+      concat_ws(":", (0 until bandRows).map(j =>
+        element_at(col("sig"), b * bandRows + j + 1)): _*)
     }
+    // The full signature rides along through the band explode (128 bytes
+    // per row), so est_jaccard is computed directly on the joined rows —
+    // no second/third join back to the signatures. The shuffle_hash hint
+    // matters twice over: broadcasting `bands` (4 rows per corpus doc)
+    // cannot scale — it only looks broadcastable on test data — and the
+    // shuffle form gives both sides IDENTICAL exchanges, which Spark
+    // dedups via ReusedExchange: one corpus scan, one signature pass.
     val bands = sig
-      .select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .select(col("doc_id"), col("sig"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "sig")
+      .withColumnRenamed("col", "bsig")
+      .hint("shuffle_hash")
     val a = bands.alias("a")
     val b = bands.alias("b")
-    val pairs = a
-      .join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-    val ma = sig.alias("ma")
-    val mb = sig.alias("mb")
     val matches: Column = (0 until mh)
-      .map(i => when(col(s"ma.h$i") === col(s"mb.h$i"), 1).otherwise(0))
+      .map(i => when(element_at(col("a.sig"), i + 1) === element_at(col("b.sig"), i + 1), 1)
+        .otherwise(0))
       .reduce(_ + _)
-    pairs
-      .join(ma, col("a_id") === col("ma.doc_id"))
-      .join(mb, col("b_id") === col("mb.doc_id"))
-      .select(col("a_id"), col("b_id"),
+    a
+      .join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         (matches.cast("double") / lit(mh.toDouble)).as("est_jaccard"))
+      .distinct()
   }
 
   val minhashLshSql: String = {
@@ -172,11 +170,23 @@ object Dedup {
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 600)
     // grams join/aggregate on their 60-bit hash, not the string: long keys
     // shuffle and compare cheaper, and both engines hash identically so
-    // the (negligible, identical) collision behavior is mirrored too
-    val grams = docs
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("gs"))
-      .select(col("doc_id"), hash60(col("gs")).as("g"))
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // the (negligible, identical) collision behavior is mirrored too.
+    // The distinct-gram hash array comes fused from ShingleHash60s
+    // (string-distinct, so hash collisions still emit both grams — exact
+    // multiset parity with the unnest-DISTINCT oracle) — and because the
+    // array is in hand, each doc's gram count is size(gs) — a per-row
+    // projection, not the explode + count-aggregate pass it used to be.
+    // The intersection aggregate stays NARROW (a_id, b_id only): it runs
+    // over the Σ df(g)² join output, the dominant volume of this query,
+    // so every extra byte in its keys is paid quadratically; the tiny
+    // per-doc sizes attach afterwards. The self-join may broadcast here
+    // because the exact pass is BOUNDED by construction (candidates-only
+    // at scale — this file's scale ladder); an unbounded corpus-wide gram
+    // index would need the shuffle_hash form d02 uses.
+    val gsel = docs
+      .select(col("doc_id"), graft.functions.ShingleHash60s(col("text"), 3).as("gs"))
+    val grams = gsel.select(col("doc_id"), explode(col("gs")).as("g"))
+    val sizes = gsel.select(col("doc_id"), size(col("gs")).as("n"))
     val a = grams.alias("a")
     val b = grams.alias("b")
     val inter = a

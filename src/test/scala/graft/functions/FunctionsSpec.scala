@@ -111,6 +111,49 @@ class FunctionsSpec extends AnyFunSuite {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("MinHashSig is identical to the explode + 16-way min-aggregate form") {
+    val h60Mask = (1L << 60) - 1
+    val b56Mask = (1L << 56) - 1
+    val mh = 16
+    val data = (Seq("", "a", "abcd", "abcde", "abcdef", "é中文é中文",
+      "the quick brown fox jumps over the lazy dog", "aaaaaaaaaa") ++
+      (0 until 300).map(i => s"document $i body " * (i % 7 + 1))).toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val composed = data
+      .select(col("doc_id"), explode(graft.llm.Hashing.shingles(col("text"), 5)).as("s"))
+      .select(col("doc_id"),
+        graft.llm.Hashing.hash60(col("s")).as("a"),
+        graft.llm.Hashing.hash60(concat(lit("#"), col("s"))).bitwiseAND(lit(b56Mask)).as("b"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(col("a").bitwiseAND(lit(h60Mask))).as("h0"),
+        (1 until mh).map(i =>
+          min((col("a") + lit(i.toLong) * col("b")).bitwiseAND(lit(h60Mask))).as(s"h$i")): _*)
+      .select(col("doc_id"), array((0 until mh).map(i => col(s"h$i")): _*).as("ref"))
+    val fused = data.select(col("doc_id"), MinHashSig(col("text"), 5, mh).as("fast"))
+    val mismatches = fused.join(composed, "doc_id")
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+  }
+
+  test("ShingleHash60s is identical to the distinct-shingles + hash60 form") {
+    val data = (Seq("", "a", "ab", "abc", "abab", "aaaa", "é中文é中文x",
+      "the cat sat on the mat") ++
+      (0 until 300).map(i => s"gram $i payload " * (i % 5 + 1))).toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    // compare as sorted multisets: fused order is first-occurrence
+    val composed = data
+      .select(col("doc_id"), explode(graft.llm.Hashing.shingles(col("text"), 3)).as("gs"))
+      .select(col("doc_id"), graft.llm.Hashing.hash60(col("gs")).as("g"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("g"))).as("ref"))
+    val fused = data
+      .select(col("doc_id"), explode(ShingleHash60s(col("text"), 3)).as("g"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("g"))).as("fast"))
+    val mismatches = fused.join(composed, "doc_id")
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+  }
+
   test("graft_minshinglehash60 is callable from SQL and matches the Column form") {
     GraftFunctions.register(spark)
     val viaSql = spark.sql("SELECT graft_minshinglehash60('the quick brown fox', 8) AS f")
