@@ -23,9 +23,16 @@ object DedupResolve {
     * their own cluster).
     */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
-      .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
-      .unionByName(pairs.select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
+    // materialize the pair source ONCE before the two-direction union —
+    // both union branches reference it, and an unmaterialized expensive
+    // producer (e.g. the Jaccard join) would run twice (the
+    // recompute-under-reuse smell, SCALING.md §2)
+    val p0 = pairs
+      .select(col("a_id").cast("long").as("a_id"), col("b_id").cast("long").as("b_id"))
+      .localCheckpoint()
+    val edges = p0
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(p0.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -38,16 +45,18 @@ object DedupResolve {
         .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
         .groupBy(col("src"))
         .agg(min(col("cluster")).as("nbr_min"))
-      val updated = labels
+      // keep old and new label side by side through the checkpoint: the
+      // convergence probe then scans materialized partitions instead of
+      // paying a labels⋈updated join per iteration
+      val step = labels
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .select(col("id"), col("cluster"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("new_cluster"))
         .localCheckpoint()
-      val changed = updated.withColumnRenamed("cluster", "new_cluster")
-        .join(labels, "id")
+      val changed = step
         .filter(col("new_cluster") =!= col("cluster"))
         .limit(1).count() // converged ⇔ no label moved; limit(1) early-exits
-      labels = updated
+      labels = step.select(col("id"), col("new_cluster").as("cluster"))
       done = changed == 0
       iter += 1
     }
