@@ -214,17 +214,6 @@ object Similarity {
       |  FROM cands)
       |WHERE rnk <= 5""".stripMargin
 
-  /** Deterministic pseudo-random hyperplane component r_j[i] ∈ [-1, 1),
-    * derived from hash60 so every engine/executor agrees.
-    */
-  private def planeComponent(j: Int, i: Int): Double = {
-    // driver-side constant fold: hash60("j:i") mod 2000 → [-1, 1)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    (h % 2000L - 1000L) / 1000.0
-  }
-
   /** LSH-bucketed ANN: multi-table sign-random-projection (8 tables × 4
     * bits — calibrated for ~0.7 recall@5 with ~2.4× candidate reduction on
     * the near-random synthetic vectors; real clustered embeddings support
@@ -239,31 +228,15 @@ object Similarity {
   def lshKnn(s: SparkSession, dir: String): DataFrame = {
     val nTables = 8
     val bits = 4
-    val planes: Array[Array[Double]] =
-      Array.tabulate(nTables * bits, 64)((j, i) => planeComponent(j, i))
-    val bPlanes = s.sparkContext.broadcast(planes)
-    val sigsUdf = udf { (v: Seq[Float]) =>
-      val ps = bPlanes.value
-      (0 until nTables).map { t =>
-        var sig = 0
-        var b = 0
-        while (b < bits) {
-          val p = ps(t * bits + b)
-          var d = 0.0
-          var i = 0
-          while (i < p.length && i < v.length) { d += v(i) * p(i); i += 1 }
-          if (d >= 0) sig |= (1 << b)
-          b += 1
-        }
-        sig
-      }
-    }
-    // e is referenced by 3 branches (buckets×2, corpus, qv); localCheckpoint
-    // materializes the scan+norm+signature ONCE instead of per branch
+    // signatures via the codegen'd SignLshBuckets expression: planes are a
+    // pure function of (plane, dim) and materialize identically on every
+    // executor — no UDF (the scan stays in whole-stage codegen), no plane
+    // broadcast. e is referenced by 3 branches (buckets×2, corpus, qv);
+    // localCheckpoint materializes scan+norm+signature ONCE, not per branch
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normCol)
-      .withColumn("sigs", sigsUdf(col("embedding")))
+      .withColumn("sigs", graft.functions.SignLshBuckets(col("embedding"), nTables, bits))
       .localCheckpoint(false)
     val buckets = e.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(col("sigs")))

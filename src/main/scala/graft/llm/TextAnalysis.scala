@@ -142,8 +142,8 @@ object TextAnalysis {
   }
 
   /** Token-bigram counts per language (n-gram language-model statistics):
-    * one pass, bigrams built positionally inside codegen, count ≥ 5 floor
-    * to bound the long tail. Top-k per lang with bigram tiebreak.
+    * one pass, bigrams built positionally inside codegen, count ≥ 2 floor
+    * to prune the singleton tail. Top-k per lang with bigram tiebreak.
     */
   def bigramCounts(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)

@@ -60,6 +60,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("d02: band self-join shuffles, never broadcasts the corpus bands") {
+    // broadcasting `bands` (4 rows per corpus doc) only looks viable on
+    // test data; the shuffle form is the 100 TB plan and lets the two
+    // identical exchanges dedup to one scan at runtime
+    val p = planOf("d02_dedup_minhash")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("d02: minhash-LSH candidate generation never goes Cartesian") {
     // the LSH promise is similarity → equi-join; a Cartesian product at any
     // broadcast threshold means the banding keys fell out of the join

@@ -168,6 +168,32 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SignLshBuckets matches a driver-side reference and stays codegen'd") {
+    val nTables = 8
+    val bits = 4
+    def ref(v: Array[Float]): Seq[Int] =
+      (0 until nTables).map { t =>
+        var sig = 0
+        for (b <- 0 until bits) {
+          val d = (0 until math.min(64, v.length)).map { i =>
+            v(i) * SignLshBuckets.planeComponent(t * bits + b, i)
+          }.sum
+          if (d >= 0) sig |= (1 << b)
+        }
+        sig
+      }
+    val vecs = (0 until 50).map(i => Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat))
+    val got = vecs.toDF("v")
+      .select(SignLshBuckets($"v", nTables, bits).as("sigs"))
+      .as[Seq[Int]].collect()
+    assert(got.toSeq == vecs.map(v => ref(v)))
+    val plan = spark.range(10)
+      .select(array_repeat(col("id").cast("float"), 64).as("v"))
+      .select(SignLshBuckets($"v", nTables, bits).as("sigs"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [signlshbuckets"), plan)
+  }
+
   test("CharGini stays in whole-stage codegen") {
     val df = spark.range(100).select(CharGini(concat(lit("v"), col("id").cast("string"))).as("g"))
     val plan = df.queryExecution.executedPlan.toString
