@@ -825,24 +825,32 @@ object Relational {
 
   /** Exact discrete median (element pick, no interpolation arithmetic —
     * engine-stable unlike continuous percentiles): the lower-median
-    * quantity per return flag via window row-number selection.
+    * quantity per return flag.
+    *
+    * Histogram formulation: the median of a DISCRETE domain depends only
+    * on the value multiset, so instead of sorting every fact row inside a
+    * per-flag window (the shape that buffers the whole table into a few
+    * window partitions — hopeless at 100 TB), aggregate to one
+    * (flag, quantity, count) row per distinct value, cumulative-sum that
+    * tiny histogram, and pick the value whose cumulative range covers the
+    * lower-median position. One map-side-combinable aggregate over the
+    * corpus; the window runs over ~50 rows per flag. Identical output to
+    * the sort-based form (the oracle keeps that formulation — two
+    * algorithms, one fixpoint).
     */
   def discreteMedian(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc)
     val li = Tables.lineitem(s, dir)
-    // group sizes via a broadcast-joined aggregate, NOT a second
-    // unbounded count window — the rank window is one full pass already;
-    // a count-over-partition window would re-buffer every row a second
-    // time in the same few partitions
-    val counts = li.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"))
-      // explicit floor: Spark's int cast truncates but DuckDB's rounds,
-      // so (n+1)/2 must be floored before casting in BOTH engines
-      .select(col("l_returnflag"), floor((col("n") + 1) / 2.0).cast("int").as("target_rn"))
-    li.withColumn("rn", row_number().over(w))
-      .join(broadcast(counts), "l_returnflag")
-      .filter(col("rn") === col("target_rn"))
+    val hist = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    // explicit floor: Spark's int cast truncates but DuckDB's rounds,
+    // so (n+1)/2 must be floored before casting in BOTH engines
+    val targets = hist.groupBy(col("l_returnflag"))
+      .agg(sum(col("cnt")).as("n"))
+      .select(col("l_returnflag"), floor((col("n") + 1) / 2.0).cast("long").as("target"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").asc)
+    hist.withColumn("cum", sum(col("cnt")).over(w))
+      .join(broadcast(targets), "l_returnflag")
+      .filter(col("cum") >= col("target") && (col("cum") - col("cnt")) < col("target"))
       .select(col("l_returnflag"), col("l_quantity").as("median_qty"))
   }
 
