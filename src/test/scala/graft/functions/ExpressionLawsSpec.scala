@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property tests pinning the fused codegen expressions to independent
+  * JVM reference implementations over ARBITRARY unicode text (ASCII,
+  * multi-byte, astral-plane, runs of spaces, empties) — no Spark session,
+  * so these fuzz thousands of cases cheaply. The Spark-side equivalence
+  * to the composed Column forms is covered in FunctionsSpec; these laws
+  * check the byte-level walkers themselves.
+  */
+object ExpressionLawsSpec extends Properties("ExpressionLaws") {
+
+  private val piece: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(6)),
+    Gen.const(" "),
+    Gen.const("  "),
+    Gen.oneOf("é", "中", "文文", "😀", "ß", "\t", "."))
+  private val text: Gen[String] = Gen.listOf(piece).map(_.mkString)
+  private val width: Gen[Int] = Gen.choose(1, 8)
+
+  private def refHash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Code-point windows exactly like Hashing.shingles (substr semantics:
+    * short tails at the end collapse into shorter windows; texts shorter
+    * than n yield the whole text once), pre-distinct.
+    */
+  private def refWindows(s: String, n: Int): Seq[String] = {
+    val cps = s.codePoints().toArray
+    val count = math.max(cps.length - (n - 1), 1)
+    (0 until count).map(i => new String(cps, i, math.min(n, cps.length - i)))
+  }
+
+  property("WordBigrams.build ≡ split/filter/sliding reference") =
+    Prop.forAll(text) { s =>
+      val toks = s.split(" ", -1).filter(_.nonEmpty).toSeq
+      val ref = if (toks.length < 2) Seq.empty[String]
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      val arr = WordBigrams.build(UTF8String.fromString(s))
+      val got = (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+      got == ref
+    }
+
+  property("MinShingleHash60.eval ≡ min of md5-60 over windows") =
+    Prop.forAll(text, width) { (s, n) =>
+      val ref = refWindows(s, n).map(refHash60).min
+      MinShingleHash60.eval(UTF8String.fromString(s), n) == ref
+    }
+
+  property("ShingleHash60s.hashes ≡ distinct windows hashed, first-occurrence order") =
+    Prop.forAll(text, width) { (s, n) =>
+      val ref = refWindows(s, n).distinct.map(refHash60)
+      val arr = ShingleHash60s.hashes(UTF8String.fromString(s), n)
+      val got = (0 until arr.numElements()).map(arr.getLong)
+      got == ref
+    }
+
+  property("MinHashSig.sig ≡ (a + i·b) mod-masked mins over windows") =
+    Prop.forAll(text, width, Gen.choose(1, 16)) { (s, n, k) =>
+      val h60Mask = (1L << 60) - 1
+      val b56Mask = (1L << 56) - 1
+      val ws = refWindows(s, n)
+      val ref = (0 until k).map { i =>
+        ws.map { w =>
+          val a = refHash60(w)
+          val b = refHash60("#" + w) & b56Mask
+          (a + i.toLong * b) & h60Mask
+        }.min
+      }
+      val arr = MinHashSig.sig(UTF8String.fromString(s), n, k)
+      val got = (0 until arr.numElements()).map(arr.getLong)
+      got == ref
+    }
+}

@@ -154,6 +154,13 @@ class FunctionsSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("graft_wordbigrams is callable from SQL") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT graft_wordbigrams('a b  c') AS b")
+      .as[Seq[String]].head()
+    assert(got == Seq("a b", "b c"))
+  }
+
   test("graft_minshinglehash60 is callable from SQL and matches the Column form") {
     GraftFunctions.register(spark)
     val viaSql = spark.sql("SELECT graft_minshinglehash60('the quick brown fox', 8) AS f")
