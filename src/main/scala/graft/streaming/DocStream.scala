@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming face of the LLM training-data pipeline: continuous corpus
+  * ingestion with exact dedup, near-dup signatures, and quality gating —
+  * the same operators as `llm.Dedup`/`llm.TextAnalysis`, expressed as one
+  * continuous query. A parquet landing directory stands in for the
+  * production source (Kafka/object-store notifications at scale; the
+  * transforms are source-agnostic).
+  *
+  * Scale posture: dedup state is keyed by content hash and sharded across
+  * executors; the fused codegen expressions (MinHashSig, CharGini) run
+  * per-row inside the streaming micro-batch plan exactly as in batch —
+  * custom Catalyst expressions need no streaming-specific treatment.
+  */
+object DocStream {
+
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming read of a documents landing dir (see
+    * [[EventStream.readEvents]] for the symlink-staging note).
+    */
+  def readDocs(s: SparkSession, dir: String): DataFrame = {
+    val streamDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft-docs-stream")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      d.toFile.deleteOnExit()
+      d.toString
+    }
+    s.readStream.schema(docsSchema).parquet(streamDir)
+  }
+
+  /** Continuous ingestion: per-doc signatures (content hash for exact
+    * dedup, MinHash for downstream near-dup banding, char-Gini for spam
+    * gating) computed in-stream, then exact-dedup on the content hash.
+    * `dropDuplicates` keeps first-seen per hash across micro-batches —
+    * the streaming twin of `llm.Dedup.exact` (which keeps min doc_id; a
+    * replayed batch corpus yields the same KEPT-count, which is what the
+    * spec checks). No watermark: content hashes must dedup over the whole
+    * stream lifetime; production bounds state with a TTL'd state store or
+    * an upstream compaction, documented rather than silently dropped.
+    */
+  def ingested(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withColumn("minhash_sig", graft.functions.MinHashSig(col("text"), 5, 16))
+      .withColumn("char_gini", graft.functions.CharGini(col("text")))
+      .dropDuplicates("content_hash")
+
+  /** Quality gate on the deduped stream (same score family as
+    * `TextAnalysis.qualityFilter`'s diversity component): drop
+    * repeated-character spam below the Gini floor.
+    */
+  def qualityGated(docs: DataFrame, giniFloor: Double = 0.5): DataFrame =
+    ingested(docs).filter(col("char_gini") >= giniFloor)
+}

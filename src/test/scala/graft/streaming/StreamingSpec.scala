@@ -124,4 +124,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming corpus ingestion dedups a doubled source; fused exprs run in-stream") {
+    // two links to the same corpus file = every document delivered twice
+    val d = java.nio.file.Files.createTempDirectory("graft-docs-dup")
+    val src = java.nio.file.Paths.get(s"$sf/documents.parquet")
+    java.nio.file.Files.createSymbolicLink(d.resolve("a.parquet"), src)
+    java.nio.file.Files.createSymbolicLink(d.resolve("b.parquet"), src)
+    val doubled = spark.readStream.schema(DocStream.docsSchema).parquet(d.toString)
+    val q = DocStream.ingested(doubled)
+      .select($"doc_id", $"minhash_sig", $"char_gini")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("docs_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("docs_out")
+      // exact dedup: one survivor per distinct text (the batch oracle count)
+      val expected = graft.Tables.documents(spark, sf)
+        .select(md5($"text".cast("binary"))).distinct().count()
+      assert(out.count() == expected, s"got ${out.count()}, expected $expected")
+      // the fused expressions computed real values inside the stream and
+      // agree with their batch forms for the surviving docs
+      val batchSig = graft.Tables.documents(spark, sf)
+        .select($"doc_id", graft.functions.MinHashSig($"text", 5, 16).as("sig"),
+          graft.functions.CharGini($"text").as("g"))
+      val joined = out.join(batchSig, "doc_id")
+      assert(joined.filter($"minhash_sig" =!= $"sig" || $"char_gini" =!= $"g").count() == 0)
+    } finally q.stop()
+  }
 }
