@@ -60,6 +60,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("d10: benchmark gram set broadcasts; corpus grams never shuffle into the join") {
+    // decontamination's scale contract: eval suites are small → broadcast;
+    // the corpus side must reach the join shuffle-free
+    val p = planOf("d10_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("d02: band self-join shuffles, never broadcasts the corpus bands") {
     // broadcasting `bands` (4 rows per corpus doc) only looks viable on
     // test data; the shuffle form is the 100 TB plan and lets the two
