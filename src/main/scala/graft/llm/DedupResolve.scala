@@ -56,7 +56,19 @@ object DedupResolve {
       val changed = step
         .filter(col("new_cluster") =!= col("cluster"))
         .limit(1).count() // converged ⇔ no label moved; limit(1) early-exits
-      labels = step.select(col("id"), col("new_cluster").as("cluster"))
+      // pointer jumping: cluster ← cluster(cluster). Labels start at id
+      // and only decrease (least), so label(label(x)) ≤ label(x) — the
+      // shortcut squares propagation distance per round, turning
+      // O(diameter) rounds into O(log diameter). Long CHAINS (common in
+      // threshold graphs) made plain propagation the iteration-count
+      // bottleneck; each avoided round is a full join+agg over the edge
+      // set — at 100 TB the rounds, not the per-round cost, dominate.
+      val cur = step.select(col("id"), col("new_cluster").as("cluster"))
+      val asMap = cur.select(col("id").as("cid"), col("cluster").as("cc"))
+      labels = cur
+        .join(asMap, cur("cluster") === asMap("cid"), "left")
+        .select(col("id"), coalesce(col("cc"), col("cluster")).as("cluster"))
+        .localCheckpoint()
       done = changed == 0
       iter += 1
     }
@@ -100,5 +112,41 @@ object DedupResolve {
        |WHERE doc_id < 600
        |  AND doc_id NOT IN (SELECT id FROM lbl WHERE id <> cluster)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Semantic dedup (the SemDeDup shape): embedding-cosine near-dup PAIRS
+    * (d07's exact verifier — at scale, LSH/IVF candidates feed it) become
+    * the similarity graph; keep one representative (min vec_id) per
+    * connected component. Same resolution machinery as [[dedupPipeline]],
+    * different similarity signal — near-dups by MEANING (shared
+    * embedding direction), which catches paraphrases n-gram overlap
+    * misses. Oracle: the same recursive-CTE transitive closure over the
+    * independently-computed pair set.
+    */
+  def semanticDedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 1000)
+      .select(col("vec_id").as("doc_id"))
+    val pairs = Similarity.embedNearDup(s, dir).select(col("a_id"), col("b_id"))
+    dedupedDocIds(s, vecs, pairs)
+      .select(col("doc_id").as("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticDedupPipelineSql: String = {
+    val pairsSql = Similarity.embedNearDupSql
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT a_id AS a, b_id AS b FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id < 1000
+       |  AND vec_id NOT IN (SELECT id FROM lbl WHERE id <> cluster)
+       |ORDER BY vec_id""".stripMargin
   }
 }

@@ -60,6 +60,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("d06: no Scala UDF anywhere in the plan (signature stage is codegen'd)") {
+    // the signature projection itself sits behind the localCheckpoint (its
+    // codegen shape is pinned in FunctionsSpec); the query plan proper
+    // must stay UDF-free
+    val p = planOf("d06_knn_lsh")
+    assert(!p.contains("UDF("), p)
+    val sigPlan = graft.Tables.embeddings(spark, sf)
+      .select(graft.functions.SignLshBuckets(
+        org.apache.spark.sql.functions.col("embedding"), 8, 4).as("sigs"))
+      .queryExecution.executedPlan.toString
+    assert(sigPlan.contains("signlshbuckets") && !sigPlan.contains("UDF("), sigPlan)
+  }
+
   test("d10: benchmark gram set broadcasts; corpus grams never shuffle into the join") {
     // decontamination's scale contract: eval suites are small → broadcast;
     // the corpus side must reach the join shuffle-free
