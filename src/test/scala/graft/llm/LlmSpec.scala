@@ -117,6 +117,44 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination flags every benchmark doc with its full gram count") {
+    // eval items present verbatim in the corpus must self-flag completely
+    val flagged = Decontaminate.flagOverlaps(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val benchCounts = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"),
+        size(array_distinct(graft.functions.ShingleHash60s(col("text"), 16))).as("n"))
+      .as[(Long, Int)].collect()
+    assert(benchCounts.nonEmpty)
+    benchCounts.foreach { case (id, n) =>
+      assert(flagged.get(id).contains(n.toLong), s"bench doc $id: ${flagged.get(id)} vs $n")
+    }
+  }
+
+  test("semantic dedup keeps exactly the component-min representatives") {
+    val pairs = Similarity.embedNearDup(spark, sf)
+    val clusters = DedupResolve.resolveClusters(pairs)
+      .as[(Long, Long)].collect()
+    // every kept id is its own cluster representative; every dropped id's
+    // representative is kept and smaller
+    val kept = DedupResolve.semanticDedupPipeline(spark, sf).as[Long].collect().toSet
+    val byId = clusters.toMap
+    clusters.foreach { case (id, c) =>
+      assert(c <= id)
+      if (id == c) assert(kept.contains(id), s"representative $id dropped")
+      else {
+        assert(!kept.contains(id), s"non-representative $id kept")
+        assert(byId(c) == c && kept.contains(c), s"rep $c of $id not canonical")
+      }
+    }
+    // ids untouched by any pair survive
+    val inPairs = clusters.map(_._1).toSet
+    val all = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 1000).select(col("vec_id")).as[Long].collect().toSet
+    (all -- inPairs).foreach(id => assert(kept.contains(id)))
+  }
+
   test("langGuess discriminates hand-built samples") {
     val samples = Seq(
       ("the cat and the dog is of a house", "en"),
