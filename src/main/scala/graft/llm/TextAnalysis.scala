@@ -12,26 +12,31 @@ import Hashing._
   */
 object TextAnalysis {
 
-  private val stopwords = Seq("the", "and", "of", "a", "in", "to", "is")
+  private val stopwords = graft.functions.TokenStats.DefaultStopwords
 
   /** Per-document quality statistics: token counts, distinct-token ratio
     * inputs, stopword count, average token length, alpha-char count.
     * Pure per-row computation (no shuffle at all) — embarrassingly parallel.
+    *
+    * All five counts come from ONE pass of the fused codegen expression
+    * [[graft.functions.TokenStats]] (the composed form ran its
+    * transform/filter/aggregate lambdas interpreted, plus a regex pass —
+    * the t04/t06/t09 finding; whole-stage codegen's subexpression
+    * elimination evaluates the struct once per row).
     */
-  def docStats(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val tokLenSum = aggregate(transform(toks, t => length(t)),
-      lit(0), (acc: Column, x: Column) => acc + x)
-    val stopCnt = size(filter(toks, t => t.isInCollection(stopwords)))
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      length(col("text")).as("n_chars_actual"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_distinct_tokens"),
-      stopCnt.as("n_stopwords"),
-      (tokLenSum.cast("double") / size(toks).cast("double")).as("avg_token_len"),
-      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("n_alpha"))
-  }
+  def docStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars_actual"),
+        graft.functions.TokenStats(col("text")).as("st"))
+      .select(
+        col("doc_id"),
+        col("n_chars_actual"),
+        col("st.n_tokens").as("n_tokens"),
+        col("st.n_distinct_tokens").as("n_distinct_tokens"),
+        col("st.n_stopwords").as("n_stopwords"),
+        (col("st.token_len_sum").cast("double") / col("st.n_tokens").cast("double"))
+          .as("avg_token_len"),
+        col("st.n_alpha").as("n_alpha"))
 
   val docStatsSql: String = {
     val toks = sqlTokens("text")
@@ -110,11 +115,13 @@ object TextAnalysis {
     * cut is engine-stable. Shuffle-free single scan.
     */
   def qualityFilter(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val nt = size(toks).cast("double")
-    val nd = size(array_distinct(toks)).cast("double")
-    val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
-    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+    // every count from ONE fused TokenStats pass (see docStats); the score
+    // arithmetic is unchanged — same operations in the same order, so the
+    // doubles stay bit-identical to the oracle's
+    val nt = col("st.n_tokens").cast("double")
+    val nd = col("st.n_distinct_tokens").cast("double")
+    val nStop = col("st.n_stopwords").cast("double")
+    val nAlpha = col("st.n_alpha").cast("double")
     val nChars = length(col("text")).cast("double")
     val score =
       lit(0.25) * least(nt / lit(100.0), lit(1.0)) +
@@ -122,6 +129,7 @@ object TextAnalysis {
         lit(0.25) * least(nStop / nt * lit(5.0), lit(1.0)) +
         lit(0.25) * (nAlpha / nChars)
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), graft.functions.TokenStats(col("text")).as("st"))
       .select(col("doc_id"), score.as("quality"))
       .filter(col("quality") >= 0.5)
   }
@@ -200,9 +208,30 @@ object TextAnalysis {
     * shape (df table ≪ corpus).
     */
   def termImportance(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // Two structural fixes over the round-3 shape (0.86 s → 0.52 s sf0.1,
+    // measured min-of-2; variants in SCALING.md):
+    //
+    // 1. TF is a ROW-LOCAL statistic: the fused [[graft.functions.TermCounts]]
+    //    expression counts each document's terms in one codegen'd pass, so
+    //    tf = explode of a projection. The composed explode → groupBy(doc,
+    //    term) → count shuffled one row per corpus TOKEN into a
+    //    hash-aggregate — the largest data movement in the query, and at
+    //    100 TB the whole exploded corpus through one exchange, for counts
+    //    a per-row hash map computes with zero movement.
+    // 2. tf is referenced TWICE (re-aggregated into df under broadcast(...),
+    //    probe side of the join). Un-materialized, each reference re-ran
+    //    the corpus scan (recompute-under-broadcast, SCALING.md §2: the
+    //    round-3 plan showed 3 scans / 2 explodes). The eager
+    //    localCheckpoint materializes it ONCE (lazy checkpointing can
+    //    double-compute when the broadcast-subquery job and the main job
+    //    race to the unpersisted partitions — eager measured faster).
+    //
+    // The one remaining parquet scan is the zero-column corpus count for N
+    // — footer metadata only.
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(graft.functions.TermCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = Tables.documents(s, dir).agg(count(lit(1)).as("nn"))
     val scored = tf
@@ -273,18 +302,31 @@ object TextAnalysis {
     */
   def profile(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    def row(name: String, c: org.apache.spark.sql.Column, asStr: org.apache.spark.sql.Column) =
-      ev.agg(
-        count(lit(1)).as("n_rows"),
-        count(c).as("n_nonnull"),
-        countDistinct(c).as("n_distinct"),
-        min(asStr).as("min_str"),
-        max(asStr).as("max_str"))
-        .select(lit(name).as("column_name"), col("n_rows"), col("n_nonnull"),
-          col("n_distinct"), col("min_str"), col("max_str"))
-    row("event_type", col("event_type"), col("event_type"))
-      .unionByName(row("user_id", col("user_id"), col("user_id").cast("string")))
-      .unionByName(row("event_id", col("event_id"), col("event_id").cast("string")))
+    // ONE scan computes all three column profiles: a single aggregate with
+    // every (count, countDistinct, min, max) side by side (the multi-distinct
+    // plan is one scan + one Expand), then an unpivot to long form on the
+    // single result row. The previous shape unioned three independent
+    // aggregates — three full reads of the fact table for one profile pass,
+    // 3× the scan cost at 100 TB.
+    val cols = Seq(
+      ("event_type", col("event_type"), col("event_type")),
+      ("user_id", col("user_id"), col("user_id").cast("string")),
+      ("event_id", col("event_id"), col("event_id").cast("string")))
+    val aggs = count(lit(1)).as("n_rows") +: cols.zipWithIndex.flatMap {
+      case ((_, c, asStr), i) => Seq(
+        count(c).as(s"nn$i"),
+        countDistinct(c).as(s"nd$i"),
+        min(asStr).as(s"mn$i"),
+        max(asStr).as(s"mx$i"))
+    }
+    val rows = cols.zipWithIndex.map { case ((name, _, _), i) =>
+      struct(lit(name).as("column_name"), col("n_rows"),
+        col(s"nn$i").as("n_nonnull"), col(s"nd$i").as("n_distinct"),
+        col(s"mn$i").as("min_str"), col(s"mx$i").as("max_str"))
+    }
+    ev.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
   }
 
   val profileSql: String = {

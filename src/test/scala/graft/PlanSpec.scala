@@ -121,10 +121,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
-  test("t04/t09: per-doc statistics read the corpus exactly once") {
-    for (q <- Seq("t04_fingerprint", "t09_char_diversity")) {
+  test("t-family: every text-analysis query scans parquet exactly once, explodes at most once") {
+    // the family-wide form of the t06 pin — it would have caught t07's
+    // recompute-under-broadcast (3 scans / 2 Generates) the round it
+    // appeared. t07's corpus pass sits behind a localCheckpoint (shows as
+    // Scan ExistingRDD); its one parquet scan is the zero-column doc count.
+    for (q <- SparkEntry.queries.keys.filter(_.startsWith("t0")).toSeq.sorted) {
       val p = planOf(q)
       assert(countOccurrences(p, "Scan parquet") == 1, s"$q:\n$p")
+      assert(countOccurrences(p, "Generate") <= 1, s"$q:\n$p")
+    }
+  }
+
+  test("t01/t05: fused token-stats plans are shuffle-free single passes") {
+    for (q <- Seq("t01_doc_stats", "t05_quality_filter")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q:\n$p")
+      assert(p.contains("tokenstats"), s"$q:\n$p")
     }
   }
 

@@ -60,6 +60,32 @@ object ExpressionLawsSpec extends Properties("ExpressionLaws") {
       got == ref
     }
 
+  property("TokenStats.stats ≡ split/distinct/stopword/codepoint-length reference") =
+    Prop.forAll(text) { s =>
+      val toks = s.split(" ", -1).filter(_.nonEmpty).toSeq
+      val stop = TokenStats.DefaultStopwords.toSet
+      val stopSet = new java.util.HashSet[UTF8String]()
+      TokenStats.DefaultStopwords.foreach(w => stopSet.add(UTF8String.fromString(w)))
+      val row = TokenStats.stats(UTF8String.fromString(s), stopSet)
+      row.getInt(0) == toks.length &&
+        row.getInt(1) == toks.distinct.length &&
+        row.getInt(2) == toks.count(stop) &&
+        row.getLong(3) == toks.map(t => t.codePointCount(0, t.length).toLong).sum &&
+        row.getInt(4) == s.count(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
+    }
+
+  property("TermCounts.counts ≡ groupBy-count reference, first-occurrence order") =
+    Prop.forAll(text) { s =>
+      val toks = s.split(" ", -1).filter(_.nonEmpty).toSeq
+      val ref = toks.distinct.map(t => (t, toks.count(_ == t).toLong))
+      val arr = TermCounts.counts(UTF8String.fromString(s))
+      val got = (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getLong(1))
+      }
+      got == ref
+    }
+
   property("MinHashSig.sig ≡ (a + i·b) mod-masked mins over windows") =
     Prop.forAll(text, width, Gen.choose(1, 16)) { (s, n, k) =>
       val h60Mask = (1L << 60) - 1
