@@ -24,6 +24,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  /** Extracts an Int from a foldable literal argument. Several expressions
+    * bake their int parameters into generated code, so a non-constant
+    * argument cannot work — fail analysis with a clear message instead.
+    */
+  private def foldableInt(fn: String, arg: String, e: Expression): Int = e match {
+    case f if f.foldable => f.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $arg must be a foldable integer literal")
+  }
+
+  private def arity(fn: String, exprs: Seq[Expression], n: Int): Unit =
+    require(exprs.length == n, s"$fn takes exactly $n arguments")
+
   private[functions] val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_md5hash60",
       new ExpressionInfo(classOf[Md5Hash60].getName, "graft_md5hash60"),
@@ -39,24 +57,48 @@ object GraftFunctions {
     ("graft_minshinglehash60",
       new ExpressionInfo(classOf[MinShingleHash60].getName, "graft_minshinglehash60"),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 2,
-          "graft_minshinglehash60(text, n) takes exactly 2 arguments")
-        // n parameterizes the generated code, so it must be a constant
-        val n = exprs(1) match {
-          case e if e.foldable => e.eval() match {
-            case i: Int  => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"graft_minshinglehash60: n must be an integer literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException(
-            "graft_minshinglehash60: n must be a foldable integer literal")
-        }
-        MinShingleHash60(exprs.head, n)
+        arity("graft_minshinglehash60(text, n)", exprs, 2)
+        MinShingleHash60(exprs.head,
+          foldableInt("graft_minshinglehash60", "n", exprs(1)))
       }),
     ("graft_wordbigrams",
       new ExpressionInfo(classOf[WordBigrams].getName, "graft_wordbigrams"),
-      (exprs: Seq[Expression]) => WordBigrams(exprs.head)))
+      (exprs: Seq[Expression]) => WordBigrams(exprs.head)),
+    ("graft_minhashsig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhashsig"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_minhashsig(text, n, k)", exprs, 3)
+        MinHashSig(exprs.head,
+          foldableInt("graft_minhashsig", "n", exprs(1)),
+          foldableInt("graft_minhashsig", "k", exprs(2)))
+      }),
+    ("graft_shinglehash60s",
+      new ExpressionInfo(classOf[ShingleHash60s].getName, "graft_shinglehash60s"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_shinglehash60s(text, n)", exprs, 2)
+        ShingleHash60s(exprs.head,
+          foldableInt("graft_shinglehash60s", "n", exprs(1)))
+      }),
+    ("graft_signlshbuckets",
+      new ExpressionInfo(classOf[SignLshBuckets].getName, "graft_signlshbuckets"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_signlshbuckets(embedding, tables, bits)", exprs, 3)
+        SignLshBuckets(exprs.head,
+          foldableInt("graft_signlshbuckets", "tables", exprs(1)),
+          foldableInt("graft_signlshbuckets", "bits", exprs(2)))
+      }),
+    ("graft_tokenstats",
+      new ExpressionInfo(classOf[TokenStats].getName, "graft_tokenstats"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_tokenstats(text)", exprs, 1)
+        TokenStats(exprs.head, TokenStats.DefaultStopwords)
+      }),
+    ("graft_termcounts",
+      new ExpressionInfo(classOf[TermCounts].getName, "graft_termcounts"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_termcounts(text)", exprs, 1)
+        TermCounts(exprs.head)
+      }))
 
   def register(s: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>

@@ -161,6 +161,46 @@ object Dedup {
        |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes""".stripMargin
   }
 
+  /** SimHash near-dup pairs: band the 32-bit signature into 4 bytes; docs
+    * sharing any full band are candidates (a Hamming distance ≤ 7 pair must
+    * agree on at least one of 4 bands — pigeonhole); verify by exact
+    * Hamming distance over the full signature. The d02 join discipline
+    * applies unchanged: the signature rides through the band explode so the
+    * verify needs no join back, `shuffle_hash` keeps the corpus-sized band
+    * table out of a broadcast and lets the two identical exchanges dedup
+    * via ReusedExchange (one corpus scan, one signature aggregate).
+    * Everything is integer arithmetic — bit-identical in any engine.
+    */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = simhash(s, dir)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bsig")
+      .hint("shuffle_hash")
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= 7)
+      .distinct()
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH sh AS ($simhashSql),
+       |bands AS (
+       |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bsig
+       |  FROM sh, range(0, 4) t(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 7""".stripMargin
+
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) via inverted-index
     * join on shared 3-grams. Bounded to doc_id < 600: the exact pass is the
     * *verifier* you run on LSH candidates, not the corpus scan — its join

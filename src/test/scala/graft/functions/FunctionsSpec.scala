@@ -175,6 +175,43 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_minhashsig / graft_shinglehash60s / graft_signlshbuckets are callable from SQL") {
+    GraftFunctions.register(spark)
+    // each matches its Column form on the same input
+    val sigSql = spark.sql("SELECT graft_minhashsig('the quick brown fox', 5, 16) AS s")
+      .as[Seq[Long]].head()
+    val sigCol = Seq("the quick brown fox").toDF("t")
+      .select(MinHashSig($"t", 5, 16).as("s")).as[Seq[Long]].head()
+    assert(sigSql == sigCol)
+    val gsSql = spark.sql("SELECT graft_shinglehash60s('abcabc', 3) AS g")
+      .as[Seq[Long]].head()
+    val gsCol = Seq("abcabc").toDF("t")
+      .select(ShingleHash60s($"t", 3).as("g")).as[Seq[Long]].head()
+    assert(gsSql == gsCol && gsSql.length == 3) // abc, bca, cab distinct; dup abc dropped
+    val lshSql = spark.sql(
+      "SELECT graft_signlshbuckets(CAST(array(1.0, -2.0, 3.0) AS ARRAY<FLOAT>), 8, 4) AS b")
+      .as[Seq[Int]].head()
+    val lshCol = Seq(Array(1.0f, -2.0f, 3.0f)).toDF("v")
+      .select(SignLshBuckets($"v", 8, 4).as("b")).as[Seq[Int]].head()
+    assert(lshSql == lshCol && lshSql.length == 8)
+    // int parameters bake into generated code — non-constant must fail
+    intercept[Exception] {
+      spark.sql("SELECT graft_minhashsig('abc', CAST(id AS INT), 4) FROM range(3)").collect()
+    }
+  }
+
+  test("graft_tokenstats / graft_termcounts are callable from SQL") {
+    GraftFunctions.register(spark)
+    val st = spark.sql(
+      "SELECT s.* FROM (SELECT graft_tokenstats('the cat the mat') AS s)").head()
+    assert(st.getInt(0) == 4 && st.getInt(1) == 3 && st.getInt(2) == 2 &&
+      st.getLong(3) == 12L && st.getInt(4) == 12)
+    val tc = spark.sql(
+      "SELECT inline(graft_termcounts('b a b'))").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tc == Seq(("b", 2L), ("a", 1L)))
+  }
+
   test("SignLshBuckets matches a driver-side reference and stays codegen'd") {
     val nTables = 8
     val bits = 4
