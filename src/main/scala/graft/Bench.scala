@@ -54,10 +54,19 @@ object Bench {
       val b = runOnce(n)
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal seconds: full-precision doubles tripled the line length
+    // and overflowed the driver's tail capture (round 3 lost the d-family
+    // timings); ms resolution is already below scheduler noise
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","warmup":"sf0.001"}""")
+    // compact per-family totals AFTER "queries", so a tail-truncated
+    // capture still retains the family picture
+    val fams = results.groupBy(_._1.substring(0, 1)).toSeq.sortBy(_._1)
+      .map { case (f, rs) => "\"" + f + "\":" + fmt(rs.map(_._2).filter(_ >= 0).sum) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"families":$fams,"sf":"$sfDir","runs":2,"agg":"min","warmup":"sf0.001"}""")
     spark.stop()
   }
 }

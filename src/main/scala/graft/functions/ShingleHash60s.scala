@@ -55,7 +55,10 @@ object ShingleHash60s {
     val offs = Utf8Spans.offsets(bytes)
     val chars = offs.length - 1
     val windows = math.max(chars - n + 1, 1)
-    val seen = new java.util.HashSet[UTF8String](math.min(windows * 2, 1 << 16))
+    // clamp BEFORE doubling: windows*2 overflows Int for ~2^30-codepoint
+    // documents, which would pass a negative capacity and crash on valid
+    // (if huge) input
+    val seen = new java.util.HashSet[UTF8String](math.min(windows, 1 << 15) * 2)
     val out = new Array[Long](windows)
     var nOut = 0
     val md = Md5Hash60.threadMd

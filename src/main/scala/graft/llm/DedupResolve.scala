@@ -56,20 +56,25 @@ object DedupResolve {
       val changed = step
         .filter(col("new_cluster") =!= col("cluster"))
         .limit(1).count() // converged ⇔ no label moved; limit(1) early-exits
-      // pointer jumping: cluster ← cluster(cluster). Labels start at id
-      // and only decrease (least), so label(label(x)) ≤ label(x) — the
-      // shortcut squares propagation distance per round, turning
-      // O(diameter) rounds into O(log diameter). Long CHAINS (common in
-      // threshold graphs) made plain propagation the iteration-count
-      // bottleneck; each avoided round is a full join+agg over the edge
-      // set — at 100 TB the rounds, not the per-round cost, dominate.
-      val cur = step.select(col("id"), col("new_cluster").as("cluster"))
-      val asMap = cur.select(col("id").as("cid"), col("cluster").as("cc"))
-      labels = cur
-        .join(asMap, cur("cluster") === asMap("cid"), "left")
-        .select(col("id"), coalesce(col("cc"), col("cluster")).as("cluster"))
-        .localCheckpoint()
       done = changed == 0
+      if (!done) {
+        // pointer jumping: cluster ← cluster(cluster). Labels start at id
+        // and only decrease (least), so label(label(x)) ≤ label(x) — the
+        // shortcut squares propagation distance per round, turning
+        // O(diameter) rounds into O(log diameter). Long CHAINS (common in
+        // threshold graphs) made plain propagation the iteration-count
+        // bottleneck; each avoided round is a full join+agg over the edge
+        // set — at 100 TB the rounds, not the per-round cost, dominate.
+        // Skipped at the fixpoint (changed == 0): the jump is provably a
+        // no-op there, and running it anyway paid one full join +
+        // materialization over the label set per resolve call.
+        val cur = step.select(col("id"), col("new_cluster").as("cluster"))
+        val asMap = cur.select(col("id").as("cid"), col("cluster").as("cc"))
+        labels = cur
+          .join(asMap, cur("cluster") === asMap("cid"), "left")
+          .select(col("id"), coalesce(col("cc"), col("cluster")).as("cluster"))
+          .localCheckpoint()
+      }
       iter += 1
     }
     labels

@@ -132,7 +132,7 @@ final class TaskLogChannel private[runtime] (
     val tc = org.apache.spark.TaskContext.get()
     val where =
       if (tc == null) "driver"
-      else s"${java.net.InetAddress.getLocalHost.getHostName} ${tc.stageId()}:${tc.partitionId()}"
+      else s"${TaskLogChannel.hostName} ${tc.stageId()}:${tc.partitionId()}"
     acc.add(s"[$where] $msg")
   }
 
@@ -144,6 +144,15 @@ final class TaskLogChannel private[runtime] (
 
   /** The merged, host-prefixed stream (reference's aggregated log view). */
   def merged: String = lines.mkString("\n")
+}
+
+object TaskLogChannel {
+  /** Per-JVM hostname: `InetAddress.getLocalHost` can be a blocking DNS
+    * lookup on misconfigured hosts — resolve once, not per log line.
+    */
+  private lazy val hostName: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: java.net.UnknownHostException => "unknown-host" }
 }
 
 /** Driver-side merged task-log collector completing §2B #30: combines
@@ -159,9 +168,15 @@ final class TaskLogStream private (
     maxEntries: Int) extends SparkListener {
 
   private val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  // ConcurrentLinkedQueue.size() is O(n); track length explicitly so
+  // eviction is O(1) per completed task instead of O(maxEntries)
+  private val bufLen = new java.util.concurrent.atomic.AtomicInteger(0)
 
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-    while (buf.size() >= maxEntries) buf.poll()
+    while (bufLen.get() >= maxEntries) {
+      if (buf.poll() != null) bufLen.decrementAndGet()
+      else bufLen.set(0)
+    }
     val host = Option(te.taskInfo).map(_.host).getOrElse("unknown")
     val taskId = Option(te.taskInfo).map(_.taskId).getOrElse(-1L)
     val status = te.reason match {
@@ -171,6 +186,7 @@ final class TaskLogStream private (
     }
     val runMs = Option(te.taskMetrics).map(_.executorRunTime).getOrElse(0L)
     buf.add(s"[$host ${te.stageId}:$taskId] $status in ${runMs} ms")
+    bufLen.incrementAndGet()
   }
 
   /** Per-task completion excerpts (newest `maxEntries`). */

@@ -31,10 +31,14 @@ object DocStream {
   def readDocs(s: SparkSession, dir: String): DataFrame = {
     val streamDir = {
       val d = java.nio.file.Files.createTempDirectory("graft-docs-stream")
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      // deleteOnExit runs in REVERSE registration order: parent first in
+      // code → child deleted first at exit, so the (non-empty otherwise)
+      // dir actually goes away
       d.toFile.deleteOnExit()
+      val link = d.resolve("documents.parquet")
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      link.toFile.deleteOnExit()
       d.toString
     }
     s.readStream.schema(docsSchema).parquet(streamDir)
@@ -46,9 +50,10 @@ object DocStream {
     * `dropDuplicates` keeps first-seen per hash across micro-batches —
     * the streaming twin of `llm.Dedup.exact` (which keeps min doc_id; a
     * replayed batch corpus yields the same KEPT-count, which is what the
-    * spec checks). No watermark: content hashes must dedup over the whole
-    * stream lifetime; production bounds state with a TTL'd state store or
-    * an upstream compaction, documented rather than silently dropped.
+    * spec checks). No watermark: content hashes dedup over the whole
+    * stream lifetime — state grows with the corpus; use
+    * [[ingestedBounded]] when re-deliveries are known to arrive within a
+    * bounded horizon.
     */
   def ingested(docs: DataFrame): DataFrame =
     docs
@@ -56,6 +61,27 @@ object DocStream {
       .withColumn("minhash_sig", graft.functions.MinHashSig(col("text"), 5, 16))
       .withColumn("char_gini", graft.functions.CharGini(col("text")))
       .dropDuplicates("content_hash")
+
+  /** Bounded-state ingestion dedup: like [[ingested]], but content-hash
+    * state is dropped once the watermark passes `horizon` beyond a hash's
+    * event time (`dropDuplicatesWithinWatermark`). This is the production
+    * form for at-least-once sources whose re-deliveries arrive within a
+    * known horizon: state is O(docs per horizon), not O(stream lifetime),
+    * and each state partition shards by hash across executors. Corpus-wide
+    * dedup beyond the horizon belongs to the batch compaction pass
+    * (`llm.Dedup.exact`), which this stream's signatures feed.
+    *
+    * `docs` must carry an event-time column `tsCol` (ingest or publish
+    * time from the source).
+    */
+  def ingestedBounded(docs: DataFrame, tsCol: String = "ingest_ts",
+      horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withColumn("minhash_sig", graft.functions.MinHashSig(col("text"), 5, 16))
+      .withColumn("char_gini", graft.functions.CharGini(col("text")))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
 
   /** Quality gate on the deduped stream (same score family as
     * `TextAnalysis.qualityFilter`'s diversity component): drop

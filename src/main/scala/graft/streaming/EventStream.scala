@@ -43,10 +43,13 @@ object EventStream {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val streamDir = {
       val d = java.nio.file.Files.createTempDirectory("graft-events-stream")
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      // parent registered first → child deleted first at exit (reverse
+      // registration order), so the dir is empty when its turn comes
       d.toFile.deleteOnExit()
+      val link = d.resolve("events.parquet")
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      link.toFile.deleteOnExit()
       d.toString
     }
     s.readStream

@@ -125,6 +125,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked corpus dedup drops cross-batch re-deliveries within the horizon") {
+    // two links to the same corpus file, one file per micro-batch: the
+    // second batch's docs are pure re-deliveries and must dedup via the
+    // WATERMARKED state (dropDuplicatesWithinWatermark), not batch-local
+    // distinct — this is the bounded-state form the module documents
+    val d = java.nio.file.Files.createTempDirectory("graft-docs-wm")
+    val src = java.nio.file.Paths.get(s"$sf/documents.parquet")
+    java.nio.file.Files.createSymbolicLink(d.resolve("a.parquet"), src)
+    java.nio.file.Files.createSymbolicLink(d.resolve("b.parquet"), src)
+    val doubled = spark.readStream
+      .schema(DocStream.docsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(d.toString)
+      // off-epoch base: a doc_id-0 timestamp of exactly epoch 0 would be
+      // filtered as late against the operator's initial zero watermark
+      .withColumn("ingest_ts", timestamp_micros(($"doc_id" + 86400L) * 1000000L))
+    val q = DocStream.ingestedBounded(doubled)
+      .select($"doc_id", $"char_gini")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("docs_wm_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("docs_wm_out").count()
+      val expected = graft.Tables.documents(spark, sf)
+        .select(md5($"text".cast("binary"))).distinct().count()
+      assert(got == expected, s"got $got, expected $expected")
+    } finally q.stop()
+  }
+
   test("streaming corpus ingestion dedups a doubled source; fused exprs run in-stream") {
     // two links to the same corpus file = every document delivered twice
     val d = java.nio.file.Files.createTempDirectory("graft-docs-dup")
