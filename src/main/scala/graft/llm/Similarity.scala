@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -133,13 +133,24 @@ object Similarity {
       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35""".stripMargin
 
   /** IVF (inverted-file) ANN: partition the corpus into cells around
-    * centroids; a query probes only its nearest `nprobe` cells. Centroids
-    * here are the first 16 vectors (deterministic, training-free seeding —
-    * production swaps in k-means centroids; the cell/probe machinery,
-    * which is what scales, is identical). Everything is joins + windows
-    * over the codegen'd dot product — no UDF, so the whole operator is
-    * SQL-expressible and oracle-checked. All float comparisons are
-    * argmax/rank decisions with gaps far above engine noise.
+    * centroids; a query probes only its nearest `nprobe` cells.
+    *
+    * Centroids are TRAINED with one deterministic Lloyd iteration: seeds =
+    * first 16 vectors, assignment of a fixed sample (vec_id < 200) by
+    * cosine with cid-ascending tiebreak, then the element-wise mean of
+    * each cell's sample members. The mean is computed as an ORDERED left
+    * fold over members sorted by vec_id — IEEE double addition in a fixed
+    * order is bit-identical in every engine, where a partial-aggregated
+    * `avg` would depend on partitioning (the §6 exactness rule) — and
+    * rounded once to float. Production scales this same shape out:
+    * k-means|| iterations over a hash-sample, each iteration = one
+    * broadcast-assign + one mean-aggregate; the fold-over-collect_list is
+    * per-(cell) work on a bounded sample, never the corpus.
+    *
+    * Everything is joins + windows over the codegen'd dot product — no
+    * UDF, so the whole operator (training included) is SQL-expressible
+    * and oracle-checked. All float comparisons are argmax/rank decisions
+    * with gaps far above engine noise.
     *
     * At 100 TB: cells are the partition key — each probe touches
     * corpus/nCells of the data, and the cell assignment is a one-off
@@ -148,14 +159,34 @@ object Similarity {
   def ivfKnn(s: SparkSession, dir: String): DataFrame = {
     val nCentroids = 16
     val nProbe = 2
-    // 4 branches reference e (cent, scored, qv, corpus) — materialize once
+    val sampleN = 200
+    val dim = 64
+    // 5 branches reference e (seeds, sample, scored, qv, corpus) —
+    // materialize once
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normCol)
       .localCheckpoint(false)
-    val cent = e.filter(col("vec_id") < nCentroids)
+    val seeds = e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("qv"), col("nrm").as("cnrm"))
-    // score every vector against every centroid (|corpus| × 16, broadcast)
+    // E-step on the deterministic sample: nearest seed per sample vector
+    val samp = e.filter(col("vec_id") < sampleN)
+    val byVec0 = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
+    val assign = samp.crossJoin(broadcast(seeds))
+      .withColumn("ccos", dotCol / (col("cnrm") * col("nrm")))
+      .withColumn("r", row_number().over(byVec0))
+      .filter(col("r") === 1)
+      .select(col("cid"), col("vec_id"), col("embedding"))
+    // M-step: per-cell element-wise mean, ordered fold, rounded to float
+    val meanArr = transform(sequence(lit(1), lit(dim)), i =>
+      aggregate(col("vs"), lit(0.0d),
+        (acc: Column, x: Column) => acc + element_at(x.getField("embedding"), i).cast("double"))
+        / size(col("vs")).cast("double"))
+    val cent = assign.groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+      .select(col("cid"), meanArr.cast("array<float>").as("qv"))
+      .withColumn("cnrm", sqrt(FloatVecDot(col("qv"), col("qv"))))
+    // score every vector against every trained centroid (|corpus| × 16)
     val scored = e.crossJoin(broadcast(cent))
       .withColumn("ccos", dotCol / (col("cnrm") * col("nrm")))
     val byVec = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
@@ -186,7 +217,28 @@ object Similarity {
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings),
-      |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+      |seeds AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+      |a0 AS (
+      |  SELECT s.vec_id, c.cid,
+      |    list_dot_product(s.v, c.cv) / (c.cnrm * s.nrm) AS ccos
+      |  FROM e s, seeds c WHERE s.vec_id < 200),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS r
+      |    FROM a0) WHERE r = 1),
+      |grp AS (
+      |  SELECT a.cid, list(s.v ORDER BY s.vec_id) AS vs
+      |  FROM assign a JOIN e s ON s.vec_id = a.vec_id GROUP BY a.cid),
+      |cmean AS (
+      |  SELECT cid,
+      |    [list_reduce(list_transform(vs, x -> x[i]), (acc, y) -> acc + y)
+      |       / len(vs) for i in range(1, 65)]::FLOAT[] AS cfv
+      |  FROM grp),
+      |cent AS (
+      |  SELECT cid, cfv::DOUBLE[] AS cv,
+      |    sqrt(list_dot_product(cfv::DOUBLE[], cfv::DOUBLE[])) AS cnrm
+      |  FROM cmean),
       |scored AS (
       |  SELECT e.vec_id, c.cid,
       |    list_dot_product(e.v, c.cv) / (c.cnrm * e.nrm) AS ccos
