@@ -137,11 +137,27 @@ class PlanSpec extends AnyFunSuite {
     // recompute-under-broadcast (3 scans / 2 Generates) the round it
     // appeared. t07's corpus pass sits behind a localCheckpoint (shows as
     // Scan ExistingRDD); its one parquet scan is the zero-column doc count.
-    for (q <- SparkEntry.queries.keys.filter(_.startsWith("t0")).toSeq.sorted) {
+    // t08 is exempt by design and pinned separately below: its per-column
+    // profile branches scan DISJOINT single columns, so no byte is read
+    // twice — the invariant this test actually protects.
+    for (q <- SparkEntry.queries.keys.filter(_.startsWith("t0")).toSeq.sorted
+         if q != "t08_profile") {
       val p = planOf(q)
       assert(countOccurrences(p, "Scan parquet") == 1, s"$q:\n$p")
       assert(countOccurrences(p, "Generate") <= 1, s"$q:\n$p")
     }
+  }
+
+  test("t08: profile branches read disjoint single-column schemas (no byte scanned twice)") {
+    val p = planOf("t08_profile")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.size == 3, p)
+    for (c <- Seq("event_type", "user_id", "event_id"))
+      assert(schemas.count(_.contains(c)) == 1, s"$c:\n${schemas.mkString("\n")}")
+    // each branch reads exactly one column: one colon per ReadSchema struct
+    assert(schemas.forall(sch =>
+      sch.substring(sch.indexOf("struct<")).count(_ == ':') == 1),
+      schemas.mkString("\n"))
   }
 
   test("t01/t05: fused token-stats plans are shuffle-free single passes") {
