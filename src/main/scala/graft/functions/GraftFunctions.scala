@@ -87,6 +87,12 @@ object GraftFunctions {
           foldableInt("graft_signlshbuckets", "tables", exprs(1)),
           foldableInt("graft_signlshbuckets", "bits", exprs(2)))
       }),
+    ("graft_simhashsig",
+      new ExpressionInfo(classOf[SimHashSig].getName, "graft_simhashsig"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_simhashsig(text, bits)", exprs, 2)
+        SimHashSig(exprs.head, foldableInt("graft_simhashsig", "bits", exprs(1)))
+      }),
     ("graft_tokenstats",
       new ExpressionInfo(classOf[TokenStats].getName, "graft_tokenstats"),
       (exprs: Seq[Expression]) => {

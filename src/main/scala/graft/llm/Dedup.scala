@@ -127,24 +127,17 @@ object Dedup {
   }
 
   /** SimHash (32-bit) over whitespace tokens: per-bit weighted majority
-    * vote of token hashes. Computed as 32 conditional sums in ONE
-    * hash-aggregate pass (no per-bit explosion) — at 100 TB this is a
-    * single map-side-combinable aggregate, the cheapest possible shape.
+    * vote of token hashes, computed per ROW by the fused codegen
+    * expression [[graft.functions.SimHashSig]] — a pure scan, zero data
+    * movement. The composed form (explode every token → 32-conditional-sum
+    * hash-aggregate) shuffled one row per corpus token for a per-document
+    * statistic; token-less documents, absent from that aggregate, are
+    * mirrored here by filtering the `-1` sentinel.
     */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    val bits = 32
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .withColumn("h", hash60(col("t")))
-    val votes = toks.groupBy(col("doc_id")).agg(
-      sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as("b0"),
-      (1 until bits).map(j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")): _*)
-    val sig: Column = (0 until bits)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    votes.select(col("doc_id"), sig.as("simhash"))
-  }
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), graft.functions.SimHashSig(col("text"), 32).as("simhash"))
+      .where(col("simhash") =!= graft.functions.SimHashSig.Empty)
 
   val simhashSql: String = {
     val bits = 32

@@ -121,6 +121,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("d03: simhash signatures are a pure scan — no exchange, no explode") {
+    val p = planOf("d03_dedup_simhash")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Generate"), p)
+    assert(countOccurrences(p, "Scan parquet") == 1, p)
+  }
+
   test("d12: simhash band self-join shuffles on band keys — no Cartesian, no corpus broadcast") {
     val p = planOf("d12_simhash_pairs")
     assert(!p.contains("CartesianProduct"), p)

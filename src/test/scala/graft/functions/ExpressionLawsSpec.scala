@@ -86,6 +86,24 @@ object ExpressionLawsSpec extends Properties("ExpressionLaws") {
       got == ref
     }
 
+  property("SimHashSig.sig ≡ per-bit majority vote of token md5-60s (-1 iff no tokens)") =
+    Prop.forAll(text, Gen.choose(1, 62)) { (s, bits) =>
+      val toks = s.split(" ", -1).filter(_.nonEmpty).toSeq
+      val ref =
+        if (toks.isEmpty) -1L
+        else {
+          val votes = new Array[Int](bits)
+          toks.foreach { t =>
+            val h = refHash60(t)
+            (0 until bits).foreach { j =>
+              if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            }
+          }
+          (0 until bits).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+        }
+      SimHashSig.sig(UTF8String.fromString(s), bits) == ref
+    }
+
   property("MinHashSig.sig ≡ (a + i·b) mod-masked mins over windows") =
     Prop.forAll(text, width, Gen.choose(1, 16)) { (s, n, k) =>
       val h60Mask = (1L << 60) - 1

@@ -200,6 +200,16 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_simhashsig is callable from SQL and matches the Column form") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT graft_simhashsig('the cat sat', 32) AS s").as[Long].head()
+    val viaCol = Seq("the cat sat").toDF("t")
+      .select(SimHashSig($"t", 32).as("s")).as[Long].head()
+    assert(viaSql == viaCol && viaSql >= 0L && viaSql < (1L << 32))
+    // token-less input yields the -1 sentinel
+    assert(spark.sql("SELECT graft_simhashsig('   ', 32) AS s").as[Long].head() == -1L)
+  }
+
   test("graft_tokenstats / graft_termcounts are callable from SQL") {
     GraftFunctions.register(spark)
     val st = spark.sql(
