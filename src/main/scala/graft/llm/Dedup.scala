@@ -57,8 +57,8 @@ object Dedup {
   private val h60Mask = (1L << 60) - 1
   private val b56Mask = (1L << 56) - 1
 
-  private def minhashesSql: String =
-    s"""SELECT doc_id, ${(0 until mh)
+  private def minhashesSqlK(k: Int): String =
+    s"""SELECT doc_id, ${(0 until k)
          .map(i => s"min((a + $i * b) & $h60Mask) AS h$i")
          .mkString(", ")}
        |FROM (SELECT doc_id, ${sqlHash60("s")} AS a,
@@ -66,6 +66,8 @@ object Dedup {
        |  FROM (SELECT DISTINCT doc_id, s FROM (
        |    SELECT doc_id, unnest(${sqlShingles("text", 5)}) AS s FROM documents)))
        |GROUP BY doc_id""".stripMargin
+
+  private def minhashesSql: String = minhashesSqlK(mh)
 
   /** MinHash + LSH near-dup pairs: band the 16-hash signature into 4 bands
     * of 4; docs sharing any full band become candidates; report estimated
@@ -193,6 +195,112 @@ object Dedup {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
        |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 7""".stripMargin
+
+  // d13 banding: calibrated for the 0.8 verify threshold, unlike d02's
+  // (4×4 at k=16, S-curve midpoint ≈0.71, which on a templated corpus
+  // floods the verifier — measured 605 k candidates for 256 true pairs).
+  // 8 rows/band pushes the midpoint to (1/4)^(1/8) ≈ 0.84 and cuts
+  // j≈0.45 template collisions by ~0.45⁴ ≈ 25×.
+  private val vK = 32 // signature length
+  private val vRows = 8 // rows per band → 4 bands
+
+  /** The composed scale ladder, in one query: corpus-wide MinHash-LSH
+    * candidates (NO doc_id bound — the join is banded, so this is the
+    * 100 TB-legal pass) verified by EXACT 5-gram Jaccard at 0.8.
+    *
+    * Three calibration decisions, each measured (SCALING.md §3):
+    *  - banding matched to the verify threshold (k=32, 4 bands × 8 rows;
+    *    d02's 4×4 flooded the verifier with j≈0.45 template collisions);
+    *  - FILTER-AND-VERIFY: candidates first cut on the free signature
+    *    estimate (est ≥ 0.6 — at 32 hashes, sd(est) ≈ 0.09, so
+    *    P[est < 0.6 | j ≥ 0.8] ≈ 1%), applied AFTER a checkpoint
+    *    barrier: pushed down, the 32-way comparison becomes an
+    *    interpreted join condition evaluated per band collision
+    *    (measured 6× slower than the projected form);
+    *  - the verifier joins each surviving pair to its two fused gram
+    *    arrays ([[graft.functions.ShingleHash60s]], materialized once)
+    *    and intersects per ROW (`array_intersect`, codegen'd) — no
+    *    inverted-index join, no Σ df² blowup: verify cost is
+    *    O(survivors × gram-array size).
+    */
+  def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.documents(s, dir)
+      .select(col("doc_id"), graft.functions.MinHashSig(col("text"), 5, vK).as("sig"))
+    val bandCols = (0 until vK / vRows).map { b =>
+      concat_ws(":", (0 until vRows).map(j =>
+        element_at(col("sig"), b * vRows + j + 1)): _*)
+    }
+    val bands = sig
+      .select(col("doc_id"), col("sig"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bsig")
+      .hint("shuffle_hash")
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    val matches: Column = (0 until vK)
+      .map(i => when(element_at(col("a.sig"), i + 1) === element_at(col("b.sig"), i + 1), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    // checkpoint = pushdown barrier: est stays a codegen'd projection
+    // computed once per distinct pair, never a join condition
+    val pairs = a
+      .join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        (matches.cast("double") / lit(vK.toDouble)).as("est"))
+      .distinct()
+      .localCheckpoint(true)
+    val cand = pairs.filter(col("est") >= 0.6).select(col("a_id"), col("b_id"))
+    // both verify sides read the gram arrays — materialize the corpus-wide
+    // md5 gram pass ONCE (recompute-under-reuse otherwise, SCALING.md §2)
+    val gsel = Tables.documents(s, dir)
+      .select(col("doc_id"), graft.functions.ShingleHash60s(col("text"), 5).as("gs"))
+      .localCheckpoint(true)
+    val ga = gsel.select(col("doc_id").as("a_id"), col("gs").as("ga"))
+    val gb = gsel.select(col("doc_id").as("b_id"), col("gs").as("gb"))
+    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+    cand
+      .join(ga, "a_id")
+      .join(gb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        (inter / (size(col("ga")) + size(col("gb")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  val lshVerifiedPairsSql: String = {
+    val bandSelects = (0 until vK / vRows).map { b =>
+      val sig = (0 until vRows).map(j => s"h${b * vRows + j}").mkString("||':'||")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+    }.mkString(" UNION ALL ")
+    val matchSum = (0 until vK)
+      .map(i => s"(CASE WHEN ma.h$i = mb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH mh AS (${minhashesSqlK(vK)}),
+       |bands AS ($bandSelects),
+       |cpairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |cand AS (
+       |  SELECT p.a_id, p.b_id
+       |  FROM cpairs p JOIN mh ma ON ma.doc_id = p.a_id
+       |  JOIN mh mb ON mb.doc_id = p.b_id
+       |  WHERE CAST($matchSum AS DOUBLE) / ${vK}.0 >= 0.6),
+       |grams AS (
+       |  SELECT doc_id, list(${sqlHash60("g")}) AS gs FROM (
+       |    SELECT DISTINCT doc_id, g FROM (
+       |      SELECT doc_id, unnest(${sqlShingles("text", 5)}) AS g FROM documents))
+       |  GROUP BY doc_id),
+       |scored AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+       |      / CAST(len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+       |      AS jaccard
+       |  FROM cand c
+       |  JOIN grams ga ON ga.doc_id = c.a_id
+       |  JOIN grams gb ON gb.doc_id = c.b_id)
+       |SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= 0.8""".stripMargin
+  }
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) via inverted-index
     * join on shared 3-grams. Bounded to doc_id < 600: the exact pass is the

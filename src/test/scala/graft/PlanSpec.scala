@@ -139,6 +139,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d13: banded candidate join never goes Cartesian; est filter is not a join condition") {
+    val p = planOf("d13_lsh_verified")
+    assert(!p.contains("CartesianProduct"), p)
+    // the est>=0.6 cut must stay a post-checkpoint filter: pushed into the
+    // band join it becomes an interpreted 32-way comparison per collision
+    // (measured 6x slower)
+    assert(!p.contains("ShuffledHashJoin [band"), p) // checkpoint hides the band join
+    assert(p.linesIterator.exists(l => l.contains("Filter") && l.contains("est#")), p)
+  }
+
   test("t-family: every text-analysis query scans parquet exactly once, explodes at most once") {
     // the family-wide form of the t06 pin — it would have caught t07's
     // recompute-under-broadcast (3 scans / 2 Generates) the round it
