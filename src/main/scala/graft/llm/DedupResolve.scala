@@ -119,6 +119,37 @@ object DedupResolve {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** CORPUS-WIDE dedup, end to end — the production pipeline with no id
+    * bound anywhere: fused MinHash signatures → threshold-calibrated LSH
+    * candidates → est filter-and-verify → exact-Jaccard survivors
+    * ([[Dedup.lshVerifiedPairs]]) → pointer-jumping components → keep the
+    * min doc_id per cluster. [[dedupPipeline]] is the bounded exact-pass
+    * twin (its verifier is the Σ df² inverted index on a slice); this is
+    * the shape that ships at 100 TB. Oracle: recursive-CTE transitive
+    * closure over the independently recomputed pair set.
+    */
+  def corpusDedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val pairs = Dedup.lshVerifiedPairs(s, dir).select(col("a_id"), col("b_id"))
+    dedupedDocIds(s, docs, pairs).orderBy(col("doc_id"))
+  }
+
+  val corpusDedupPipelineSql: String = {
+    val pairsSql = Dedup.lshVerifiedPairsSql
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT a_id AS a, b_id AS b FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> cluster)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Semantic dedup (the SemDeDup shape): embedding-cosine near-dup PAIRS
     * (d07's exact verifier — at scale, LSH/IVF candidates feed it) become
     * the similarity graph; keep one representative (min vec_id) per
