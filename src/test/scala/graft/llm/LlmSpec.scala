@@ -29,6 +29,37 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall $recall too low; lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("d13 verified pairs are exact: every emitted pair truly has 5-gram jaccard >= 0.8") {
+    val pairs = Dedup.lshVerifiedPairs(spark, sf)
+      .select($"a_id", $"b_id", $"jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty, "planted near-dups should survive the calibrated ladder")
+    assert(pairs.forall(_._3 >= 0.8))
+    // recompute one pair's jaccard from raw shingle sets, independently
+    val (a, b, j) = pairs.head
+    val texts = graft.Tables.documents(spark, sf)
+      .filter($"doc_id".isin(a, b)).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    def grams(t: String): Set[String] =
+      (0 until math.max(t.length - 4, 1)).map(i => t.substring(i, math.min(i + 5, t.length))).toSet
+    val (ga, gb) = (grams(texts(a)), grams(texts(b)))
+    val jRef = ga.intersect(gb).size.toDouble / ga.union(gb).size.toDouble
+    assert(math.abs(j - jRef) < 1e-12, s"pair ($a,$b): got $j, raw $jRef")
+  }
+
+  test("d14 corpus dedup keeps exactly one representative per verified cluster") {
+    val kept = DedupResolve.corpusDedupPipeline(spark, sf)
+      .as[Long].collect().toSet
+    val all = graft.Tables.documents(spark, sf).select($"doc_id").as[Long].collect().toSet
+    val pairs = Dedup.lshVerifiedPairs(spark, sf)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    assert(kept.subsetOf(all))
+    // every dropped doc is the larger member of some verified pair chain
+    val dropped = all -- kept
+    assert(dropped.forall(d => pairs.exists { case (x, y) => x == d || y == d }))
+    // no verified pair survives whole: at least one member of each pair dropped
+    assert(pairs.forall { case (x, y) => !(kept(x) && kept(y)) })
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val sig = Dedup.simhash(spark, sf).as[(Long, Long)].collect().toMap
     val pairs = Dedup.ngramJaccard(spark, sf)
