@@ -36,6 +36,26 @@ object ExpressionLawsSpec extends Properties("ExpressionLaws") {
     (0 until count).map(i => new String(cps, i, math.min(n, cps.length - i)))
   }
 
+  property("CharGini.gini ≡ 1 − Σcnt²/len² over code points (NaN iff empty)") =
+    Prop.forAll(text) { s =>
+      val cps = s.codePoints().toArray.toSeq
+      val got = CharGini.gini(UTF8String.fromString(s))
+      if (cps.isEmpty) got.isNaN
+      else {
+        val sumsq = cps.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+        val len = cps.size.toDouble
+        got == 1.0 - sumsq.toDouble / (len * len)
+      }
+    }
+
+  property("FloatVecDot.dot ≡ index-order double accumulation") =
+    Prop.forAll(Gen.listOfN(16, Gen.chooseNum(-1e6f, 1e6f))) { fs =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(fs.toArray)
+      var acc = 0.0
+      fs.foreach(f => acc += f.toDouble * f.toDouble)
+      FloatVecDot.dot(arr, arr) == acc
+    }
+
   property("WordBigrams.build ≡ split/filter/sliding reference") =
     Prop.forAll(text) { s =>
       val toks = s.split(" ", -1).filter(_.nonEmpty).toSeq
