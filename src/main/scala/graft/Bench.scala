@@ -28,14 +28,23 @@ object Bench {
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+        }
+      // checkpoint-using queries (t07, d06, d09, d13-d15) persist RDDs that
+      // only release on GC; across 78 queries × 3 executions the
+      // accumulated blocks add allocator/GC noise to later timings — the
+      // shared-JVM drift the round-3 numbers showed. Release them OUTSIDE
+      // the timed region.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      elapsed
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
