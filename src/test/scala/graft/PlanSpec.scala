@@ -90,6 +90,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("d02: identical band exchanges dedup to one at runtime (ReusedExchange)") {
+    // the shuffle_hash form gives both self-join sides IDENTICAL exchange
+    // subtrees; AQE must reuse one — i.e. one corpus scan, one signature
+    // pass — or the 100 TB cost story of the banding doubles
+    val df = SparkEntry.queries("d02_dedup_minhash")(spark, sf)
+    df.collect() // execute THIS queryExecution so AQE finalizes it
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("d02: minhash-LSH candidate generation never goes Cartesian") {
     // the LSH promise is similarity → equi-join; a Cartesian product at any
     // broadcast threshold means the banding keys fell out of the join
