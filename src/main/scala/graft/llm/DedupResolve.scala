@@ -150,6 +150,40 @@ object DedupResolve {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** CORPUS-WIDE semantic dedup — the embedding twin of
+    * [[corpusDedupPipeline]], with no vec_id bound at any stage: sign-LSH
+    * bucket candidates → exact cosine verify ([[Similarity.signLshPairs]])
+    * → pointer-jumping components → keep min vec_id. [[semanticDedupPipeline]]
+    * is the bounded exact-pass twin (its verifier is the all-pairs cosine
+    * on a slice); this is the shape that ships. Recall is the banding's —
+    * the kept set differs from the exact pipeline's exactly where LSH
+    * misses a threshold pair, and the oracle replays the same buckets, so
+    * the operator is still hash-exact.
+    */
+  def semanticCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Tables.embeddings(s, dir).select(col("vec_id").as("doc_id"))
+    val pairs = Similarity.signLshPairs(s, dir).select(col("a_id"), col("b_id"))
+    dedupedDocIds(s, vecs, pairs)
+      .select(col("doc_id").as("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticCorpusPipelineSql: String = {
+    val pairsSql = Similarity.signLshPairsSql
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT a_id AS a, b_id AS b FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM lbl WHERE id <> cluster)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Semantic dedup (the SemDeDup shape): embedding-cosine near-dup PAIRS
     * (d07's exact verifier — at scale, LSH/IVF candidates feed it) become
     * the similarity graph; keep one representative (min vec_id) per

@@ -266,6 +266,78 @@ object Similarity {
       |  FROM cands)
       |WHERE rnk <= 5""".stripMargin
 
+  /** Corpus-wide semantic near-dup PAIRS — the embedding twin of
+    * [[graft.llm.Dedup.lshVerifiedPairs]]: sign-LSH bucket collisions
+    * (any of 8 tables × 4 bits) generate candidates with NO vec_id
+    * bound, then exact cosine ≥ 0.35 verifies each candidate. Candidate
+    * ids dedup BEFORE vectors re-attach (the d06 discipline: the
+    * distinct shuffles ids, not 64-float payloads), and the verify is
+    * per-row over the codegen'd dot product. Recall is the banding's
+    * (~0.71 for cosine-0.35 pairs at 8×4 — retuned with table/bit
+    * counts at scale); the oracle replays the identical planes, so the
+    * approximate-recall set is still hash-exact.
+    */
+  def signLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val nTables = 8
+    val bits = 4
+    // referenced by the bucket explode AND both verify sides
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normCol)
+      .withColumn("sigs", graft.functions.SignLshBuckets(col("embedding"), nTables, bits))
+      .localCheckpoint(true)
+    val buckets = e.select(col("vec_id"), posexplode(col("sigs")))
+      .withColumnRenamed("pos", "table_id")
+      .withColumnRenamed("col", "bucket")
+      .hint("shuffle_hash")
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    val pairIds = a
+      .join(b, col("a.table_id") === col("b.table_id") &&
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val eb = e.select(col("vec_id").as("b_id"), col("embedding"), col("nrm"))
+    pairIds
+      .join(ea, "a_id")
+      .join(eb, "b_id")
+      .withColumn("cos", dotCol / (col("qn") * col("nrm")))
+      .filter(col("cos") >= 0.35)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** DuckDB mirror of [[signLshPairs]] (same plane derivation as
+    * [[lshKnnSql]], both join sides unbounded).
+    */
+  val signLshPairsSql: String =
+    s"""SELECT a_id, b_id FROM (
+       |  WITH e AS (
+       |    SELECT vec_id, embedding::DOUBLE[] AS v,
+       |      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |    FROM embeddings),
+       |  planes AS (
+       |    SELECT j, i,
+       |      (((${Hashing.sqlHash60("j||':'||i")}) % 2000) - 1000)/1000.0 AS w
+       |    FROM range(0, 32) t1(j), range(0, 64) t2(i)),
+       |  dots AS (
+       |    SELECT e.vec_id, p.j, SUM(e.v[p.i + 1] * p.w) AS d
+       |    FROM e, planes p GROUP BY e.vec_id, p.j),
+       |  buckets AS (
+       |    SELECT vec_id, j // 4 AS table_id,
+       |      SUM(CASE WHEN d >= 0 THEN (1 << (j % 4)) ELSE 0 END) AS bucket
+       |    FROM dots GROUP BY vec_id, j // 4),
+       |  cand AS (
+       |    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |    FROM buckets a JOIN buckets b
+       |      ON a.table_id = b.table_id AND a.bucket = b.bucket
+       |        AND a.vec_id < b.vec_id)
+       |  SELECT c.a_id, c.b_id
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.a_id
+       |  JOIN e eb ON eb.vec_id = c.b_id
+       |  WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) >= 0.35)""".stripMargin
+
   /** LSH-bucketed ANN: multi-table sign-random-projection (8 tables × 4
     * bits — calibrated for ~0.7 recall@5 with ~2.4× candidate reduction on
     * the near-random synthetic vectors; real clustered embeddings support
