@@ -160,6 +160,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l => l.contains("Filter") && l.contains("est#")), p)
   }
 
+  test("d16: semantic bucket join never goes Cartesian at any broadcast threshold") {
+    val p = planOf("d16_semantic_corpus")
+    assert(!p.contains("CartesianProduct"), p)
+    withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p2 = planOf("d16_semantic_corpus")
+      assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"), p2)
+    }
+  }
+
   test("t-family: every text-analysis query scans parquet exactly once, explodes at most once") {
     // the family-wide form of the t06 pin — it would have caught t07's
     // recompute-under-broadcast (3 scans / 2 Generates) the round it
