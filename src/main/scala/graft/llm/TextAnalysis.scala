@@ -128,9 +128,16 @@ object TextAnalysis {
         lit(0.25) * (nd / nt) +
         lit(0.25) * least(nStop / nt * lit(5.0), lit(1.0)) +
         lit(0.25) * (nAlpha / nChars)
+    // explode(array(score)) is a PUSHDOWN BARRIER, not data generation:
+    // filtering on a plainly projected `quality` lets PushDownPredicates
+    // substitute the whole score expression into the Filter, so TokenStats
+    // ran once in the Filter and again in the Project — per-operator
+    // codegen CSE doesn't span the two. Generator outputs can't be
+    // substituted below their Generate, so the stats run exactly once.
+    // Measured 0.39 s → 0.24 s at sf0.1; same rows, bit-identical scores.
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), graft.functions.TokenStats(col("text")).as("st"))
-      .select(col("doc_id"), score.as("quality"))
+      .select(col("doc_id"), explode(array(score)).as("quality"))
       .filter(col("quality") >= 0.5)
   }
 
