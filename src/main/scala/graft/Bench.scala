@@ -65,9 +65,15 @@ object Bench {
     }
     // 3-decimal seconds: full-precision doubles tripled the line length
     // and overflowed the driver's tail capture (round 3 lost the d-family
-    // timings); ms resolution is already below scheduler noise
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // timings); ms resolution is already below scheduler noise.
+    // Locale.ROOT: the f interpolator uses the JVM default locale, which on
+    // comma-decimal locales (de_DE, ...) would emit "0,412" — invalid JSON.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // keys are the unique id prefix ("d01", "q20", ...): with full query
+    // names the line ran ~2.4k chars and the driver's 2000-char tail capture
+    // cut the head (round 4 lost d01-d05); short keys fit the whole line
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // compact per-family totals AFTER "queries", so a tail-truncated

@@ -150,9 +150,12 @@ object TaskLogChannel {
   /** Per-JVM hostname: `InetAddress.getLocalHost` can be a blocking DNS
     * lookup on misconfigured hosts — resolve once, not per log line.
     */
+  // NonFatal, not just UnknownHostException: a locked-down executor can
+  // throw SecurityException here, and a lazy val rethrows on EVERY access —
+  // one bad lookup would fail every task log line on that JVM.
   private lazy val hostName: String =
     try java.net.InetAddress.getLocalHost.getHostName
-    catch { case _: java.net.UnknownHostException => "unknown-host" }
+    catch { case scala.util.control.NonFatal(_) => "unknown-host" }
 }
 
 /** Driver-side merged task-log collector completing §2B #30: combines
