@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import Hashing._
@@ -17,15 +18,59 @@ import Hashing._
   *    banding construction from Broder's MinHash and the LSH literature.
   *  - SimHash: one 64→32-bit signature per doc; near-dup candidates share
   *    signatures (or band thereof); here we emit the signature itself.
-  *  - n-gram Jaccard: exact verifier via inverted-index join on shared
-  *    grams; bounded to a subset because its cost is driven by gram
-  *    document-frequency (a stop-gram appearing in d docs contributes
-  *    d² join rows) — at 100 TB you run this only on LSH candidates.
+  *  - n-gram Jaccard: exact verifier via per-row gram-array intersection
+  *    ([[verifyJaccard]]) — candidate-fed, so its cost is
+  *    O(candidates × gram-array size) no matter how the candidates were
+  *    produced (LSH bands at scale, or an inverted-index/all-pairs pass on
+  *    a bounded slice).
+  *
+  * Every banding/threshold constant below is an OPERATOR ARGUMENT with the
+  * shipped calibration as its default — at 100 TB the user retunes k,
+  * rows-per-band, and bucket caps without touching engine source (the
+  * reference's knob-as-API pattern, map_reduce_step.go:19-21, applied to
+  * the knobs that matter here). Defaults are derived from the verify
+  * thresholds via [[LshCalibration]] where the S-curve applies.
   */
 object Dedup {
 
-  private val mh = 16 // minhash signature length
-  private val bandRows = 4 // rows per LSH band → 4 bands
+  // Shipped defaults. d02's banding (k=16, 4×4) is the classic
+  // low-threshold construction kept for signature-estimate output; the
+  // verified ladder (d13) derives its banding from the 0.8 verify
+  // threshold via the S-curve midpoint — bandsFor(0.8, 32) = 4 bands of 8
+  // (midpoint ≈ 0.84; see LshCalibration for why midpoint ABOVE threshold).
+  private val mh = 16 // minhash signature length (d02)
+  private val bandRows = 4 // rows per LSH band → 4 bands (d02)
+  private val vJaccard = 0.8 // verify threshold of the composed ladder
+  private val vK = 32 // signature length of the composed ladder
+  private val vBands = LshCalibration.bandsFor(vJaccard, vK) // = 4
+  private val vRows = vK / vBands // = 8 rows per band
+  private val vEstMin = 0.6 // free signature-estimate prefilter
+
+  /** Sentinel for "no bucket cap": skips the bucket-size pass entirely. */
+  val NoBucketCap: Int = Int.MaxValue
+
+  /** Oversized-bucket guard for template skew: drop (k1, k2) buckets with
+    * more than `cap` members before a bucket self-join. A bucket of m docs
+    * emits m(m−1)/2 candidate pairs, so one boilerplate template shared by
+    * 20% of a corpus turns "candidates ∝ true pairs" into ~n²/50 — capping
+    * bounds every bucket's contribution at cap(cap−1)/2. Recall effect:
+    * pairs INSIDE a dropped mega-bucket are lost to this signal, which is
+    * the right trade — identical/near-identical template floods are exact
+    * dedup's job (d01 runs first in every composed pipeline), and a capped
+    * bucket's members still pair through their other (discriminative)
+    * bands. The count windows over the SAME key the join shuffles on, so
+    * with the shuffle_hash join the pass reuses the exchange rather than
+    * adding one. Default [[NoBucketCap]] compiles to a no-op: the oracle
+    * path is cap-free.
+    */
+  private[llm] def capBuckets(df: DataFrame, cap: Int, k1: String, k2: String): DataFrame =
+    if (cap == NoBucketCap) df
+    else {
+      val w = Window.partitionBy(col(k1), col(k2))
+      df.withColumn("bn", count(lit(1)).over(w))
+        .filter(col("bn") <= cap)
+        .drop("bn")
+    }
 
   /** Exact dedup by content hash: keep the smallest doc_id per distinct
     * text, report group size. One shuffle on a 128-bit key.
@@ -39,11 +84,11 @@ object Dedup {
     """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text)""".stripMargin
 
-  /** MinHash signatures: 16 min-hashes over distinct 5-char shingles.
+  /** MinHash signatures: `k` min-hashes over distinct 5-char shingles.
     *
     * Uses the standard two-hash construction (Kirsch–Mitzenmacher):
     * h_i(s) = (a(s) + i·b(s)) mod 2^60 with a,b independent md5-derived
-    * hashes — 2 md5 computations per shingle instead of 16 (8× less hash
+    * hashes — 2 md5 computations per shingle instead of k (8× less hash
     * work in the scan, the dominant cost of signature generation at any
     * scale). b is masked to 56 bits so i·b can't overflow a signed 64-bit
     * int in either engine (DuckDB errors on BIGINT overflow).
@@ -51,7 +96,7 @@ object Dedup {
     * The whole signature comes from the fused codegen expression
     * [[graft.functions.MinHashSig]] (same construction, same md5-60, the
     * min is dedup-invariant): a per-document computation with ZERO data
-    * movement — the composed explode → 16-way min-aggregate form it
+    * movement — the composed explode → k-way min-aggregate form it
     * replaces shuffled ~one row per corpus character into an aggregate.
     */
   private val h60Mask = (1L << 60) - 1
@@ -67,36 +112,39 @@ object Dedup {
        |    SELECT doc_id, unnest(${sqlShingles("text", 5)}) AS s FROM documents)))
        |GROUP BY doc_id""".stripMargin
 
-  private def minhashesSql: String = minhashesSqlK(mh)
-
-  /** MinHash + LSH near-dup pairs: band the 16-hash signature into 4 bands
-    * of 4; docs sharing any full band become candidates; report estimated
-    * Jaccard = fraction of matching minhashes. The self-join keys on
-    * (band, signature) — bucket sizes stay tiny, so the join output is
-    * proportional to real near-duplicates at any corpus size.
+  /** Shared banded self-join over MinHash signatures: k-hash signature →
+    * (band, band-signature) explode → equi-join within buckets, signature
+    * riding along so the match-count estimate is computed directly on the
+    * joined rows — no join back to the signatures. The shuffle_hash hint
+    * matters twice over: broadcasting `bands` (bands rows per corpus doc)
+    * cannot scale — it only looks broadcastable on test data — and the
+    * shuffle form gives both sides IDENTICAL exchanges, which Spark dedups
+    * via ReusedExchange: one corpus scan, one signature pass. Output:
+    * (a_id, b_id, est) with est = fraction of matching minhashes.
     */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  private def bandedMinhashPairs(
+      s: SparkSession,
+      dir: String,
+      k: Int,
+      rowsPerBand: Int,
+      bucketCap: Int): DataFrame = {
+    require(k % rowsPerBand == 0, s"rowsPerBand=$rowsPerBand must divide k=$k")
     val sig = Tables.documents(s, dir)
-      .select(col("doc_id"), graft.functions.MinHashSig(col("text"), 5, mh).as("sig"))
-    val bandCols = (0 until mh / bandRows).map { b =>
-      concat_ws(":", (0 until bandRows).map(j =>
-        element_at(col("sig"), b * bandRows + j + 1)): _*)
+      .select(col("doc_id"), graft.functions.MinHashSig(col("text"), 5, k).as("sig"))
+    val bandCols = (0 until k / rowsPerBand).map { b =>
+      concat_ws(":", (0 until rowsPerBand).map(j =>
+        element_at(col("sig"), b * rowsPerBand + j + 1)): _*)
     }
-    // The full signature rides along through the band explode (128 bytes
-    // per row), so est_jaccard is computed directly on the joined rows —
-    // no second/third join back to the signatures. The shuffle_hash hint
-    // matters twice over: broadcasting `bands` (4 rows per corpus doc)
-    // cannot scale — it only looks broadcastable on test data — and the
-    // shuffle form gives both sides IDENTICAL exchanges, which Spark
-    // dedups via ReusedExchange: one corpus scan, one signature pass.
-    val bands = sig
-      .select(col("doc_id"), col("sig"), posexplode(array(bandCols: _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bsig")
+    val bands = capBuckets(
+      sig
+        .select(col("doc_id"), col("sig"), posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bsig"),
+      bucketCap, "band", "bsig")
       .hint("shuffle_hash")
     val a = bands.alias("a")
     val b = bands.alias("b")
-    val matches: Column = (0 until mh)
+    val matches: Column = (0 until k)
       .map(i => when(element_at(col("a.sig"), i + 1) === element_at(col("b.sig"), i + 1), 1)
         .otherwise(0))
       .reduce(_ + _)
@@ -104,29 +152,48 @@ object Dedup {
       .join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        (matches.cast("double") / lit(mh.toDouble)).as("est_jaccard"))
+        (matches.cast("double") / lit(k.toDouble)).as("est"))
       .distinct()
   }
 
-  val minhashLshSql: String = {
-    val bandSelects = (0 until mh / bandRows).map { b =>
-      val sig = (0 until bandRows).map(j => s"h${b * bandRows + j}").mkString("||':'||")
+  /** MinHash + LSH near-dup pairs: band the k-hash signature into bands of
+    * `rowsPerBand`; docs sharing any full band become candidates; report
+    * estimated Jaccard = fraction of matching minhashes. The self-join
+    * keys on (band, signature) — bucket sizes stay tiny on natural
+    * corpora, so the join output is proportional to real near-duplicates
+    * at any corpus size; `bucketCap` bounds the pathological
+    * (template-skewed) case.
+    */
+  def minhashLsh(
+      s: SparkSession,
+      dir: String,
+      k: Int = mh,
+      rowsPerBand: Int = bandRows,
+      bucketCap: Int = NoBucketCap): DataFrame =
+    bandedMinhashPairs(s, dir, k, rowsPerBand, bucketCap)
+      .withColumnRenamed("est", "est_jaccard")
+
+  def minhashLshSqlFor(k: Int, rowsPerBand: Int): String = {
+    val bandSelects = (0 until k / rowsPerBand).map { b =>
+      val sig = (0 until rowsPerBand).map(j => s"h${b * rowsPerBand + j}").mkString("||':'||")
       s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
     }.mkString(" UNION ALL ")
-    val matchSum = (0 until mh)
+    val matchSum = (0 until k)
       .map(i => s"(CASE WHEN ma.h$i = mb.h$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH mh AS (${minhashesSql}),
+    s"""WITH mh AS (${minhashesSqlK(k)}),
        |bands AS ($bandSelects),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
-       |SELECT p.a_id, p.b_id, CAST($matchSum AS DOUBLE) / 16.0 AS est_jaccard
+       |SELECT p.a_id, p.b_id, CAST($matchSum AS DOUBLE) / $k.0 AS est_jaccard
        |FROM pairs p
        |JOIN mh ma ON ma.doc_id = p.a_id
        |JOIN mh mb ON mb.doc_id = p.b_id""".stripMargin
   }
+
+  val minhashLshSql: String = minhashLshSqlFor(mh, bandRows)
 
   /** SimHash (32-bit) over whitespace tokens: per-bit weighted majority
     * vote of token hashes, computed per ROW by the fused codegen
@@ -156,126 +223,168 @@ object Dedup {
        |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes""".stripMargin
   }
 
-  /** SimHash near-dup pairs: band the 32-bit signature into 4 bytes; docs
-    * sharing any full band are candidates (a Hamming distance ≤ 7 pair must
-    * agree on at least one of 4 bands — pigeonhole); verify by exact
-    * Hamming distance over the full signature. The d02 join discipline
-    * applies unchanged: the signature rides through the band explode so the
-    * verify needs no join back, `shuffle_hash` keeps the corpus-sized band
-    * table out of a broadcast and lets the two identical exchanges dedup
-    * via ReusedExchange (one corpus scan, one signature aggregate).
+  /** SimHash near-dup pairs: band the 32-bit signature into `bands` equal
+    * slices; docs sharing any full band are candidates (pigeonhole: a pair
+    * at Hamming distance ≤ bands−1 MUST agree on at least one band, so the
+    * guarantee is complete for distance < bands and approximate above —
+    * the shipped 4×8-bit banding covers ≤ 3 exactly and 4–7
+    * probabilistically; `bands = 8` buys the full ≤ 7 guarantee at the
+    * cost of coarser 4-bit buckets). Verify is exact Hamming distance over
+    * the full signature. The d02 join discipline applies unchanged: the
+    * signature rides through the band explode so the verify needs no join
+    * back, `shuffle_hash` keeps the corpus-sized band table out of a
+    * broadcast and lets the two identical exchanges dedup via
+    * ReusedExchange (one corpus scan, one signature aggregate).
     * Everything is integer arithmetic — bit-identical in any engine.
     */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = simhash(s, dir)
-      .select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bsig")
+  def simhashPairs(
+      s: SparkSession,
+      dir: String,
+      bands: Int = 4,
+      maxHamming: Int = 7,
+      bucketCap: Int = NoBucketCap): DataFrame = {
+    require(32 % bands == 0, s"bands=$bands must divide the 32-bit signature")
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    val banded = capBuckets(
+      simhash(s, dir)
+        .select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bsig"),
+      bucketCap, "band", "bsig")
       .hint("shuffle_hash")
-    val a = bands.alias("a")
-    val b = bands.alias("b")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= 7)
+      .filter(col("hamming") <= maxHamming)
       .distinct()
   }
 
-  val simhashPairsSql: String =
+  def simhashPairsSqlFor(bands: Int, maxHamming: Int): String = {
+    val width = 32 / bands
+    val mask = (1L << width) - 1
     s"""WITH sh AS ($simhashSql),
        |bands AS (
-       |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bsig
-       |  FROM sh, range(0, 4) t(b)),
+       |  SELECT doc_id, simhash, b AS band, (simhash >> (b * $width)) & $mask AS bsig
+       |  FROM sh, range(0, $bands) t(b)),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
-       |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 7""".stripMargin
+       |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= $maxHamming""".stripMargin
+  }
 
-  // d13 banding: calibrated for the 0.8 verify threshold, unlike d02's
-  // (4×4 at k=16, S-curve midpoint ≈0.71, which on a templated corpus
-  // floods the verifier — measured 605 k candidates for 256 true pairs).
-  // 8 rows/band pushes the midpoint to (1/4)^(1/8) ≈ 0.84 and cuts
-  // j≈0.45 template collisions by ~0.45⁴ ≈ 25×.
-  private val vK = 32 // signature length
-  private val vRows = 8 // rows per band → 4 bands
+  val simhashPairsSql: String = simhashPairsSqlFor(4, 7)
+
+  /** Candidate-fed exact n-gram Jaccard verifier — the reusable verify
+    * stage of the scale ladder: takes ANY (a_id, b_id) candidate set (LSH
+    * bands at 100 TB, an inverted index or all-pairs on a bounded slice)
+    * and scores each pair by exact `n`-gram Jaccard, keeping those ≥
+    * `minJaccard`.
+    *
+    * Cost discipline: gram arrays are computed ONLY for docs that appear
+    * in some pair (semi-join prune — at scale the candidate set touches a
+    * small fraction of the corpus), materialized once (both verify sides
+    * read them — recompute-under-reuse otherwise, SCALING.md §2), and each
+    * pair is scored per ROW with `array_intersect` (codegen'd): no
+    * inverted-index join, no Σ df² blowup — verify cost is
+    * O(candidates × gram-array size).
+    */
+  def verifyJaccard(
+      s: SparkSession,
+      dir: String,
+      pairs: DataFrame,
+      n: Int = 5,
+      minJaccard: Double = vJaccard): DataFrame = {
+    // pairs feeds the id prune AND the final join — materialize so an
+    // expensive candidate generator doesn't run twice
+    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val ids = p.select(col("a_id").as("doc_id"))
+      .unionByName(p.select(col("b_id").as("doc_id")))
+      .distinct()
+    val gsel = Tables.documents(s, dir)
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), graft.functions.ShingleHash60s(col("text"), n).as("gs"))
+      .localCheckpoint(true)
+    verifyJaccardOn(gsel, p, minJaccard)
+  }
+
+  /** Verify stage over a pre-materialized gram table (doc_id, gs) — the
+    * corpus-wide callers ([[lshVerifiedPairs]]) pass their own
+    * checkpointed gram pass to avoid a second corpus scan.
+    */
+  private def verifyJaccardOn(gsel: DataFrame, pairs: DataFrame, minJaccard: Double): DataFrame = {
+    val ga = gsel.select(col("doc_id").as("a_id"), col("gs").as("ga"))
+    val gb = gsel.select(col("doc_id").as("b_id"), col("gs").as("gb"))
+    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+    pairs
+      .join(ga, "a_id")
+      .join(gb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        (inter / (size(col("ga")) + size(col("gb")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
 
   /** The composed scale ladder, in one query: corpus-wide MinHash-LSH
     * candidates (NO doc_id bound — the join is banded, so this is the
-    * 100 TB-legal pass) verified by EXACT 5-gram Jaccard at 0.8.
+    * 100 TB-legal pass) verified by EXACT 5-gram Jaccard via
+    * [[verifyJaccard]]'s shared verify stage.
     *
-    * Three calibration decisions, each measured (SCALING.md §3):
-    *  - banding matched to the verify threshold (k=32, 4 bands × 8 rows;
-    *    d02's 4×4 flooded the verifier with j≈0.45 template collisions);
+    * Three calibration decisions, each measured (SCALING.md §3) and each
+    * now an argument:
+    *  - banding matched to the verify threshold (defaults k=32, 4 bands ×
+    *    8 rows = bandsFor(0.8, 32); d02's 4×4 flooded the verifier with
+    *    j≈0.45 template collisions);
     *  - FILTER-AND-VERIFY: candidates first cut on the free signature
     *    estimate (est ≥ 0.6 — at 32 hashes, sd(est) ≈ 0.09, so
     *    P[est < 0.6 | j ≥ 0.8] ≈ 1%), applied AFTER a checkpoint
-    *    barrier: pushed down, the 32-way comparison becomes an
+    *    barrier: pushed down, the k-way comparison becomes an
     *    interpreted join condition evaluated per band collision
     *    (measured 6× slower than the projected form);
     *  - the verifier joins each surviving pair to its two fused gram
     *    arrays ([[graft.functions.ShingleHash60s]], materialized once)
-    *    and intersects per ROW (`array_intersect`, codegen'd) — no
-    *    inverted-index join, no Σ df² blowup: verify cost is
-    *    O(survivors × gram-array size).
+    *    and intersects per ROW.
     */
-  def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = Tables.documents(s, dir)
-      .select(col("doc_id"), graft.functions.MinHashSig(col("text"), 5, vK).as("sig"))
-    val bandCols = (0 until vK / vRows).map { b =>
-      concat_ws(":", (0 until vRows).map(j =>
-        element_at(col("sig"), b * vRows + j + 1)): _*)
-    }
-    val bands = sig
-      .select(col("doc_id"), col("sig"), posexplode(array(bandCols: _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bsig")
-      .hint("shuffle_hash")
-    val a = bands.alias("a")
-    val b = bands.alias("b")
-    val matches: Column = (0 until vK)
-      .map(i => when(element_at(col("a.sig"), i + 1) === element_at(col("b.sig"), i + 1), 1)
-        .otherwise(0))
-      .reduce(_ + _)
+  def lshVerifiedPairs(
+      s: SparkSession,
+      dir: String,
+      k: Int = vK,
+      rowsPerBand: Int = vRows,
+      estMin: Double = vEstMin,
+      jaccardMin: Double = vJaccard,
+      bucketCap: Int = NoBucketCap): DataFrame = {
     // checkpoint = pushdown barrier: est stays a codegen'd projection
     // computed once per distinct pair, never a join condition
-    val pairs = a
-      .join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        (matches.cast("double") / lit(vK.toDouble)).as("est"))
-      .distinct()
+    val pairs = bandedMinhashPairs(s, dir, k, rowsPerBand, bucketCap)
       .localCheckpoint(true)
-    val cand = pairs.filter(col("est") >= 0.6).select(col("a_id"), col("b_id"))
+    val cand = pairs.filter(col("est") >= estMin).select(col("a_id"), col("b_id"))
     // both verify sides read the gram arrays — materialize the corpus-wide
     // md5 gram pass ONCE (recompute-under-reuse otherwise, SCALING.md §2)
     val gsel = Tables.documents(s, dir)
       .select(col("doc_id"), graft.functions.ShingleHash60s(col("text"), 5).as("gs"))
       .localCheckpoint(true)
-    val ga = gsel.select(col("doc_id").as("a_id"), col("gs").as("ga"))
-    val gb = gsel.select(col("doc_id").as("b_id"), col("gs").as("gb"))
-    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
-    cand
-      .join(ga, "a_id")
-      .join(gb, "b_id")
-      .select(col("a_id"), col("b_id"),
-        (inter / (size(col("ga")) + size(col("gb")) - inter)).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+    verifyJaccardOn(gsel, cand, jaccardMin)
   }
 
-  val lshVerifiedPairsSql: String = {
-    val bandSelects = (0 until vK / vRows).map { b =>
-      val sig = (0 until vRows).map(j => s"h${b * vRows + j}").mkString("||':'||")
+  def lshVerifiedPairsSqlFor(
+      k: Int,
+      rowsPerBand: Int,
+      estMin: Double,
+      jaccardMin: Double): String = {
+    val bandSelects = (0 until k / rowsPerBand).map { b =>
+      val sig = (0 until rowsPerBand).map(j => s"h${b * rowsPerBand + j}").mkString("||':'||")
       s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
     }.mkString(" UNION ALL ")
-    val matchSum = (0 until vK)
+    val matchSum = (0 until k)
       .map(i => s"(CASE WHEN ma.h$i = mb.h$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH mh AS (${minhashesSqlK(vK)}),
+    s"""WITH mh AS (${minhashesSqlK(k)}),
        |bands AS ($bandSelects),
        |cpairs AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -285,7 +394,7 @@ object Dedup {
        |  SELECT p.a_id, p.b_id
        |  FROM cpairs p JOIN mh ma ON ma.doc_id = p.a_id
        |  JOIN mh mb ON mb.doc_id = p.b_id
-       |  WHERE CAST($matchSum AS DOUBLE) / ${vK}.0 >= 0.6),
+       |  WHERE CAST($matchSum AS DOUBLE) / $k.0 >= $estMin),
        |grams AS (
        |  SELECT doc_id, list(${sqlHash60("g")}) AS gs FROM (
        |    SELECT DISTINCT doc_id, g FROM (
@@ -299,49 +408,57 @@ object Dedup {
        |  FROM cand c
        |  JOIN grams ga ON ga.doc_id = c.a_id
        |  JOIN grams gb ON gb.doc_id = c.b_id)
-       |SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= 0.8""".stripMargin
+       |SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= $jaccardMin""".stripMargin
   }
 
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) via inverted-index
-    * join on shared 3-grams. Bounded to doc_id < 600: the exact pass is the
-    * *verifier* you run on LSH candidates, not the corpus scan — its join
-    * cost is Σ_g df(g)², which stop-grams make quadratic.
+  val lshVerifiedPairsSql: String = lshVerifiedPairsSqlFor(vK, vRows, vEstMin, vJaccard)
+
+  /** The higher-recall parameterization of the composed ladder, end to
+    * end: k = 48, bandsFor(0.8, 48) = 6 bands of 8 — S-curve midpoint
+    * ≈ 0.80, sitting ON the verify threshold instead of above it, so a
+    * true pair at j = 0.8 is surfaced with probability ≈ 0.66 (vs ≈ 0.52
+    * at the default 4×8) in exchange for more sub-threshold candidates
+    * reaching the verifier. Same code path as the default — this query
+    * exists to keep the parameterization oracle-gated (the DuckDB mirror
+    * is generated from the SAME (k, bands) arguments).
+    */
+  def lshVerifiedK48(s: SparkSession, dir: String): DataFrame = {
+    val k = 48
+    val bands = LshCalibration.bandsFor(vJaccard, k) // = 6
+    lshVerifiedPairs(s, dir, k = k, rowsPerBand = k / bands)
+  }
+
+  val lshVerifiedK48Sql: String = lshVerifiedPairsSqlFor(48, 8, vEstMin, vJaccard)
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.8), re-expressed as
+    * bounded candidate generation + the SHARED verify stage: candidates =
+    * distinct pairs sharing at least one 3-gram (inverted-index self-join
+    * on the fused 60-bit gram hashes — sound, since j > 0 requires a
+    * shared gram), verified by [[verifyJaccard]]. Bounded to doc_id < 600:
+    * the inverted-index candidate pass costs Σ_g df(g)² join rows, which
+    * stop-grams make quadratic — at 100 TB candidates come from LSH bands
+    * ([[lshVerifiedPairs]]) and this exact pass IS the verifier they feed.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 600)
-    // grams join/aggregate on their 60-bit hash, not the string: long keys
-    // shuffle and compare cheaper, and both engines hash identically so
-    // the (negligible, identical) collision behavior is mirrored too.
-    // The distinct-gram hash array comes fused from ShingleHash60s
-    // (string-distinct, so hash collisions still emit both grams — exact
-    // multiset parity with the unnest-DISTINCT oracle) — and because the
-    // array is in hand, each doc's gram count is size(gs) — a per-row
-    // projection, not the explode + count-aggregate pass it used to be.
-    // The intersection aggregate stays NARROW (a_id, b_id only): it runs
-    // over the Σ df(g)² join output, the dominant volume of this query,
-    // so every extra byte in its keys is paid quadratically; the tiny
-    // per-doc sizes attach afterwards. The self-join may broadcast here
-    // because the exact pass is BOUNDED by construction (candidates-only
-    // at scale — this file's scale ladder); an unbounded corpus-wide gram
-    // index would need the shuffle_hash form d02 uses.
-    val gsel = docs
-      .select(col("doc_id"), graft.functions.ShingleHash60s(col("text"), 3).as("gs"))
-    val grams = gsel.select(col("doc_id"), explode(col("gs")).as("g"))
-    val sizes = gsel.select(col("doc_id"), size(col("gs")).as("n"))
+    // grams join on their 60-bit hash, not the string: long keys shuffle
+    // and compare cheaper, and both engines hash identically so the
+    // (negligible, identical) collision behavior is mirrored too. The
+    // candidate output stays NARROW (a_id, b_id only): it runs over the
+    // Σ df(g)² join volume, so every extra byte is paid quadratically.
+    // The self-join may broadcast here because the exact pass is BOUNDED
+    // by construction; an unbounded corpus-wide gram index would need the
+    // shuffle_hash form d02 uses.
+    val grams = docs
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash60s(col("text"), 3)).as("g"))
     val a = grams.alias("a")
     val b = grams.alias("b")
-    val inter = a
+    val cand = a
       .join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("i"))
-    val sa = sizes.alias("sa")
-    val sb = sizes.alias("sb")
-    inter
-      .join(sa, col("a_id") === col("sa.doc_id"))
-      .join(sb, col("b_id") === col("sb.doc_id"))
-      .select(col("a_id"), col("b_id"),
-        (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    verifyJaccard(s, dir, cand, n = 3, minJaccard = 0.8)
   }
 
   val ngramJaccardSql: String =
@@ -350,15 +467,17 @@ object Dedup {
        |    SELECT DISTINCT doc_id, gs FROM (
        |      SELECT doc_id, unnest(${sqlShingles("text", 3)}) AS gs
        |      FROM documents WHERE doc_id < 600))),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
-       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id)
-       |SELECT a_id, b_id,
-       |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON sa.doc_id = a_id
-       |JOIN sizes sb ON sb.doc_id = b_id
-       |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""".stripMargin
+       |garr AS (SELECT doc_id, list(g) AS gs FROM grams GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+       |      / CAST(len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+       |      AS jaccard
+       |  FROM cand c
+       |  JOIN garr ga ON ga.doc_id = c.a_id
+       |  JOIN garr gb ON gb.doc_id = c.b_id)
+       |SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= 0.8""".stripMargin
 }

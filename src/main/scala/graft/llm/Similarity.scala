@@ -10,15 +10,19 @@ import Hashing._
   * (`embedding: array<float>`, 64-dim).
   *
   * Three paths, per the standard ANN playbook:
-  *  - [[bruteKnn]]/[[embedNearDup]]: exact cosine — broadcast the (small)
-  *    query set against the corpus. The baseline/verifier every ANN
-  *    variant is measured against.
-  *  - [[lshKnn]]: multi-table sign-random-projection LSH (8 tables × 4
-  *    bits of deterministic hyperplanes) — candidates only from shared
-  *    buckets; the (table, bucket) equi-join replaces the corpus cross
-  *    product.
+  *  - [[bruteKnn]]/[[embedNearDup]]: exact cosine — the baseline/verifier
+  *    every ANN variant is measured against, now expressed as candidate
+  *    generation + the shared [[verifyCosine]] stage.
+  *  - [[lshKnn]]: multi-table sign-random-projection LSH (deterministic
+  *    md5-derived hyperplanes) — candidates only from shared buckets; the
+  *    (table, bucket) equi-join replaces the corpus cross product.
   *  - [[ivfKnn]]: inverted-file cells around centroids with nprobe
   *    probing — the partition-key formulation.
+  *
+  * Table/bit/cell counts and thresholds are OPERATOR ARGUMENTS with the
+  * shipped calibration as defaults — at 100 TB bucket sizes are
+  * O(corpus/2^bits), so the user retunes bits/tables (and caps oversized
+  * buckets) without touching engine source.
   *
   * Dot products run through the codegen'd [[graft.functions.FloatVecDot]]
   * expression (index-order double accumulation, bit-equal to the HOF
@@ -28,6 +32,13 @@ import Hashing._
 object Similarity {
 
   import graft.functions.FloatVecDot
+
+  // shipped defaults: 8 tables × 4 bits — calibrated for ~0.7 recall@5
+  // with ~2.4× candidate reduction on the near-random synthetic vectors;
+  // real clustered embeddings support more bits per table
+  private val defTables = 8
+  private val defBits = 4
+  private val defCosMin = 0.35
 
   // codegen'd index-order double dot product (see FloatVecDot: bit-equal
   // to the HOF aggregate/zip_with form, ~10× faster on candidate batches)
@@ -103,24 +114,65 @@ object Similarity {
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
        |  FROM scored) WHERE rnk <= 5""".stripMargin
 
+  /** Candidate-fed exact cosine verifier — the reusable verify stage of
+    * the semantic ladder: takes ANY (a_id, b_id) candidate set (sign-LSH
+    * buckets at 100 TB, all-pairs on a bounded slice) and keeps pairs
+    * with cosine ≥ `minCos`. Vectors are attached ONLY for ids that
+    * appear in some pair (semi-join prune), materialized once, and each
+    * pair is scored per row through the codegen'd dot product.
+    */
+  def verifyCosine(
+      s: SparkSession,
+      dir: String,
+      pairs: DataFrame,
+      minCos: Double = defCosMin): DataFrame = {
+    // pairs feeds the id prune AND the final join — materialize so an
+    // expensive candidate generator doesn't run twice
+    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val ids = p.select(col("a_id").as("vec_id"))
+      .unionByName(p.select(col("b_id").as("vec_id")))
+      .distinct()
+    val e = Tables.embeddings(s, dir)
+      .join(ids, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normCol)
+      .localCheckpoint(true)
+    verifyCosineOn(e, p, minCos)
+  }
+
+  /** Verify stage over a pre-materialized vector table (vec_id, embedding,
+    * nrm) — corpus-wide callers ([[signLshPairs]]) pass their own
+    * checkpointed scan to avoid a second corpus pass.
+    */
+  private def verifyCosineOn(e: DataFrame, pairs: DataFrame, minCos: Double): DataFrame = {
+    val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val eb = e.select(col("vec_id").as("b_id"), col("embedding"), col("nrm"))
+    pairs
+      .join(ea, "a_id")
+      .join(eb, "b_id")
+      .withColumn("cos", dotCol / (col("qn") * col("nrm")))
+      .filter(col("cos") >= minCos)
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥ 0.35
     * (threshold calibrated to the synthetic corpus: 271 pairs at sf0.01,
     * nearest value 2.9e-5 from the cut — engine float noise ~1e-15 cannot
-    * flip membership). Output is id pairs only. Bounded to vec_id < 1000:
-    * the exact pairwise pass is the *verifier*; at corpus scale the LSH
-    * buckets of [[lshKnn]] prefilter candidates first.
+    * flip membership), expressed as bounded all-pairs candidate generation
+    * + the SHARED [[verifyCosine]] stage. Bounded to vec_id < 1000: the
+    * exact pairwise pass is the *verifier*; at corpus scale the LSH
+    * buckets of [[signLshPairs]] prefilter candidates first and feed the
+    * same verify code path.
     */
   def embedNearDup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val ids = Tables.embeddings(s, dir)
       .filter(col("vec_id") < 1000)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", normCol)
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("qv"), col("nrm").as("qn"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding"), col("nrm"))
-    a.join(broadcast(b), col("a_id") < col("b_id"))
-      .withColumn("cos", dotCol / (col("qn") * col("nrm")))
-      .filter(col("cos") >= 0.35)
-      .select(col("a_id"), col("b_id"))
+      .select(col("vec_id"))
+    // id-only bounded cross (narrow rows through the only non-equi join),
+    // vectors attach inside the verifier
+    val cand = ids.select(col("vec_id").as("a_id"))
+      .join(broadcast(ids.select(col("vec_id").as("b_id"))), col("a_id") < col("b_id"))
+    verifyCosine(s, dir, cand, defCosMin)
   }
 
   val embedNearDupSql: String =
@@ -133,11 +185,11 @@ object Similarity {
       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35""".stripMargin
 
   /** IVF (inverted-file) ANN: partition the corpus into cells around
-    * centroids; a query probes only its nearest `nprobe` cells.
+    * `nCells` centroids; a query probes only its nearest `nProbe` cells.
     *
     * Centroids are TRAINED with one deterministic Lloyd iteration: seeds =
-    * first 16 vectors, assignment of a fixed sample (vec_id < 200) by
-    * cosine with cid-ascending tiebreak, then the element-wise mean of
+    * first `nCells` vectors, assignment of a fixed sample (vec_id < 200)
+    * by cosine with cid-ascending tiebreak, then the element-wise mean of
     * each cell's sample members. The mean is computed as an ORDERED left
     * fold over members sorted by vec_id — IEEE double addition in a fixed
     * order is bit-identical in every engine, where a partial-aggregated
@@ -156,9 +208,11 @@ object Similarity {
     * corpus/nCells of the data, and the cell assignment is a one-off
     * broadcast join materialized with the corpus.
     */
-  def ivfKnn(s: SparkSession, dir: String): DataFrame = {
-    val nCentroids = 16
-    val nProbe = 2
+  def ivfKnn(
+      s: SparkSession,
+      dir: String,
+      nCells: Int = 16,
+      nProbe: Int = 2): DataFrame = {
     val sampleN = 200
     val dim = 64
     // 5 branches reference e (seeds, sample, scored, qv, corpus) —
@@ -167,7 +221,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normCol)
       .localCheckpoint(false)
-    val seeds = e.filter(col("vec_id") < nCentroids)
+    val seeds = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("qv"), col("nrm").as("cnrm"))
     // E-step on the deterministic sample: nearest seed per sample vector
     val samp = e.filter(col("vec_id") < sampleN)
@@ -186,7 +240,7 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
       .select(col("cid"), meanArr.cast("array<float>").as("qv"))
       .withColumn("cnrm", sqrt(FloatVecDot(col("qv"), col("qv"))))
-    // score every vector against every trained centroid (|corpus| × 16)
+    // score every vector against every trained centroid (|corpus| × nCells)
     val scored = e.crossJoin(broadcast(cent))
       .withColumn("ccos", dotCol / (col("cnrm") * col("nrm")))
     val byVec = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
@@ -268,27 +322,33 @@ object Similarity {
 
   /** Corpus-wide semantic near-dup PAIRS — the embedding twin of
     * [[graft.llm.Dedup.lshVerifiedPairs]]: sign-LSH bucket collisions
-    * (any of 8 tables × 4 bits) generate candidates with NO vec_id
-    * bound, then exact cosine ≥ 0.35 verifies each candidate. Candidate
-    * ids dedup BEFORE vectors re-attach (the d06 discipline: the
-    * distinct shuffles ids, not 64-float payloads), and the verify is
-    * per-row over the codegen'd dot product. Recall is the banding's
-    * (~0.71 for cosine-0.35 pairs at 8×4 — retuned with table/bit
-    * counts at scale); the oracle replays the identical planes, so the
-    * approximate-recall set is still hash-exact.
+    * (any of `nTables` tables × `bits` bits) generate candidates with NO
+    * vec_id bound, then the SHARED [[verifyCosine]] stage keeps exact
+    * cosine ≥ `minCos`. Candidate ids dedup BEFORE vectors re-attach (the
+    * d06 discipline: the distinct shuffles ids, not 64-float payloads).
+    * Recall is the banding's (~0.71 for cosine-0.35 pairs at 8×4 — the
+    * nTables/bits arguments are the retuning knob at scale, and
+    * `bucketCap` bounds template-skewed buckets); the oracle replays the
+    * identical planes, so the approximate-recall set is still hash-exact.
     */
-  def signLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val nTables = 8
-    val bits = 4
+  def signLshPairs(
+      s: SparkSession,
+      dir: String,
+      nTables: Int = defTables,
+      bits: Int = defBits,
+      minCos: Double = defCosMin,
+      bucketCap: Int = Dedup.NoBucketCap): DataFrame = {
     // referenced by the bucket explode AND both verify sides
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normCol)
       .withColumn("sigs", graft.functions.SignLshBuckets(col("embedding"), nTables, bits))
       .localCheckpoint(true)
-    val buckets = e.select(col("vec_id"), posexplode(col("sigs")))
-      .withColumnRenamed("pos", "table_id")
-      .withColumnRenamed("col", "bucket")
+    val buckets = Dedup.capBuckets(
+      e.select(col("vec_id"), posexplode(col("sigs")))
+        .withColumnRenamed("pos", "table_id")
+        .withColumnRenamed("col", "bucket"),
+      bucketCap, "table_id", "bucket")
       .hint("shuffle_hash")
     val a = buckets.alias("a")
     val b = buckets.alias("b")
@@ -297,20 +357,14 @@ object Similarity {
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
-    val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("qv"), col("nrm").as("qn"))
-    val eb = e.select(col("vec_id").as("b_id"), col("embedding"), col("nrm"))
-    pairIds
-      .join(ea, "a_id")
-      .join(eb, "b_id")
-      .withColumn("cos", dotCol / (col("qn") * col("nrm")))
-      .filter(col("cos") >= 0.35)
-      .select(col("a_id"), col("b_id"))
+    verifyCosineOn(e.drop("sigs"), pairIds, minCos)
   }
 
   /** DuckDB mirror of [[signLshPairs]] (same plane derivation as
-    * [[lshKnnSql]], both join sides unbounded).
+    * [[lshKnnSql]], both join sides unbounded), generated from the SAME
+    * (nTables, bits, minCos) arguments as the Spark side.
     */
-  val signLshPairsSql: String =
+  def signLshPairsSqlFor(nTables: Int, bits: Int, minCos: Double): String =
     s"""SELECT a_id, b_id FROM (
        |  WITH e AS (
        |    SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -319,14 +373,14 @@ object Similarity {
        |  planes AS (
        |    SELECT j, i,
        |      (((${Hashing.sqlHash60("j||':'||i")}) % 2000) - 1000)/1000.0 AS w
-       |    FROM range(0, 32) t1(j), range(0, 64) t2(i)),
+       |    FROM range(0, ${nTables * bits}) t1(j), range(0, 64) t2(i)),
        |  dots AS (
        |    SELECT e.vec_id, p.j, SUM(e.v[p.i + 1] * p.w) AS d
        |    FROM e, planes p GROUP BY e.vec_id, p.j),
        |  buckets AS (
-       |    SELECT vec_id, j // 4 AS table_id,
-       |      SUM(CASE WHEN d >= 0 THEN (1 << (j % 4)) ELSE 0 END) AS bucket
-       |    FROM dots GROUP BY vec_id, j // 4),
+       |    SELECT vec_id, j // $bits AS table_id,
+       |      SUM(CASE WHEN d >= 0 THEN (1 << (j % $bits)) ELSE 0 END) AS bucket
+       |    FROM dots GROUP BY vec_id, j // $bits),
        |  cand AS (
        |    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |    FROM buckets a JOIN buckets b
@@ -336,22 +390,24 @@ object Similarity {
        |  FROM cand c
        |  JOIN e ea ON ea.vec_id = c.a_id
        |  JOIN e eb ON eb.vec_id = c.b_id
-       |  WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) >= 0.35)""".stripMargin
+       |  WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) >= $minCos)""".stripMargin
 
-  /** LSH-bucketed ANN: multi-table sign-random-projection (8 tables × 4
-    * bits — calibrated for ~0.7 recall@5 with ~2.4× candidate reduction on
-    * the near-random synthetic vectors; real clustered embeddings support
-    * more bits per table). A vector joins a query's candidate set iff the
-    * two share a full bucket in ANY table; the (table, bucket) equi-join
-    * replaces the corpus cross product — the part that matters at 100 TB,
-    * where bits/tables are retuned so bucket sizes stay O(corpus/2^bits).
-    * The md5-derived hyperplanes make even the bucketing oracle-checkable
-    * ([[lshKnnSql]] recomputes the same planes from the same hashes);
-    * recall vs [[bruteKnn]] is additionally asserted in LlmSpec.
+  val signLshPairsSql: String = signLshPairsSqlFor(defTables, defBits, defCosMin)
+
+  /** LSH-bucketed ANN: multi-table sign-random-projection. A vector joins
+    * a query's candidate set iff the two share a full bucket in ANY table;
+    * the (table, bucket) equi-join replaces the corpus cross product — the
+    * part that matters at 100 TB, where the nTables/bits arguments are
+    * retuned so bucket sizes stay O(corpus/2^bits). The md5-derived
+    * hyperplanes make even the bucketing oracle-checkable ([[lshKnnSql]]
+    * recomputes the same planes from the same hashes); recall vs
+    * [[bruteKnn]] is additionally asserted in LlmSpec.
     */
-  def lshKnn(s: SparkSession, dir: String): DataFrame = {
-    val nTables = 8
-    val bits = 4
+  def lshKnn(
+      s: SparkSession,
+      dir: String,
+      nTables: Int = defTables,
+      bits: Int = defBits): DataFrame = {
     // signatures via the codegen'd SignLshBuckets expression: planes are a
     // pure function of (plane, dim) and materialize identically on every
     // executor — no UDF (the scan stays in whole-stage codegen), no plane
