@@ -23,4 +23,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(evs > 0)
   }
+
+  test("DESCRIBE FUNCTION documents every registered graft_* expression") {
+    graft.functions.GraftFunctions.register(spark)
+    val names = graft.functions.GraftFunctions.names
+    assert(names.size == 11 && names.forall(_.startsWith("graft_")))
+    names.foreach { fn =>
+      val rows = spark.sql(s"DESCRIBE FUNCTION $fn").collect().map(_.getString(0))
+      val usage = rows.find(_.startsWith("Usage:"))
+        .getOrElse(fail(s"$fn: DESCRIBE produced no usage row: ${rows.mkString("; ")}"))
+      assert(usage.replace("Usage:", "").trim.length > 20, s"$fn usage too thin: $usage")
+      assert(!usage.contains("N/A"), s"$fn usage missing: $usage")
+      assert(usage.contains(fn), s"$fn usage should name the function (via _FUNC_): $usage")
+    }
+  }
 }
