@@ -129,4 +129,125 @@ object Multimodal {
       |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |md5(text) AS content_md5
       |FROM documents""".stripMargin
+
+  /** Perceptual fingerprint of one media payload. */
+  case class MediaSig(doc_id: Long, phash: Long)
+
+  /** 60-bit perceptual hash over the payload byte stream: a SimHash vote
+    * over every overlapping 4-byte window (WITH multiplicity — windows are
+    * the "frames" of the stub media, and repeated frames should weigh
+    * more), each window hashed through the engine's portable md5-60. The
+    * construction is the shape of real media fingerprinting (audio
+    * fingerprints vote over overlapping frame features; image pHashes over
+    * local gradients): CONTENT-based, so a small edit anywhere perturbs
+    * only the windows it touches — unlike positional stripe energies,
+    * which realign wholesale when the payload shifts (measured: stripe
+    * hashes put the corpus's true near-dup pairs at Hamming ≥ 9 of 64,
+    * indistinguishable from background; this form puts them at ≤ 5 of 60
+    * with background starting at 6).
+    *
+    * Runs in the same per-partition batch shape as [[extractFeatures]] —
+    * one reusable window buffer per partition standing where a codec/DSP
+    * handle would sit; payloads shorter than one window hash whole.
+    */
+  def perceptualHash(media: Dataset[MediaRow]): Dataset[MediaSig] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val buf = new Array[Byte](4) // per-partition window buffer (codec handle)
+      rows.map { r =>
+        val p = r.payload
+        val n = p.length
+        val votes = new Array[Int](60)
+        def vote(h: Long): Unit = {
+          var j = 0
+          while (j < 60) {
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+        }
+        if (n < 4) vote(graft.functions.Md5Hash60.hash(p))
+        else {
+          var i = 0
+          while (i + 4 <= n) {
+            System.arraycopy(p, i, buf, 0, 4)
+            vote(graft.functions.Md5Hash60.hash(buf))
+            i += 1
+          }
+        }
+        var sig = 0L
+        var j = 0
+        while (j < 60) { if (votes(j) > 0) sig |= 1L << j; j += 1 }
+        MediaSig(r.doc_id, sig)
+      }
+    }
+  }
+
+  /** Perceptual-hash near-dup pairs over the media corpus: fingerprints
+    * from [[perceptualHash]], banded into `bands` equal slices of the
+    * 60-bit signature, bucket self-join, exact Hamming verify ≤
+    * `maxHamming`. With `maxHamming < bands` the pigeonhole makes banding
+    * LOSSLESS — every pair within the threshold shares at least one full
+    * band — so the scalable banded join returns exactly the all-pairs
+    * result (which is what the oracle computes). The d02/d12 join
+    * discipline applies unchanged: the signature rides the band explode
+    * (no join back), `shuffle_hash` keeps corpus-sized band tables out of
+    * broadcasts and dedups the two identical exchanges via ReusedExchange.
+    * Output pairs feed [[DedupResolve.resolveClusters]] like every other
+    * pair signal in the family.
+    */
+  def phashPairs(
+      s: SparkSession,
+      dir: String,
+      bands: Int = 6,
+      maxHamming: Int = 5,
+      bucketCap: Int = Dedup.NoBucketCap): DataFrame = {
+    require(60 % bands == 0, s"bands=$bands must divide the 60-bit signature")
+    require(maxHamming < bands,
+      s"banding is pigeonhole-complete only for maxHamming < bands ($maxHamming >= $bands)")
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    val sigs = perceptualHash(mediaTable(s, dir)).toDF()
+    val banded = Dedup.capBuckets(
+      sigs
+        .select(col("doc_id"), col("phash"),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("phash"), b * width).bitwiseAND(lit(mask))): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bsig"),
+      bucketCap, "band", "bsig")
+      .hint("shuffle_hash")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[phashPairs]]: same md5-60 window hashes, same
+    * votes, then the ALL-PAIRS Hamming join — equal to the banded result
+    * by the pigeonhole argument above, so the oracle independently checks
+    * that banding loses nothing.
+    */
+  val phashPairsSql: String = {
+    val votes = (0 until 60)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val sig = (0 until 60)
+      .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS h FROM (
+       |    SELECT doc_id,
+       |      unnest([substr(text, x, 4) for x in range(1, greatest(length(text)-2, 2))]) AS g
+       |    FROM documents)),
+       |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
+       |p AS (SELECT doc_id, CAST($sig AS BIGINT) AS phash FROM votes)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM p a JOIN p b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 5""".stripMargin
+  }
 }

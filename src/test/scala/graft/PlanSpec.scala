@@ -169,6 +169,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("m02: phash band self-join shuffles on band keys — no Cartesian, no corpus broadcast") {
+    val p = planOf("m02_phash_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p2 = planOf("m02_phash_neardup")
+      assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"), p2)
+    }
+  }
+
   test("t-family: every text-analysis query scans parquet exactly once, explodes at most once") {
     // the family-wide form of the t06 pin — it would have caught t07's
     // recompute-under-broadcast (3 scans / 2 Generates) the round it

@@ -186,6 +186,23 @@ class LlmSpec extends AnyFunSuite {
     (all -- inPairs).foreach(id => assert(kept.contains(id)))
   }
 
+  test("phash near-dup pairs recover exact near-dups and feed cluster resolution") {
+    val pairs = Multimodal.phashPairs(spark, sf)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty, "planted near-dups should collide perceptually")
+    // the perceptual signal recovers most exact 3-gram near-dups
+    val exact = Dedup.ngramJaccard(spark, sf)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(pairs.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"phash recall $recall vs exact (${pairs.size} phash, ${exact.size} exact)")
+    // and the pairs are a first-class member of the resolution pipeline
+    val clusters = DedupResolve.resolveClusters(
+      Multimodal.phashPairs(spark, sf).select($"a_id", $"b_id"))
+    val lbl = clusters.as[(Long, Long)].collect().toMap
+    pairs.foreach { case (a, b) => assert(lbl(a) == lbl(b), s"pair ($a,$b) split") }
+    lbl.foreach { case (id, c) => assert(c <= id && lbl(c) == c, s"($id,$c) not canonical-min") }
+  }
+
   test("langGuess discriminates hand-built samples") {
     val samples = Seq(
       ("the cat and the dog is of a house", "en"),
