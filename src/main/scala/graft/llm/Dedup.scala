@@ -444,20 +444,34 @@ object Dedup {
     // grams join on their 60-bit hash, not the string: long keys shuffle
     // and compare cheaper, and both engines hash identically so the
     // (negligible, identical) collision behavior is mirrored too. The
-    // candidate output stays NARROW (a_id, b_id only): it runs over the
-    // Σ df(g)² join volume, so every extra byte is paid quadratically.
-    // The self-join may broadcast here because the exact pass is BOUNDED
-    // by construction; an unbounded corpus-wide gram index would need the
-    // shuffle_hash form d02 uses.
-    val grams = docs
-      .select(col("doc_id"),
-        explode(graft.functions.ShingleHash60s(col("text"), 3)).as("g"))
+    // shared-gram count aggregate stays NARROW (a_id, b_id only): it runs
+    // over the Σ df(g)² join volume, so every extra byte is paid
+    // quadratically; the tiny per-doc sizes attach afterwards. "Shares
+    // ≥ 1 gram" alone is NOT a usable candidate cut — stop-grams make it
+    // admit nearly every pair (measured: the per-row verify over those
+    // candidates tripled d04) — so candidates are cut by the exact integer
+    // certificate j ≥ 4/5 ⟺ 9·i ≥ 4·(na+nb) BEFORE the shared verify
+    // stage re-scores the handful of survivors per row. The self-join may
+    // broadcast here because the exact pass is BOUNDED by construction;
+    // an unbounded corpus-wide gram index would need the shuffle_hash
+    // form d02 uses.
+    val gsel = docs
+      .select(col("doc_id"), graft.functions.ShingleHash60s(col("text"), 3).as("gs"))
+    val grams = gsel.select(col("doc_id"), explode(col("gs")).as("g"))
+    val sizes = gsel.select(col("doc_id"), size(col("gs")).as("n"))
     val a = grams.alias("a")
     val b = grams.alias("b")
-    val cand = a
+    val inter = a
       .join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("i"))
+    val sa = sizes.alias("sa")
+    val sb = sizes.alias("sb")
+    val cand = inter
+      .join(sa, col("a_id") === col("sa.doc_id"))
+      .join(sb, col("b_id") === col("sb.doc_id"))
+      .filter(col("i") * 9 >= (col("sa.n") + col("sb.n")) * 4)
+      .select(col("a_id"), col("b_id"))
     verifyJaccard(s, dir, cand, n = 3, minJaccard = 0.8)
   }
 
