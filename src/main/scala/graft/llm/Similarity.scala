@@ -125,10 +125,14 @@ object Similarity {
       s: SparkSession,
       dir: String,
       pairs: DataFrame,
-      minCos: Double = defCosMin): DataFrame = {
-    // pairs feeds the id prune AND the final join — materialize so an
-    // expensive candidate generator doesn't run twice
-    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+      minCos: Double = defCosMin,
+      materializePairs: Boolean = true): DataFrame = {
+    // pairs feeds the id prune AND the final join — materialize by default
+    // so an expensive candidate generator doesn't run twice; a caller
+    // whose generator is cheaper than its own materialization (d07's
+    // id-only cross) opts out
+    val p0 = pairs.select(col("a_id"), col("b_id"))
+    val p = if (materializePairs) p0.localCheckpoint(true) else p0
     val ids = p.select(col("a_id").as("vec_id"))
       .unionByName(p.select(col("b_id").as("vec_id")))
       .distinct()
@@ -141,10 +145,11 @@ object Similarity {
   }
 
   /** Verify stage over a pre-materialized vector table (vec_id, embedding,
-    * nrm) — corpus-wide callers ([[signLshPairs]]) pass their own
-    * checkpointed scan to avoid a second corpus pass.
+    * nrm) — callers that already hold the (possibly bounded) vector scan
+    * ([[signLshPairs]], [[embedNearDup]]) pass it directly, skipping
+    * [[verifyCosine]]'s id prune.
     */
-  private def verifyCosineOn(e: DataFrame, pairs: DataFrame, minCos: Double): DataFrame = {
+  private[llm] def verifyCosineOn(e: DataFrame, pairs: DataFrame, minCos: Double): DataFrame = {
     val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("qv"), col("nrm").as("qn"))
     val eb = e.select(col("vec_id").as("b_id"), col("embedding"), col("nrm"))
     pairs
@@ -165,14 +170,19 @@ object Similarity {
     * same verify code path.
     */
   def embedNearDup(s: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.embeddings(s, dir)
+    // the bounded slice IS the candidate universe, so the verifier's id
+    // prune would be a no-op distinct over every pair row — build the
+    // bounded vector table once (it feeds both verify sides) and hand the
+    // id-only cross straight to the shared verify stage
+    val e = Tables.embeddings(s, dir)
       .filter(col("vec_id") < 1000)
-      .select(col("vec_id"))
-    // id-only bounded cross (narrow rows through the only non-equi join),
-    // vectors attach inside the verifier
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normCol)
+      .localCheckpoint(true)
+    val ids = e.select(col("vec_id"))
     val cand = ids.select(col("vec_id").as("a_id"))
       .join(broadcast(ids.select(col("vec_id").as("b_id"))), col("a_id") < col("b_id"))
-    verifyCosine(s, dir, cand, defCosMin)
+    verifyCosineOn(e, cand, defCosMin)
   }
 
   val embedNearDupSql: String =
