@@ -430,6 +430,24 @@ object Dedup {
 
   val lshVerifiedK48Sql: String = lshVerifiedPairsSqlFor(48, 8, vEstMin, vJaccard)
 
+  /** Parameter-GRID gates: the same ladder at two more non-shipped points,
+    * each oracle-compared against SQL generated from the SAME arguments —
+    * these exist to gate the argument PLUMBING itself (band construction,
+    * est arithmetic, verify threshold), not just the shipped defaults.
+    * k=16 in 2 bands of 8 is the low-recall corner (midpoint ≈ 0.92);
+    * k=32 in 8 bands of 4 is the high-recall/noisy-est corner
+    * (midpoint ≈ 0.56 — the verifier earns its keep).
+    */
+  def lshVerifiedK16(s: SparkSession, dir: String): DataFrame =
+    lshVerifiedPairs(s, dir, k = 16, rowsPerBand = 8)
+
+  val lshVerifiedK16Sql: String = lshVerifiedPairsSqlFor(16, 8, vEstMin, vJaccard)
+
+  def lshVerifiedB8(s: SparkSession, dir: String): DataFrame =
+    lshVerifiedPairs(s, dir, k = 32, rowsPerBand = 4)
+
+  val lshVerifiedB8Sql: String = lshVerifiedPairsSqlFor(32, 4, vEstMin, vJaccard)
+
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.8), re-expressed as
     * bounded candidate generation + the SHARED verify stage: candidates =
     * distinct pairs sharing at least one 3-gram (inverted-index self-join

@@ -32,12 +32,25 @@ object Multimodal {
       channels: Int,
       checksum: Long)
 
+  /** The decoder seam: one handle per PARTITION (constructed inside the
+    * task, amortized over its batch — exactly a codec/DSP handle's
+    * lifecycle), decoding each payload to (width, height, channels). A
+    * production deployment swaps in a codec-backed implementation through
+    * the `mkDecoder` factory argument of [[extractFeatures]]/[[resizeTo]]
+    * without touching engine source. The factory crosses the task-closure
+    * boundary, so implementations must be Serializable (function literals
+    * and the stateless decoders here are).
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Int)
+  }
+
   /** STUB decoder — stands in for an image/audio codec (not present in
     * this container). Deterministic over payload bytes so results are
     * reproducible and testable; a real deployment swaps `decode` for a
     * codec call with the same per-partition lifecycle.
     */
-  class StubDecoder {
+  class StubDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
       // ??? real codec goes here; deterministic fake derived from content:
       val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
@@ -64,10 +77,12 @@ object Multimodal {
     * the rows — the mapInPandas/mapPartitions batch-UDF shape. No
     * shuffle; output is a typed Dataset ready for downstream joins.
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(
+      media: Dataset[MediaRow],
+      mkDecoder: () => MediaDecoder = () => new StubDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val decoder = new StubDecoder // per-partition init (codec handle)
+      val decoder = mkDecoder() // per-partition init (codec handle)
       rows.map { r =>
         val (w, h, c) = decoder.decode(r.payload)
         val checksum = r.payload.foldLeft(1469598103934665603L)((a, b) =>
@@ -85,10 +100,13 @@ object Multimodal {
   case class ResizedMedia(
       doc_id: Long, width: Int, height: Int, out_w: Int, out_h: Int, n_bytes: Long)
 
-  def resizeTo(media: Dataset[MediaRow], maxSide: Int): Dataset[ResizedMedia] = {
+  def resizeTo(
+      media: Dataset[MediaRow],
+      maxSide: Int,
+      mkDecoder: () => MediaDecoder = () => new StubDecoder): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val decoder = new StubDecoder
+      val decoder = mkDecoder()
       rows.map { r =>
         val (w, h, _) = decoder.decode(r.payload)
         val scaleNum = maxSide
@@ -146,14 +164,36 @@ object Multimodal {
     * indistinguishable from background; this form puts them at ≤ 5 of 60
     * with background starting at 6).
     *
+    * Each window is hashed through its UPPERCASE-HEX transcription (the
+    * byte string `"68C3A96C"` for window bytes `0x68 0xC3 0xA9 0x6C`)
+    * rather than the raw bytes: a bijective per-window transform, so the
+    * fingerprint's content sensitivity is unchanged, but the window hash
+    * becomes expressible in any engine whose md5 accepts only TEXT —
+    * windows of the raw byte stream split multi-byte UTF-8 codepoints
+    * into invalid text, while their hex transcription is plain ASCII.
+    * This is what keeps the DuckDB mirror ([[phashPairsSql]]) windowing
+    * over BYTES (`to_hex(encode(text))`, stride 2 hex chars) instead of
+    * characters, so Spark/oracle parity holds for non-ASCII payloads too.
+    *
     * Runs in the same per-partition batch shape as [[extractFeatures]] —
     * one reusable window buffer per partition standing where a codec/DSP
     * handle would sit; payloads shorter than one window hash whole.
     */
+  private val HexDigits = "0123456789ABCDEF".getBytes("US-ASCII")
+
   def perceptualHash(media: Dataset[MediaRow]): Dataset[MediaSig] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val buf = new Array[Byte](4) // per-partition window buffer (codec handle)
+      val hexBuf = new Array[Byte](8) // per-partition window buffer (codec handle)
+      def hexAt(src: Array[Byte], off: Int, len: Int, dst: Array[Byte]): Unit = {
+        var j = 0
+        while (j < len) {
+          val b = src(off + j) & 0xff
+          dst(2 * j) = HexDigits(b >>> 4)
+          dst(2 * j + 1) = HexDigits(b & 0xf)
+          j += 1
+        }
+      }
       rows.map { r =>
         val p = r.payload
         val n = p.length
@@ -165,12 +205,15 @@ object Multimodal {
             j += 1
           }
         }
-        if (n < 4) vote(graft.functions.Md5Hash60.hash(p))
-        else {
+        if (n < 4) {
+          val whole = new Array[Byte](2 * n)
+          hexAt(p, 0, n, whole)
+          vote(graft.functions.Md5Hash60.hash(whole))
+        } else {
           var i = 0
           while (i + 4 <= n) {
-            System.arraycopy(p, i, buf, 0, 4)
-            vote(graft.functions.Md5Hash60.hash(buf))
+            hexAt(p, i, 4, hexBuf)
+            vote(graft.functions.Md5Hash60.hash(hexBuf))
             i += 1
           }
         }
@@ -188,7 +231,13 @@ object Multimodal {
     * `maxHamming`. With `maxHamming < bands` the pigeonhole makes banding
     * LOSSLESS — every pair within the threshold shares at least one full
     * band — so the scalable banded join returns exactly the all-pairs
-    * result (which is what the oracle computes). The d02/d12 join
+    * result (which is what the oracle computes). That equality holds ONLY
+    * at the default `bucketCap = NoBucketCap`: a finite cap drops every
+    * pair whose shared bands all sit in over-cap buckets (the deliberate
+    * skew trade-off of [[Dedup.capBuckets]]) while the pigeonhole
+    * `require` below still passes — capped runs are a strict SUBSET of
+    * the all-pairs result and must not be compared against the all-pairs
+    * oracle. The d02/d12 join
     * discipline applies unchanged: the signature rides the band explode
     * (no join back), `shuffle_hash` keeps corpus-sized band tables out of
     * broadcasts and dedups the two identical exchanges via ReusedExchange.
@@ -226,10 +275,18 @@ object Multimodal {
       .distinct()
   }
 
-  /** DuckDB mirror of [[phashPairs]]: same md5-60 window hashes, same
+  /** DuckDB mirror of [[phashPairs]] (at the default `NoBucketCap` only —
+    * see the lossless caveat above): same md5-60 window hashes, same
     * votes, then the ALL-PAIRS Hamming join — equal to the banded result
     * by the pigeonhole argument above, so the oracle independently checks
     * that banding loses nothing.
+    *
+    * Windows are taken over the UTF-8 BYTE stream exactly like the Spark
+    * side: `to_hex(encode(text))` transcribes the payload blob to hex
+    * (DuckDB 1.0's md5 accepts only VARCHAR, and a raw byte window may
+    * split a multi-byte codepoint into invalid text), and each 4-byte
+    * window is the 8-hex-char slice at stride 2 — so a non-ASCII document
+    * windows identically in both engines.
     */
   val phashPairsSql: String = {
     val votes = (0 until 60)
@@ -238,11 +295,15 @@ object Multimodal {
     val sig = (0 until 60)
       .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH toks AS (
+    s"""WITH hx AS (
+       |  SELECT doc_id, to_hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS n
+       |  FROM documents),
+       |toks AS (
        |  SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS h FROM (
        |    SELECT doc_id,
-       |      unnest([substr(text, x, 4) for x in range(1, greatest(length(text)-2, 2))]) AS g
-       |    FROM documents)),
+       |      unnest([substr(hx, 2*x+1, 8) for x in range(0, greatest(n-3, 1))]) AS g
+       |    FROM hx)),
        |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
        |p AS (SELECT doc_id, CAST($sig AS BIGINT) AS phash FROM votes)
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,

@@ -404,6 +404,17 @@ object Similarity {
 
   val signLshPairsSql: String = signLshPairsSqlFor(defTables, defBits, defCosMin)
 
+  /** Parameter-GRID gate: the embedding twin at a non-shipped point —
+    * 4 tables × 8 bits (same 32 planes, regrouped into finer buckets:
+    * fewer, higher-precision candidates), oracle-compared against SQL
+    * generated from the same arguments. Gates the (nTables, bits)
+    * plumbing, not just the shipped 8×4.
+    */
+  def signLshPairs4x8(s: SparkSession, dir: String): DataFrame =
+    signLshPairs(s, dir, nTables = 4, bits = 8)
+
+  val signLshPairs4x8Sql: String = signLshPairsSqlFor(4, 8, defCosMin)
+
   /** LSH-bucketed ANN: multi-table sign-random-projection. A vector joins
     * a query's candidate set iff the two share a full bucket in ANY table;
     * the (table, bucket) equi-join replaces the corpus cross product — the

@@ -203,6 +203,49 @@ class LlmSpec extends AnyFunSuite {
     lbl.foreach { case (id, c) => assert(c <= id && lbl(c) == c, s"($id,$c) not canonical-min") }
   }
 
+  test("phash windows over UTF-8 BYTES: non-ASCII near-dups are found and partition-invariant") {
+    // multi-byte corpus (2/3/4-byte codepoints + sub-window/empty payloads)
+    // with near-dups planted INSIDE the non-ASCII text — the case where a
+    // character-windowed construction would diverge from the byte-windowed
+    // engine. The same fixture is oracle-checked against phashPairsSql via
+    // tools/MakeNonAsciiCorpus + Verify + local_verify.py.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nonascii").toString
+    graft.tools.MakeNonAsciiCorpus.write(spark, tmp)
+    val pairs = Multimodal.phashPairs(spark, tmp)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val planted = Set((0L, 1L), (10L, 11L), (20L, 21L))
+    assert(planted.subsetOf(pairs), s"missed planted non-ASCII near-dups: ${planted -- pairs}")
+    // no cross-language/filler collisions at hamming <= 5
+    assert(pairs == planted, s"unexpected pairs: ${pairs -- planted}")
+    // signatures are a pure function of payload bytes — invariant to layout
+    val sigs1 = Multimodal.perceptualHash(Multimodal.mediaTable(spark, tmp))
+      .collect().map(s => (s.doc_id, s.phash)).toSet
+    val sigs2 = Multimodal.perceptualHash(
+      Multimodal.mediaTable(spark, tmp).repartition(7)).collect()
+      .map(s => (s.doc_id, s.phash)).toSet
+    assert(sigs1 == sigs2)
+  }
+
+  test("decoder seam: a swapped codec drives extractFeatures/resizeTo without engine edits") {
+    val media = Multimodal.mediaTable(spark, sf)
+    // fake "codec" with different deterministic geometry than the stub
+    class FakeCodec extends Multimodal.MediaDecoder {
+      def decode(payload: Array[Byte]): (Int, Int, Int) =
+        (32 + payload.length % 16, 32, 1)
+    }
+    val feats = Multimodal.extractFeatures(media, () => new FakeCodec).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(f => f.height == 32 && f.channels == 1))
+    val sizes = media.collect().map(m => m.doc_id -> m.n_bytes).toMap
+    feats.foreach(f => assert(f.width == 32 + (sizes(f.doc_id) % 16).toInt, f.toString))
+    // resize runs through the same seam
+    val resized = Multimodal.resizeTo(media, 16, () => new FakeCodec).collect()
+    resized.foreach(r => assert(math.max(r.out_w, r.out_h) == 16, r.toString))
+    // and the default path (stub) is unchanged
+    val stub = Multimodal.extractFeatures(media).collect()
+    assert(stub.forall(f => f.channels == 3))
+  }
+
   test("langGuess discriminates hand-built samples") {
     val samples = Seq(
       ("the cat and the dog is of a house", "en"),

@@ -85,18 +85,23 @@ class LshParamSpec extends AnyFunSuite {
   // ------------------------------------------- variant parameterization (d17)
 
   test("d17 (k=48, 6 bands) is the same ladder at higher recall: superset of d13's pairs") {
-    val d13 = Dedup.lshVerifiedPairs(spark, sf)
-      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
-    val d17 = Dedup.lshVerifiedK48(spark, sf)
-      .select($"a_id", $"b_id", $"jaccard").as[(Long, Long, Double)].collect()
     // exactness is parameter-independent: every emitted pair is a true pair
-    assert(d17.forall(_._3 >= 0.8))
+    val d17Shipped = Dedup.lshVerifiedK48(spark, sf)
+      .select($"jaccard").as[Double].collect()
+    assert(d17Shipped.forall(_ >= 0.8))
     // k=48 extends the k=32 signature (same h_i = a + i*b stream), so its
-    // 6 bands of 8 CONTAIN d13's 4 bands of 8 — candidates, and with est
-    // noise margins the verified set, can only grow
-    val d17Pairs = d17.map(p => (p._1, p._2)).toSet
-    assert(d13.subsetOf(d17Pairs), s"d13-only: ${d13 -- d17Pairs}")
-    assert(d17Pairs.size >= d13.size)
+    // 6 bands of 8 CONTAIN d13's 4 bands of 8 — the CANDIDATE set can only
+    // grow. The shipped est ≥ 0.6 prefilter would make the verified-set
+    // comparison data-dependent (est is re-estimated over k=48 hashes, so
+    // a borderline pair can sit above 0.6 at k=32 and below it at k=48);
+    // comparing with estMin = 0 removes that noise, making the superset
+    // deterministic: verified = candidates ∩ {jaccard ≥ 0.8} on both sides
+    val d13 = Dedup.lshVerifiedPairs(spark, sf, estMin = 0.0)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val d17 = Dedup.lshVerifiedPairs(spark, sf, k = 48, rowsPerBand = 8, estMin = 0.0)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(d13.subsetOf(d17), s"d13-only: ${d13 -- d17}")
+    assert(d17.size >= d13.size)
   }
 
   // ------------------------------------------------------- skewed-bucket cap

@@ -31,7 +31,15 @@ def main():
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata: single file; Spark-written fixtures: a directory
+        # of part files. Missing tables are skipped (partial corpora, e.g.
+        # documents-only parity checks).
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        try:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
+        except Exception:
+            pass
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
