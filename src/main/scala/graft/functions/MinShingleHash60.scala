@@ -36,10 +36,10 @@ case class MinShingleHash60(child: Expression, n: Int) extends UnaryExpression {
         s"requires string input, got ${child.dataType.catalogString}")
 
   override protected def nullSafeEval(input: Any): Any =
-    MinShingleHash60.eval(input.asInstanceOf[UTF8String], n)
+    MinShingleHash60.minHash(input.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinShingleHash60.eval($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinShingleHash60.minHash($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): MinShingleHash60 =
     copy(child = newChild)
@@ -51,8 +51,16 @@ object MinShingleHash60 {
     * Windows slide by code point (Spark `substr` semantics); the byte span
     * of window w is [offset(w), offset(w+n)) against the code-point offset
     * table. A string shorter than n (including empty) hashes once, whole.
+    *
+    * Named `minHash`, NOT `eval`: generated code calls this as a STATIC
+    * forwarder on the companion class, and scalac omits the forwarder when
+    * the case class inherits a member of the same name
+    * (`Expression.eval`) — with the old name Janino failed compilation
+    * ("no applicable method for (UTF8String, int)") and every t04 plan
+    * silently ran with whole-stage codegen DISABLED (the unexplained
+    * CodeGenerator.doCompile trace in the r6/r7 bench tails).
     */
-  def eval(s: UTF8String, n: Int): Long = {
+  def minHash(s: UTF8String, n: Int): Long = {
     val bytes = s.getBytes
     val total = bytes.length
     // code-point start offsets (ASCII fast path: offsets are identity)

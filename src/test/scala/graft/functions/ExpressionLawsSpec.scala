@@ -66,10 +66,10 @@ object ExpressionLawsSpec extends Properties("ExpressionLaws") {
       got == ref
     }
 
-  property("MinShingleHash60.eval ≡ min of md5-60 over windows") =
+  property("MinShingleHash60.minHash ≡ min of md5-60 over windows") =
     Prop.forAll(text, width) { (s, n) =>
       val ref = refWindows(s, n).map(refHash60).min
-      MinShingleHash60.eval(UTF8String.fromString(s), n) == ref
+      MinShingleHash60.minHash(UTF8String.fromString(s), n) == ref
     }
 
   property("ShingleHash60s.hashes ≡ distinct windows hashed, first-occurrence order") =
