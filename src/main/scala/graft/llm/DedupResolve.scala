@@ -22,7 +22,16 @@ object DedupResolve {
     * connected component. Ids not present in any pair are absent (they are
     * their own cluster).
     */
-  def resolveClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    resolveClustersCounted(pairs, maxIter)._1
+
+  /** [[resolveClusters]] plus the number of rounds the propagation ran —
+    * at scale the ROUND COUNT is the cost of resolution (each round is a
+    * full join+agg over the edge set), so the scale harness
+    * ([[graft.tools.ScaleBench]]) records it per corpus size to verify
+    * the O(log diameter) claim empirically.
+    */
+  def resolveClustersCounted(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     // materialize the pair source ONCE before the two-direction union —
     // both union branches reference it, and an unmaterialized expensive
     // producer (e.g. the Jaccard join) would run twice (the
@@ -77,7 +86,7 @@ object DedupResolve {
       }
       iter += 1
     }
-    labels
+    (labels, iter)
   }
 
   /** Deduplicated corpus: every doc, minus non-representative members of

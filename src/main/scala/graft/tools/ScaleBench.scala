@@ -1,0 +1,219 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, DedupResolve, Multimodal, Similarity}
+
+/** Scale-measurement harness over the synthetic corpora from
+  * [[MakeScaleCorpus]] — turns SCALING.md's 100× arguments into measured
+  * numbers (VERDICT r7 "what's missing" #1). No DuckDB oracle exists at
+  * these sizes, so correctness is gated by INVARIANTS with known ground
+  * truth by construction:
+  *
+  *  - canonical pair order (a_id < b_id) and distinctness;
+  *  - NO cross-replica pairs (replicas are cipher-rotated — any pair
+  *    spanning two reps is a false positive by construction);
+  *  - injected-twin recall (every 50th doc has a J ≈ 0.95 twin; the
+  *    shipped 4×8 banding should surface ≈ 99% of them);
+  *  - kept = n − losers, representative = min id of its component, and
+  *    the idempotence certificate: no verified pair survives with BOTH
+  *    endpoints kept (each edge loses ≥ 1 endpoint — rerunning dedup on
+  *    the output finds nothing).
+  *
+  * Modes:
+  *  - `clean`: d13 ladder (stage-by-stage candidate/est/verified counts),
+  *    d14 corpus dedup (+ resolution rounds), d16 semantic dedup (sign-LSH
+  *    bits scaled with corpus size AND the fixed-bits point, to measure
+  *    the quadratic-at-fixed-bits vs linear-when-retuned contrast), m02
+  *    perceptual-hash pairs.
+  *  - `skew`: the capBuckets ladder on the template-block corpus —
+  *    candidates and wall at NoBucketCap / 32 / 10.
+  *  - `chain`: resolution rounds vs component diameter (chains of length
+  *    4/16/64/256 — the workload replication can't produce).
+  *
+  * Wall times are min-of-2 (the bench protocol). One JSON line per
+  * measurement on stdout, prefixed `[scale]`.
+  *
+  * `sbt "runMain graft.tools.ScaleBench <corpusDir> <label> <mode>"`
+  */
+object ScaleBench {
+  private val Stride = MakeScaleCorpus.Stride
+  private val InjOff = MakeScaleCorpus.InjectOffset
+
+  private def emit(fields: (String, Any)*): Unit = {
+    val body = fields.map {
+      case (k, v: String) => s""""$k":"$v""""
+      case (k, v: Double) => s""""$k":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}"""
+      case (k, v) => s""""$k":$v"""
+    }.mkString(",")
+    println(s"[scale] {$body}")
+  }
+
+  private def timed2(f: => Long): (Double, Long) = {
+    def once: (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val a = once; val b = once
+    (math.min(a._1, b._1), b._2)
+  }
+
+  /** Invariant counters over a verified pair set. */
+  private def pairInvariants(pairs: DataFrame): (Long, Long) = {
+    val badOrder = pairs.filter(col("a_id") >= col("b_id")).count()
+    val crossRep = pairs
+      .filter(floor(col("a_id") / Stride) =!= floor(col("b_id") / Stride)).count()
+    (badOrder, crossRep)
+  }
+
+  /** Fraction of injected (x, x + InjOff) twin pairs present in `pairs`. */
+  private def injectRecall(pairs: DataFrame, ids: DataFrame, idCol: String): (Long, Long) = {
+    val expected = ids
+      .filter(col(idCol) % Stride < InjOff && col(idCol) % Stride % MakeScaleCorpus.InjectEvery === 0
+        && col(idCol) % Stride / MakeScaleCorpus.InjectEvery < 100000) // originals only
+      .select(col(idCol).as("a_id"), (col(idCol) + InjOff).as("b_id"))
+      // only count twins that exist (every original has one by construction)
+      .join(ids.select(col(idCol).as("b_id")), Seq("b_id"), "left_semi")
+    val nExp = expected.count()
+    val found = expected.join(pairs.select("a_id", "b_id"), Seq("a_id", "b_id"), "left_semi").count()
+    (found, nExp)
+  }
+
+  private def clean(s: SparkSession, dir: String, label: String): Unit = {
+    val docs = graft.Tables.documents(s, dir)
+    val vecs = graft.Tables.embeddings(s, dir)
+    val nDocs = docs.count()
+    val nVecs = vecs.count()
+    emit("corpus" -> label, "op" -> "corpus", "n_docs" -> nDocs, "n_vecs" -> nVecs)
+
+    // ---- d13 ladder, stage by stage
+    val (candW, candN) = timed2(Dedup.minhashLsh(s, dir, k = 32, rowsPerBand = 8).count())
+    val estN = Dedup.minhashLsh(s, dir, k = 32, rowsPerBand = 8)
+      .filter(col("est_jaccard") >= 0.6).count()
+    val (d13W, d13N) = timed2(Dedup.lshVerifiedPairs(s, dir).count())
+    val d13 = Dedup.lshVerifiedPairs(s, dir)
+    val (bad13, cross13) = pairInvariants(d13)
+    val (found13, exp13) = injectRecall(d13, docs.select("doc_id"), "doc_id")
+    emit("corpus" -> label, "op" -> "d13", "wall" -> d13W, "out" -> d13N,
+      "cand" -> candN, "cand_wall" -> candW, "est_pass" -> estN,
+      "bad_order" -> bad13, "cross_rep" -> cross13,
+      "inject_found" -> found13, "inject_expected" -> exp13)
+
+    // ---- d13 with the bucket cap: quantifies the capBuckets mitigation on
+    // the NATURAL anchor buckets (the KM two-hash construction lets one
+    // small-(a,b) stop-shingle anchor all rows of a band — rep 0's hot
+    // bucket emits ~14.7k candidates on its own). Measures the candidate
+    // collapse and the verified-output delta (pairs whose ONLY shared
+    // band was the anchor bucket).
+    val (candCapW, candCapN) =
+      timed2(Dedup.minhashLsh(s, dir, k = 32, rowsPerBand = 8, bucketCap = 32).count())
+    val (d13cW, d13cN) = timed2(Dedup.lshVerifiedPairs(s, dir, bucketCap = 32).count())
+    emit("corpus" -> label, "op" -> "d13cap32", "wall" -> d13cW, "out" -> d13cN,
+      "cand" -> candCapN, "cand_wall" -> candCapW, "out_delta" -> (d13N - d13cN))
+
+    // ---- d14 corpus dedup + resolution rounds
+    val (d14W, kept) = timed2(DedupResolve.corpusDedupPipeline(s, dir).count())
+    val (labels, rounds) = DedupResolve.resolveClustersCounted(
+      Dedup.lshVerifiedPairs(s, dir).select(col("a_id"), col("b_id")))
+    val losers = labels.filter(col("id") =!= col("cluster")).count()
+    val repBad = labels.groupBy(col("cluster")).agg(min(col("id")).as("m"))
+      .filter(col("m") =!= col("cluster")).count()
+    val bothKept = {
+      val keptIds = DedupResolve.corpusDedupPipeline(s, dir).select(col("doc_id"))
+      d13.select("a_id", "b_id")
+        .join(keptIds.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
+        .join(keptIds.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
+        .count()
+    }
+    emit("corpus" -> label, "op" -> "d14", "wall" -> d14W, "kept" -> kept,
+      "rounds" -> rounds, "losers" -> losers,
+      "kept_identity_ok" -> (kept == nDocs - losers),
+      "rep_min_violations" -> repBad, "pairs_both_kept" -> bothKept)
+
+    // ---- d16 semantic dedup: shipped bits (quadratic at fixed bits) vs
+    // bits retuned to corpus size (the scale path). target bucket ≈ 125
+    // vecs = the sf0.1 default's operating point (2000 / 2^4). The
+    // invariant-gated run uses minCos = 0.8 (the near-dup regime): the
+    // sign-flip replica construction guarantees cross-rep cosines
+    // concentrate at 0 ± 1/√64, which separates 0.8 by ~6σ but NOT the
+    // shipped 0.35 exploratory threshold — the 0.35 point is timed without
+    // the cross-rep gate.
+    val bitsScaled = math.max(4,
+      (math.log(nVecs.toDouble / 125.0) / math.log(2)).round.toInt)
+    val (pairsFixW, pairsFixN) =
+      if (nVecs <= 30000) timed2(Similarity.signLshPairs(s, dir).count())
+      else (-1.0, -1L) // fixed 4-bit buckets at this size: measured quadratic, skipped
+    val (pairsSclW, pairsSclN) = timed2(
+      Similarity.signLshPairs(s, dir, bits = bitsScaled).count())
+    val (p08W, p08N) = timed2(
+      Similarity.signLshPairs(s, dir, bits = bitsScaled, minCos = 0.8).count())
+    val p08 = Similarity.signLshPairs(s, dir, bits = bitsScaled, minCos = 0.8)
+    val (bad16, cross16) = pairInvariants(p08)
+    val (found16, exp16) = injectRecall(p08, vecs.select("vec_id"), "vec_id")
+    val (labels16, rounds16) = DedupResolve.resolveClustersCounted(
+      p08.select(col("a_id"), col("b_id")))
+    val losers16 = labels16.filter(col("id") =!= col("cluster")).count()
+    emit("corpus" -> label, "op" -> "d16", "bits_scaled" -> bitsScaled,
+      "wall_scaled035" -> pairsSclW, "out_scaled035" -> pairsSclN,
+      "wall_fixed4" -> pairsFixW, "out_fixed4" -> pairsFixN,
+      "wall_cos08" -> p08W, "out_cos08" -> p08N,
+      "rounds" -> rounds16, "losers" -> losers16,
+      "bad_order" -> bad16, "cross_rep" -> cross16,
+      "inject_found" -> found16, "inject_expected" -> exp16)
+
+    // ---- m02 perceptual-hash pairs
+    val (m02W, m02N) = timed2(Multimodal.phashPairs(s, dir).count())
+    val (badM, crossM) = pairInvariants(Multimodal.phashPairs(s, dir))
+    emit("corpus" -> label, "op" -> "m02", "wall" -> m02W, "out" -> m02N,
+      "bad_order" -> badM, "cross_rep" -> crossM)
+  }
+
+  private def skew(s: SparkSession, dir: String, label: String): Unit = {
+    val nDocs = graft.Tables.documents(s, dir).count()
+    for (cap <- Seq(Dedup.NoBucketCap, 32, 10)) {
+      val capName = if (cap == Dedup.NoBucketCap) "none" else cap.toString
+      val (candW, candN) =
+        timed2(Dedup.minhashLsh(s, dir, k = 32, rowsPerBand = 8, bucketCap = cap).count())
+      val (ladW, ladN) = timed2(Dedup.lshVerifiedPairs(s, dir, bucketCap = cap).count())
+      emit("corpus" -> label, "op" -> "capladder", "n_docs" -> nDocs,
+        "cap" -> capName, "cand" -> candN, "cand_wall" -> candW,
+        "verified" -> ladN, "ladder_wall" -> ladW)
+    }
+  }
+
+  private def chain(s: SparkSession, dir: String, label: String): Unit = {
+    val pairs = Dedup.lshVerifiedPairs(s, dir).localCheckpoint(true)
+    for (len <- Seq(4, 16, 64, 256)) {
+      val lo = len.toLong * 10000L
+      val sub = pairs.filter(col("a_id") >= lo && col("a_id") < lo + 10000L)
+      val nPairs = sub.count()
+      val (labels, rounds) = DedupResolve.resolveClustersCounted(
+        sub.select(col("a_id"), col("b_id")))
+      // each chain is one component ⇒ every node labels to the chain head
+      val comps = labels.select(col("cluster")).distinct().count()
+      val members = labels.count()
+      emit("corpus" -> label, "op" -> "chain", "len" -> len, "pairs" -> nPairs,
+        "rounds" -> rounds, "components" -> comps, "members" -> members)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(dir, label, mode) = args.take(3)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    mode match {
+      case "clean" => clean(spark, dir, label)
+      case "skew" => skew(spark, dir, label)
+      case "chain" => chain(spark, dir, label)
+      case other => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}
