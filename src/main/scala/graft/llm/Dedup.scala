@@ -376,7 +376,8 @@ object Dedup {
       k: Int,
       rowsPerBand: Int,
       estMin: Double,
-      jaccardMin: Double): String = {
+      jaccardMin: Double,
+      bucketCap: Int = NoBucketCap): String = {
     val bandSelects = (0 until k / rowsPerBand).map { b =>
       val sig = (0 until rowsPerBand).map(j => s"h${b * rowsPerBand + j}").mkString("||':'||")
       s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
@@ -384,8 +385,21 @@ object Dedup {
     val matchSum = (0 until k)
       .map(i => s"(CASE WHEN ma.h$i = mb.h$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
+    // the cap replays Dedup.capBuckets exactly: count per (band, sig)
+    // bucket, drop over-cap buckets BEFORE the self-join. Emitted only for
+    // a finite cap so the uncapped oracles' SQL text is unchanged.
+    val bandsCte =
+      if (bucketCap == NoBucketCap) s"bands AS ($bandSelects)"
+      else
+        s"""bands_all AS ($bandSelects),
+           |bands AS (
+           |  SELECT doc_id, band, sig FROM (
+           |    SELECT doc_id, band, sig,
+           |      COUNT(*) OVER (PARTITION BY band, sig) AS bn
+           |    FROM bands_all)
+           |  WHERE bn <= $bucketCap)""".stripMargin
     s"""WITH mh AS (${minhashesSqlK(k)}),
-       |bands AS ($bandSelects),
+       |$bandsCte,
        |cpairs AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b
@@ -447,6 +461,23 @@ object Dedup {
     lshVerifiedPairs(s, dir, k = 32, rowsPerBand = 4)
 
   val lshVerifiedB8Sql: String = lshVerifiedPairsSqlFor(32, 4, vEstMin, vJaccard)
+
+  /** The CAPPED ladder, oracle-gated: same d13 defaults with
+    * `bucketCap = 32`, against a DuckDB mirror that replays the cap as a
+    * window filter over the same (band, signature) key — so the skew
+    * guard itself is hash-exact gated, not just spec-fixtured. The scale
+    * runs (SCALING.md §3b) measured this cap collapsing the KM
+    * anchor-bucket flood (14.7k → 5.2k candidates at sf0.1) with zero
+    * change to the verified output; at 100 TB the cap is mandatory, so
+    * its correctness deserves the same gate as the uncapped path.
+    */
+  val capGateCap = 32
+
+  def lshVerifiedCapped(s: SparkSession, dir: String): DataFrame =
+    lshVerifiedPairs(s, dir, bucketCap = capGateCap)
+
+  val lshVerifiedCappedSql: String =
+    lshVerifiedPairsSqlFor(vK, vRows, vEstMin, vJaccard, bucketCap = capGateCap)
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.8), re-expressed as
     * bounded candidate generation + the SHARED verify stage: candidates =

@@ -59,4 +59,25 @@ object LshCalibration {
     val divisors = (1 to k).filter(k % _ == 0)
     divisors.minBy(b => math.abs(midpointApprox(b, k / b) - threshold))
   }
+
+  /** Sign-LSH bucket-width calibration: the bit count that keeps the
+    * expected bucket population near `targetBucket` as the corpus grows —
+    * bits = round(log₂(n / targetBucket)), floored at `minBits` (round,
+    * not ceil: the nearest power keeps the bucket closest to target on
+    * both sides — the measured ×1/×10/×50 points are 4/7/10 bits).
+    *
+    * This is the knob that turns the sign-LSH self-join from quadratic to
+    * linear: a (table, bucket) key holds ~n/2^bits vectors and emits
+    * ~C(n/2^bits, 2) candidate pairs, so FIXED bits mean candidates grow
+    * ∝ n² (measured, SCALING.md §3b: 75 s vs 5.8 s at ×10 corpus size)
+    * while bits that track log₂(n) hold the per-bucket population — and
+    * hence candidates per vector — constant. The default targetBucket is
+    * the shipped sf0.1 operating point (2 000 vectors / 2⁴ buckets ≈ 125).
+    */
+  def bitsFor(n: Long, targetBucket: Int = 125, minBits: Int = 4): Int = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(targetBucket >= 1 && minBits >= 1, s"bad calibration ($targetBucket, $minBits)")
+    math.max(minBits,
+      math.round(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
+  }
 }

@@ -137,8 +137,7 @@ object ScaleBench {
     // concentrate at 0 ± 1/√64, which separates 0.8 by ~6σ but NOT the
     // shipped 0.35 exploratory threshold — the 0.35 point is timed without
     // the cross-rep gate.
-    val bitsScaled = math.max(4,
-      (math.log(nVecs.toDouble / 125.0) / math.log(2)).round.toInt)
+    val bitsScaled = graft.llm.LshCalibration.bitsFor(nVecs)
     val (pairsFixW, pairsFixN) =
       if (nVecs <= 30000) timed2(Similarity.signLshPairs(s, dir).count())
       else (-1.0, -1L) // fixed 4-bit buckets at this size: measured quadratic, skipped

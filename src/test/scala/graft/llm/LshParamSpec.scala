@@ -36,6 +36,26 @@ class LshParamSpec extends AnyFunSuite {
     assert(bandsFor(0.7, 16) == 4)
   }
 
+  test("LshCalibration.bitsFor tracks corpus size to hold sign-LSH buckets near target") {
+    import LshCalibration._
+    // the measured scale points (SCALING.md §3b): 2 040 / 20 400 / 102 000
+    // vectors calibrate to 4 / 7 / 10 bits
+    assert(bitsFor(2040) == 4)
+    assert(bitsFor(20400) == 7)
+    assert(bitsFor(102000) == 10)
+    // shipped default is the sf0.1 operating point
+    assert(bitsFor(2000) == 4)
+    // monotone in n, and the resulting expected bucket stays within 2× of
+    // target on either side (the round-to-nearest guarantee)
+    val ns = Seq(1000L, 5000L, 50000L, 500000L, 5000000L)
+    val bits = ns.map(bitsFor(_))
+    assert(bits == bits.sorted)
+    for (n <- ns.drop(1)) { // above the minBits floor
+      val bucket = n.toDouble / (1L << bitsFor(n))
+      assert(bucket >= 125.0 / 2 && bucket <= 125.0 * 2, s"n=$n bucket=$bucket")
+    }
+  }
+
   // ------------------------------------------------------- candidate-fed verify
 
   test("verifyJaccard scores exactly the fed candidates, nothing else") {
