@@ -179,6 +179,22 @@ object ScaleBench {
     }
   }
 
+  /** The recall knob at scale: the same ladder at d17's k=48/6-band
+    * parameterization (S-curve midpoint ON the 0.8 threshold) vs the
+    * shipped k=32/4×8 — measures injected-twin recall and verifier volume
+    * side by side on a scale corpus.
+    */
+  private def k48(s: SparkSession, dir: String, label: String): Unit = {
+    val docs = graft.Tables.documents(s, dir)
+    for ((k, rpb, name) <- Seq((32, 8, "k32x4"), (48, 8, "k48x6"))) {
+      val (w, n) = timed2(Dedup.lshVerifiedPairs(s, dir, k = k, rowsPerBand = rpb).count())
+      val pairs = Dedup.lshVerifiedPairs(s, dir, k = k, rowsPerBand = rpb)
+      val (found, exp) = injectRecall(pairs, docs.select("doc_id"), "doc_id")
+      emit("corpus" -> label, "op" -> "recall", "params" -> name,
+        "wall" -> w, "out" -> n, "inject_found" -> found, "inject_expected" -> exp)
+    }
+  }
+
   private def chain(s: SparkSession, dir: String, label: String): Unit = {
     val pairs = Dedup.lshVerifiedPairs(s, dir).localCheckpoint(true)
     for (len <- Seq(4, 16, 64, 256)) {
@@ -211,6 +227,7 @@ object ScaleBench {
       case "clean" => clean(spark, dir, label)
       case "skew" => skew(spark, dir, label)
       case "chain" => chain(spark, dir, label)
+      case "k48" => k48(spark, dir, label)
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
