@@ -195,6 +195,59 @@ object ScaleBench {
     }
   }
 
+  /** Streaming state posture at scale: drive the corpus through
+    * `DocStream.ingestedBounded` (watermarked dedup — state bounded by the
+    * re-delivery horizon) vs `ingested` (lifetime dedup — state grows with
+    * the corpus) in micro-batches, and record per-batch dedup-state rows
+    * from the progress metrics. The measured claim (SCALING.md §4): with
+    * `dropDuplicatesWithinWatermark` state tracks the horizon, not the
+    * stream history. Timing-dependent (watermark advances in processing
+    * time here), so this reports metrics rather than gating them.
+    */
+  private def stream(s: SparkSession, dir: String, label: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    def stage(): String = {
+      val d = Files.createTempDirectory("scale-stream")
+      d.toFile.deleteOnExit()
+      val parts = Files.list(Paths.get(s"$dir/documents.parquet")).iterator()
+      var i = 0
+      while (parts.hasNext) {
+        val p = parts.next()
+        if (p.toString.endsWith(".parquet")) {
+          Files.createSymbolicLink(d.resolve(f"part-$i%05d.parquet"), p)
+          i += 1
+        }
+      }
+      d.toString
+    }
+    for ((mode, horizon) <- Seq(("bounded", Some("2 seconds")), ("lifetime", None))) {
+      val src = s.readStream.schema(graft.streaming.DocStream.docsSchema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(stage())
+        .withColumn("ingest_ts", current_timestamp())
+      val out = horizon match {
+        case Some(h) => graft.streaming.DocStream.ingestedBounded(src, "ingest_ts", h)
+        case None => graft.streaming.DocStream.ingested(src)
+      }
+      val q = out.writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("scale-stream-ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      progress.zipWithIndex.foreach { case (p, i) =>
+        val state = p.stateOperators.headOption
+        emit("corpus" -> label, "op" -> "stream", "mode" -> mode, "batch" -> i,
+          "input_rows" -> p.numInputRows,
+          "state_rows" -> state.map(_.numRowsTotal).getOrElse(-1L),
+          "rows_dropped_by_watermark" ->
+            state.map(_.customMetrics.getOrDefault("numDroppedDuplicateRows", -1L))
+              .getOrElse(-1L))
+      }
+    }
+  }
+
   private def chain(s: SparkSession, dir: String, label: String): Unit = {
     val pairs = Dedup.lshVerifiedPairs(s, dir).localCheckpoint(true)
     for (len <- Seq(4, 16, 64, 256)) {
@@ -228,6 +281,7 @@ object ScaleBench {
       case "skew" => skew(spark, dir, label)
       case "chain" => chain(spark, dir, label)
       case "k48" => k48(spark, dir, label)
+      case "stream" => stream(spark, dir, label)
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
