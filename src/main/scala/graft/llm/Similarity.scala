@@ -340,6 +340,15 @@ object Similarity {
     * nTables/bits arguments are the retuning knob at scale, and
     * `bucketCap` bounds template-skewed buckets); the oracle replays the
     * identical planes, so the approximate-recall set is still hash-exact.
+    *
+    * The `bits` default is the sf0.1 operating point (2 000 vectors /
+    * 2⁴ buckets ≈ 125 per bucket). A (table, bucket) key holds ~n/2^bits
+    * vectors and emits ~C(n/2^bits, 2) candidate pairs, so FIXED bits make
+    * the self-join quadratic in corpus size — measured at ×10 corpus:
+    * 75 s at bits=4 vs 5.8 s retuned (SCALING.md §3b). At scale pass
+    * `bits = LshCalibration.bitsFor(n)` to hold the bucket population (and
+    * with it candidates per vector) constant; the default stays fixed so
+    * the static oracle SQL replays the same buckets at every driver SF.
     */
   def signLshPairs(
       s: SparkSession,
