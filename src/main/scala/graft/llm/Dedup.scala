@@ -282,6 +282,18 @@ object Dedup {
 
   val simhashPairsSql: String = simhashPairsSqlFor(4, 7)
 
+  /** d12's banding at the FULL pigeonhole guarantee: 8 bands of 4 bits
+    * cover Hamming ≤ 7 completely (d12's default 4×8 covers ≤ 3 exactly,
+    * 4–7 probabilistically), trading coarser 16-value buckets — more
+    * join volume — for zero banding misses at the verify threshold. A
+    * parameter-grid gate in the d18-d21 pattern: same code path, oracle
+    * generated from the same arguments.
+    */
+  def simhashPairsB8(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(s, dir, bands = 8, maxHamming = 7)
+
+  val simhashPairsB8Sql: String = simhashPairsSqlFor(8, 7)
+
   /** Candidate-fed exact n-gram Jaccard verifier — the reusable verify
     * stage of the scale ladder: takes ANY (a_id, b_id) candidate set (LSH
     * bands at 100 TB, an inverted index or all-pairs on a bounded slice)

@@ -288,7 +288,7 @@ object Multimodal {
     * window is the 8-hex-char slice at stride 2 — so a non-ASCII document
     * windows identically in both engines.
     */
-  val phashPairsSql: String = {
+  def phashPairsSqlFor(maxHamming: Int): String = {
     val votes = (0 until 60)
       .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
       .mkString(", ")
@@ -309,6 +309,19 @@ object Multimodal {
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
        |FROM p a JOIN p b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.phash, b.phash)) <= 5""".stripMargin
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $maxHamming""".stripMargin
   }
+
+  val phashPairsSql: String = phashPairsSqlFor(5)
+
+  /** m02's parameter-grid twin: a DIFFERENT lossless banding (4 bands of
+    * 15 bits, Hamming ≤ 3 < bands) against the same banding-independent
+    * all-pairs oracle — the oracle proves losslessness of this banding
+    * exactly as it does m02's 6×10, so the (bands, maxHamming) plumbing
+    * is gated, not just the shipped point.
+    */
+  def phashPairsH3(s: SparkSession, dir: String): DataFrame =
+    phashPairs(s, dir, bands = 4, maxHamming = 3)
+
+  val phashPairsH3Sql: String = phashPairsSqlFor(3)
 }

@@ -195,6 +195,33 @@ object ScaleBench {
     }
   }
 
+  /** ANN quality/cost at scale: lshKnn recall@5 against the exact brute
+    * top-5, at the shipped bits=4 vs bits retuned to corpus size. The
+    * trade this measures: fixed bits keep buckets (and so candidates per
+    * query, and recall) GROWING with the corpus — linear per-query cost —
+    * while retuned bits hold per-query cost constant and pay in recall.
+    * Both ends of the knob belong in SCALING.md with numbers.
+    */
+  private def ann(s: SparkSession, dir: String, label: String): Unit = {
+    val nVecs = graft.Tables.embeddings(s, dir).count()
+    val truth = Similarity.bruteKnn(s, dir).localCheckpoint(true)
+    val truthN = truth.count()
+    val (bruteW, _) = timed2(Similarity.bruteKnn(s, dir).count())
+    emit("corpus" -> label, "op" -> "ann", "variant" -> "brute",
+      "n_vecs" -> nVecs, "wall" -> bruteW, "truth_rows" -> truthN)
+    val bitsScaled = graft.llm.LshCalibration.bitsFor(nVecs)
+    for ((bits, name) <- Seq((4, "fixed4"), (bitsScaled, s"scaled$bitsScaled"))) {
+      val (w, n) = timed2(Similarity.lshKnn(s, dir, bits = bits).count())
+      val hits = truth
+        .join(Similarity.lshKnn(s, dir, bits = bits).select(col("qid"), col("nid")),
+          Seq("qid", "nid"), "left_semi")
+        .count()
+      emit("corpus" -> label, "op" -> "ann", "variant" -> name, "bits" -> bits,
+        "wall" -> w, "out" -> n, "hits" -> hits,
+        "recall_at5" -> (hits.toDouble / truthN))
+    }
+  }
+
   /** Streaming state posture at scale: drive the corpus through
     * `DocStream.ingestedBounded` (watermarked dedup — state bounded by the
     * re-delivery horizon) vs `ingested` (lifetime dedup — state grows with
@@ -282,6 +309,7 @@ object ScaleBench {
       case "chain" => chain(spark, dir, label)
       case "k48" => k48(spark, dir, label)
       case "stream" => stream(spark, dir, label)
+      case "ann" => ann(spark, dir, label)
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
