@@ -210,14 +210,22 @@ object ScaleBench {
     emit("corpus" -> label, "op" -> "ann", "variant" -> "brute",
       "n_vecs" -> nVecs, "wall" -> bruteW, "truth_rows" -> truthN)
     val bitsScaled = graft.llm.LshCalibration.bitsFor(nVecs)
-    for ((bits, name) <- Seq((4, "fixed4"), (bitsScaled, s"scaled$bitsScaled"))) {
-      val (w, n) = timed2(Similarity.lshKnn(s, dir, bits = bits).count())
+    // three points on the (tables, bits) surface: the shipped default
+    // (buckets grow with n), bits retuned alone (per-query cost constant,
+    // recall collapses — narrower buckets need MORE tables to re-cover),
+    // and the production pair: bits retuned + tables scaled to buy the
+    // recall back at bounded per-query candidates.
+    for ((nt, bits, name) <- Seq(
+        (8, 4, "t8_fixed4"),
+        (8, bitsScaled, s"t8_scaled$bitsScaled"),
+        (32, bitsScaled, s"t32_scaled$bitsScaled"))) {
+      val (w, n) = timed2(Similarity.lshKnn(s, dir, nTables = nt, bits = bits).count())
       val hits = truth
-        .join(Similarity.lshKnn(s, dir, bits = bits).select(col("qid"), col("nid")),
-          Seq("qid", "nid"), "left_semi")
+        .join(Similarity.lshKnn(s, dir, nTables = nt, bits = bits)
+          .select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
         .count()
-      emit("corpus" -> label, "op" -> "ann", "variant" -> name, "bits" -> bits,
-        "wall" -> w, "out" -> n, "hits" -> hits,
+      emit("corpus" -> label, "op" -> "ann", "variant" -> name,
+        "tables" -> nt, "bits" -> bits, "wall" -> w, "out" -> n, "hits" -> hits,
         "recall_at5" -> (hits.toDouble / truthN))
     }
   }
