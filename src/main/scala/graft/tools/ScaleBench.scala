@@ -230,6 +230,30 @@ object ScaleBench {
     }
   }
 
+  /** IVF ANN at scale — the comparison point for the `ann` mode's sign-LSH
+    * surface: recall@5 vs brute at cell/probe settings with KNOWN scanned
+    * fraction (candidates per query ≈ n·nProbe/nCells). The question the
+    * measurement answers: at a matched (or smaller) scanned fraction, does
+    * the data-adaptive partition (trained cells) hold recall where the
+    * data-blind sign-LSH buckets lose it?
+    */
+  private def ivf(s: SparkSession, dir: String, label: String): Unit = {
+    val nVecs = graft.Tables.embeddings(s, dir).count()
+    val truth = Similarity.bruteKnn(s, dir).localCheckpoint(true)
+    val truthN = truth.count()
+    for ((cells, probe) <- Seq((16, 2), (64, 2), (64, 4))) {
+      val (w, n) = timed2(Similarity.ivfKnn(s, dir, nCells = cells, nProbe = probe).count())
+      val hits = truth
+        .join(Similarity.ivfKnn(s, dir, nCells = cells, nProbe = probe)
+          .select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
+        .count()
+      emit("corpus" -> label, "op" -> "ivf", "cells" -> cells, "probe" -> probe,
+        "n_vecs" -> nVecs, "wall" -> w, "out" -> n, "hits" -> hits,
+        "recall_at5" -> (hits.toDouble / truthN),
+        "scan_fraction" -> (probe.toDouble / cells))
+    }
+  }
+
   /** Streaming state posture at scale: drive the corpus through
     * `DocStream.ingestedBounded` (watermarked dedup — state bounded by the
     * re-delivery horizon) vs `ingested` (lifetime dedup — state grows with
@@ -318,6 +342,7 @@ object ScaleBench {
       case "k48" => k48(spark, dir, label)
       case "stream" => stream(spark, dir, label)
       case "ann" => ann(spark, dir, label)
+      case "ivf" => ivf(spark, dir, label)
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
