@@ -285,7 +285,12 @@ object Dedup {
   /** d12's banding at the FULL pigeonhole guarantee: 8 bands of 4 bits
     * cover Hamming ≤ 7 completely (d12's default 4×8 covers ≤ 3 exactly,
     * 4–7 probabilistically), trading coarser 16-value buckets — more
-    * join volume — for zero banding misses at the verify threshold. A
+    * join volume — for zero banding misses at the verify threshold. The
+    * trade, measured at sf0.1: ~n/16 docs per bucket ⇒ ~6M band-join
+    * rows, 5.4 s vs 1.9 s for the 4×8 default — the full guarantee costs
+    * ~Σ C(n/16, 2)·128 join volume BY CONSTRUCTION, which is why it is
+    * the grid point and not the shipped default (at corpus scale pair it
+    * with `bucketCap`, which bounds every bucket's contribution). A
     * parameter-grid gate in the d18-d21 pattern: same code path, oracle
     * generated from the same arguments.
     */
