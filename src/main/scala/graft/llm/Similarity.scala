@@ -222,8 +222,8 @@ object Similarity {
       s: SparkSession,
       dir: String,
       nCells: Int = 16,
-      nProbe: Int = 2): DataFrame = {
-    val sampleN = 200
+      nProbe: Int = 2,
+      sampleN: Int = 200): DataFrame = {
     val dim = 64
     // 5 branches reference e (seeds, sample, scored, qv, corpus) —
     // materialize once
@@ -276,16 +276,22 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rnk"))
   }
 
-  val ivfKnnSql: String =
-    """WITH e AS (
+  /** DuckDB mirror of [[ivfKnn]], generated from the SAME (nCells,
+    * nProbe, sampleN) arguments — the d18-d21 grid-gate pattern applied
+    * to the IVF knobs (the scale measurements showed 64 cells beating the
+    * shipped 16 at a third of the scan budget, so the retuning path must
+    * be gated too).
+    */
+  def ivfKnnSqlFor(nCells: Int, nProbe: Int, sampleN: Int): String =
+    s"""WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings),
-      |seeds AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+      |seeds AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < $nCells),
       |a0 AS (
       |  SELECT s.vec_id, c.cid,
       |    list_dot_product(s.v, c.cv) / (c.cnrm * s.nrm) AS ccos
-      |  FROM e s, seeds c WHERE s.vec_id < 200),
+      |  FROM e s, seeds c WHERE s.vec_id < $sampleN),
       |assign AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT vec_id, cid,
@@ -313,7 +319,7 @@ object Similarity {
       |  FROM scored),
       |cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE r = 1),
       |probes AS (SELECT vec_id AS qid, cid AS probe_cell FROM ranked
-      |           WHERE vec_id < 50 AND r <= 2),
+      |           WHERE vec_id < 50 AND r <= $nProbe),
       |cand_ids AS (
       |  SELECT DISTINCT p.qid, c.vec_id AS nid
       |  FROM probes p JOIN cells c ON c.cell = p.probe_cell
@@ -329,6 +335,17 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
       |  FROM cands)
       |WHERE rnk <= 5""".stripMargin
+
+  val ivfKnnSql: String = ivfKnnSqlFor(16, 2, 200)
+
+  /** The IVF grid gate: the retuned point the scale runs measured best
+    * (64 cells, 4 probes — recall 0.93 at a 6% scan at the ×50 corpus,
+    * SCALING.md §3b) against an oracle generated from the same arguments.
+    */
+  def ivfKnn64(s: SparkSession, dir: String): DataFrame =
+    ivfKnn(s, dir, nCells = 64, nProbe = 4)
+
+  val ivfKnn64Sql: String = ivfKnnSqlFor(64, 4, 200)
 
   /** Corpus-wide semantic near-dup PAIRS — the embedding twin of
     * [[graft.llm.Dedup.lshVerifiedPairs]]: sign-LSH bucket collisions
