@@ -49,6 +49,20 @@ object Dedup {
   /** Sentinel for "no bucket cap": skips the bucket-size pass entirely. */
   val NoBucketCap: Int = Int.MaxValue
 
+  /** Sentinel for "derive the cap": the operator computes
+    * [[LshCalibration.capFor]] from its own expected bucket population —
+    * O(1) for threshold-calibrated minhash bands, n/2^bits for sign-LSH —
+    * so a production pipeline gets the SCALING.md §3b cap prescription by
+    * passing one symbol instead of owning the arithmetic. Shipped
+    * oracle-compared entries stay [[NoBucketCap]] (their DuckDB mirrors
+    * replay the uncapped join); the capped gates (d21, d25) pin explicit
+    * caps the oracle replays.
+    */
+  val AutoCap: Int = -1
+
+  private[llm] def resolveCap(cap: Int, expectedBucket: Double): Int =
+    if (cap == AutoCap) LshCalibration.capFor(expectedBucket) else cap
+
   /** Oversized-bucket guard for template skew: drop (k1, k2) buckets with
     * more than `cap` members before a bucket self-join. A bucket of m docs
     * emits m(m−1)/2 candidate pairs, so one boilerplate template shared by
@@ -66,6 +80,8 @@ object Dedup {
   private[llm] def capBuckets(df: DataFrame, cap: Int, k1: String, k2: String): DataFrame =
     if (cap == NoBucketCap) df
     else {
+      require(cap > 0,
+        s"bucketCap must be positive or NoBucketCap (operators resolve AutoCap first), got $cap")
       val w = Window.partitionBy(col(k1), col(k2))
       df.withColumn("bn", count(lit(1)).over(w))
         .filter(col("bn") <= cap)
@@ -127,10 +143,22 @@ object Dedup {
       dir: String,
       k: Int,
       rowsPerBand: Int,
+      bucketCap: Int): DataFrame =
+    bandedPairsFrom(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.functions.MinHashSig(col("text"), 5, k).as("sig")),
+      k, rowsPerBand, bucketCap)
+
+  /** The band self-join over an arbitrary (doc_id, sig) source — lets the
+    * scale harness A/B alternative signature constructions (e.g.
+    * [[graft.functions.MinHashSigPB]]) through the IDENTICAL join.
+    */
+  private[graft] def bandedPairsFrom(
+      sig: DataFrame,
+      k: Int,
+      rowsPerBand: Int,
       bucketCap: Int): DataFrame = {
     require(k % rowsPerBand == 0, s"rowsPerBand=$rowsPerBand must divide k=$k")
-    val sig = Tables.documents(s, dir)
-      .select(col("doc_id"), graft.functions.MinHashSig(col("text"), 5, k).as("sig"))
     val bandCols = (0 until k / rowsPerBand).map { b =>
       concat_ws(":", (0 until rowsPerBand).map(j =>
         element_at(col("sig"), b * rowsPerBand + j + 1)): _*)
@@ -170,7 +198,9 @@ object Dedup {
       k: Int = mh,
       rowsPerBand: Int = bandRows,
       bucketCap: Int = NoBucketCap): DataFrame =
-    bandedMinhashPairs(s, dir, k, rowsPerBand, bucketCap)
+    // threshold-calibrated bands keep E[bucket] = O(1), so AutoCap
+    // resolves to capFor(1) = the measured zero-loss floor
+    bandedMinhashPairs(s, dir, k, rowsPerBand, resolveCap(bucketCap, 1.0))
       .withColumnRenamed("est", "est_jaccard")
 
   def minhashLshSqlFor(k: Int, rowsPerBand: Int): String = {
@@ -246,6 +276,12 @@ object Dedup {
     require(32 % bands == 0, s"bands=$bands must divide the 32-bit signature")
     val width = 32 / bands
     val mask = (1L << width) - 1
+    // simhash buckets are width-bit values: E[bucket] = n / 2^width
+    val capEff =
+      if (bucketCap == AutoCap)
+        LshCalibration.capFor(
+          Tables.documents(s, dir).count().toDouble / (1L << width))
+      else bucketCap
     val banded = capBuckets(
       simhash(s, dir)
         .select(col("doc_id"), col("simhash"),
@@ -253,7 +289,7 @@ object Dedup {
             shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bsig"),
-      bucketCap, "band", "bsig")
+      capEff, "band", "bsig")
       .hint("shuffle_hash")
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -265,13 +301,29 @@ object Dedup {
       .distinct()
   }
 
-  def simhashPairsSqlFor(bands: Int, maxHamming: Int): String = {
+  def simhashPairsSqlFor(bands: Int, maxHamming: Int, bucketCap: Int = NoBucketCap): String = {
     val width = 32 / bands
     val mask = (1L << width) - 1
+    // the cap replays Dedup.capBuckets exactly (the d21 pattern): count per
+    // (band, bsig) bucket, drop over-cap buckets BEFORE the self-join.
+    // Emitted only for a finite cap so the uncapped oracles are unchanged.
+    val bandsCte =
+      if (bucketCap == NoBucketCap)
+        s"""bands AS (
+           |  SELECT doc_id, simhash, b AS band, (simhash >> (b * $width)) & $mask AS bsig
+           |  FROM sh, range(0, $bands) t(b))""".stripMargin
+      else
+        s"""bands_all AS (
+           |  SELECT doc_id, simhash, b AS band, (simhash >> (b * $width)) & $mask AS bsig
+           |  FROM sh, range(0, $bands) t(b)),
+           |bands AS (
+           |  SELECT doc_id, simhash, band, bsig FROM (
+           |    SELECT doc_id, simhash, band, bsig,
+           |      COUNT(*) OVER (PARTITION BY band, bsig) AS bn
+           |    FROM bands_all)
+           |  WHERE bn <= $bucketCap)""".stripMargin
     s"""WITH sh AS ($simhashSql),
-       |bands AS (
-       |  SELECT doc_id, simhash, b AS band, (simhash >> (b * $width)) & $mask AS bsig
-       |  FROM sh, range(0, $bands) t(b)),
+       |$bandsCte,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
@@ -298,6 +350,24 @@ object Dedup {
     simhashPairs(s, dir, bands = 8, maxHamming = 7)
 
   val simhashPairsB8Sql: String = simhashPairsSqlFor(8, 7)
+
+  /** d22's PRODUCTION posture, oracle-gated (d25): the full-guarantee
+    * 8-band banding nobody would run uncapped at corpus scale — its
+    * ~C(n/16, 2)·128 join volume is the measured cost of the pigeonhole
+    * guarantee — paired with the `bucketCap` that bounds every bucket's
+    * contribution, against a DuckDB mirror that replays the cap as a
+    * window filter over the same (band, bsig) key (the d21 pattern).
+    * Capping voids the ≤ 7 completeness guarantee exactly where buckets
+    * overflow — which at 4-bit widths is everywhere the corpus is dense —
+    * so the gate's value is correctness of the combination, with recall
+    * owned by the cap choice as in every capped path.
+    */
+  val simhashCapGate = 64
+
+  def simhashPairsB8Capped(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(s, dir, bands = 8, maxHamming = 7, bucketCap = simhashCapGate)
+
+  val simhashPairsB8CappedSql: String = simhashPairsSqlFor(8, 7, bucketCap = simhashCapGate)
 
   /** Candidate-fed exact n-gram Jaccard verifier — the reusable verify
     * stage of the scale ladder: takes ANY (a_id, b_id) candidate set (LSH
@@ -378,7 +448,7 @@ object Dedup {
       bucketCap: Int = NoBucketCap): DataFrame = {
     // checkpoint = pushdown barrier: est stays a codegen'd projection
     // computed once per distinct pair, never a join condition
-    val pairs = bandedMinhashPairs(s, dir, k, rowsPerBand, bucketCap)
+    val pairs = bandedMinhashPairs(s, dir, k, rowsPerBand, resolveCap(bucketCap, 1.0))
       .localCheckpoint(true)
     val cand = pairs.filter(col("est") >= estMin).select(col("a_id"), col("b_id"))
     // both verify sides read the gram arrays — materialize the corpus-wide

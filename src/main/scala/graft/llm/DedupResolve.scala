@@ -137,9 +137,15 @@ object DedupResolve {
     * the shape that ships at 100 TB. Oracle: recursive-CTE transitive
     * closure over the independently recomputed pair set.
     */
-  def corpusDedupPipeline(s: SparkSession, dir: String): DataFrame = {
+  def corpusDedupPipeline(
+      s: SparkSession,
+      dir: String,
+      bucketCap: Int = Dedup.NoBucketCap): DataFrame = {
     val docs = graft.Tables.documents(s, dir)
-    val pairs = Dedup.lshVerifiedPairs(s, dir).select(col("a_id"), col("b_id"))
+    // production callers pass Dedup.AutoCap to get the SCALING.md §3b cap
+    // derivation; the shipped default stays uncapped to mirror the oracle
+    val pairs = Dedup.lshVerifiedPairs(s, dir, bucketCap = bucketCap)
+      .select(col("a_id"), col("b_id"))
     dedupedDocIds(s, docs, pairs).orderBy(col("doc_id"))
   }
 
@@ -167,18 +173,27 @@ object DedupResolve {
     * on a slice); this is the shape that ships. Recall is the banding's —
     * the kept set differs from the exact pipeline's exactly where LSH
     * misses a threshold pair, and the oracle replays the same buckets, so
-    * the operator is still hash-exact.
+    * the operator is still hash-exact. The sign-LSH stage runs at
+    * [[Similarity.AutoBits]] (the default): bits derive from the corpus
+    * count, so THIS pipeline — not its caller — holds the bucket
+    * population constant as the corpus grows (the measured quadratic-at-
+    * fixed-bits regime, SCALING.md §3b); the oracle replays the same
+    * count-driven derivation in its `nb` CTE.
     */
-  def semanticCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+  def semanticCorpusPipeline(
+      s: SparkSession,
+      dir: String,
+      bucketCap: Int = Dedup.NoBucketCap): DataFrame = {
     val vecs = graft.Tables.embeddings(s, dir).select(col("vec_id").as("doc_id"))
-    val pairs = Similarity.signLshPairs(s, dir).select(col("a_id"), col("b_id"))
+    val pairs = Similarity.signLshPairs(s, dir, bucketCap = bucketCap)
+      .select(col("a_id"), col("b_id"))
     dedupedDocIds(s, vecs, pairs)
       .select(col("doc_id").as("vec_id"))
       .orderBy(col("vec_id"))
   }
 
   val semanticCorpusPipelineSql: String = {
-    val pairsSql = Similarity.signLshPairsSql
+    val pairsSql = Similarity.signLshPairsDefaultSql
     s"""WITH RECURSIVE pairs AS ($pairsSql),
        |edges AS (
        |  SELECT a_id AS a, b_id AS b FROM pairs

@@ -80,4 +80,19 @@ object LshCalibration {
     math.max(minBits,
       math.round(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
   }
+
+  /** Oversized-bucket cap calibration — SCALING.md §3b's prescription
+    * (production pipelines cap at O(10·E[bucket])) as code: `factor`× the
+    * expected bucket population, floored at `floor` so tiny corpora don't
+    * cap real structure. A bucket an order of magnitude over expectation
+    * is a template flood (or a KM anchor bucket), not similarity
+    * structure — the measured calibrated-banding point (E[bucket] ≈ 1 ⇒
+    * cap 32) lost zero verified output at every scale point.
+    */
+  def capFor(expectedBucket: Double, factor: Int = 10, floor: Int = 32): Int = {
+    require(expectedBucket >= 0.0, s"expectedBucket must be >= 0, got $expectedBucket")
+    require(factor >= 1 && floor >= 1, s"bad calibration ($factor, $floor)")
+    math.max(floor.toLong, math.ceil(factor * expectedBucket).toLong)
+      .min(Int.MaxValue.toLong).toInt
+  }
 }

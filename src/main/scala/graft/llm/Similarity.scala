@@ -40,6 +40,21 @@ object Similarity {
   private val defBits = 4
   private val defCosMin = 0.35
 
+  /** Sentinel for "derive `bits` from the corpus count": the operator runs
+    * one `count()` over the signature input and calibrates
+    * bits = [[LshCalibration.bitsFor]](n, targetBucket) — the measured
+    * bits = log₂(n/target) law (SCALING.md §3b) applied BY the pipeline
+    * instead of left to the caller. The DuckDB mirrors replay the same
+    * derivation in a CTE (`greatest(minBits, round(log2(count(*)/target)))`,
+    * all integer/log arithmetic), so auto-calibrated runs stay hash-exact.
+    */
+  val AutoBits: Int = 0
+
+  /** Default expected-bucket-population target for [[AutoBits]]: the
+    * shipped sf0.1 operating point (2 000 vectors / 2⁴ buckets ≈ 125).
+    */
+  val DefTargetBucket: Int = 125
+
   // codegen'd index-order double dot product (see FloatVecDot: bit-equal
   // to the HOF aggregate/zip_with form, ~10× faster on candidate batches)
   private def dotCol = FloatVecDot(col("qv"), col("embedding"))
@@ -358,33 +373,47 @@ object Similarity {
     * `bucketCap` bounds template-skewed buckets); the oracle replays the
     * identical planes, so the approximate-recall set is still hash-exact.
     *
-    * The `bits` default is the sf0.1 operating point (2 000 vectors /
-    * 2⁴ buckets ≈ 125 per bucket). A (table, bucket) key holds ~n/2^bits
-    * vectors and emits ~C(n/2^bits, 2) candidate pairs, so FIXED bits make
-    * the self-join quadratic in corpus size — measured at ×10 corpus:
-    * 75 s at bits=4 vs 5.8 s retuned (SCALING.md §3b). At scale pass
-    * `bits = LshCalibration.bitsFor(n)` to hold the bucket population (and
-    * with it candidates per vector) constant; the default stays fixed so
-    * the static oracle SQL replays the same buckets at every driver SF.
+    * A (table, bucket) key holds ~n/2^bits vectors and emits
+    * ~C(n/2^bits, 2) candidate pairs, so FIXED bits make the self-join
+    * quadratic in corpus size — measured at ×10 corpus: 75 s at bits=4 vs
+    * 5.8 s retuned (SCALING.md §3b). The `bits` default is therefore
+    * [[AutoBits]]: one cheap `count()` on the signature input derives
+    * bits = [[LshCalibration.bitsFor]](n, targetBucket), holding the
+    * bucket population (and with it candidates per vector) constant as
+    * the corpus grows — at the driver SFs the derivation lands on the
+    * historical 4 bits, and the oracle CTE replays it, so auto stays
+    * hash-exact. Pass explicit `bits` to pin a grid point (d20).
     */
   def signLshPairs(
       s: SparkSession,
       dir: String,
       nTables: Int = defTables,
-      bits: Int = defBits,
+      bits: Int = AutoBits,
       minCos: Double = defCosMin,
-      bucketCap: Int = Dedup.NoBucketCap): DataFrame = {
+      bucketCap: Int = Dedup.NoBucketCap,
+      targetBucket: Int = DefTargetBucket,
+      minBits: Int = defBits): DataFrame = {
+    // one count() serves both derivations; skipped entirely when neither
+    // knob is auto
+    lazy val n = Tables.embeddings(s, dir).count()
+    val bitsEff =
+      if (bits == AutoBits) LshCalibration.bitsFor(n, targetBucket, minBits)
+      else bits
+    val capEff =
+      if (bucketCap == Dedup.AutoCap)
+        LshCalibration.capFor(n.toDouble / (1L << bitsEff))
+      else bucketCap
     // referenced by the bucket explode AND both verify sides
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normCol)
-      .withColumn("sigs", graft.functions.SignLshBuckets(col("embedding"), nTables, bits))
+      .withColumn("sigs", graft.functions.SignLshBuckets(col("embedding"), nTables, bitsEff))
       .localCheckpoint(true)
     val buckets = Dedup.capBuckets(
       e.select(col("vec_id"), posexplode(col("sigs")))
         .withColumnRenamed("pos", "table_id")
         .withColumnRenamed("col", "bucket"),
-      bucketCap, "table_id", "bucket")
+      capEff, "table_id", "bucket")
       .hint("shuffle_hash")
     val a = buckets.alias("a")
     val b = buckets.alias("b")
@@ -429,6 +458,84 @@ object Similarity {
        |  WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) >= $minCos)""".stripMargin
 
   val signLshPairsSql: String = signLshPairsSqlFor(defTables, defBits, defCosMin)
+
+  /** DuckDB mirror of [[signLshPairs]] under [[AutoBits]]: the bit count
+    * is DERIVED in SQL — `nb` computes
+    * greatest(minBits, round(log₂(count(*)/targetBucket))) exactly as
+    * [[LshCalibration.bitsFor]] does — then planes/bucket arithmetic run
+    * against that value (plane range filtered by `j < nTables·bits`,
+    * band id = j // bits, bit position = j % bits; `nb` is a one-row CTE
+    * cross-joined where needed). Integer/log arithmetic only, so the
+    * auto-calibrated operator is gated hash-exact like every fixed point.
+    * `planes` is MATERIALIZED: the bits-dependent filter blocks DuckDB's
+    * CTE pruning, and inlined it recomputes the md5 per (vector, plane)
+    * joined row — measured 4.5 s vs minutes at sf0.1.
+    */
+  def signLshPairsAutoSqlFor(
+      nTables: Int,
+      targetBucket: Int,
+      minBits: Int,
+      minCos: Double): String =
+    s"""SELECT a_id, b_id FROM (
+       |  WITH nb AS MATERIALIZED (
+       |    SELECT greatest($minBits,
+       |      CAST(round(log2(count(*) / $targetBucket.0)) AS INT)) AS bits
+       |    FROM embeddings),
+       |  e AS (
+       |    SELECT vec_id, embedding::DOUBLE[] AS v,
+       |      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |    FROM embeddings),
+       |  planes AS MATERIALIZED (
+       |    SELECT j, i,
+       |      (((${Hashing.sqlHash60("j||':'||i")}) % 2000) - 1000)/1000.0 AS w
+       |    FROM range(0, ${nTables * 30}) t1(j), range(0, 64) t2(i), nb
+       |    WHERE j < $nTables * nb.bits),
+       |  dots AS (
+       |    SELECT e.vec_id, p.j, SUM(e.v[p.i + 1] * p.w) AS d
+       |    FROM e, planes p GROUP BY e.vec_id, p.j),
+       |  buckets AS (
+       |    SELECT vec_id, table_id,
+       |      SUM(CASE WHEN d >= 0 THEN (1 << bitpos) ELSE 0 END) AS bucket
+       |    FROM (SELECT vec_id, j // nb.bits AS table_id, j % nb.bits AS bitpos, d
+       |          FROM dots, nb)
+       |    GROUP BY vec_id, table_id),
+       |  cand AS (
+       |    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |    FROM buckets a JOIN buckets b
+       |      ON a.table_id = b.table_id AND a.bucket = b.bucket
+       |        AND a.vec_id < b.vec_id)
+       |  SELECT c.a_id, c.b_id
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.a_id
+       |  JOIN e eb ON eb.vec_id = c.b_id
+       |  WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) >= $minCos)""".stripMargin
+
+  /** The AutoBits gate's target bucket: small enough that the derivation
+    * lands on DIFFERENT bit counts across the driver SFs (500 embeddings
+    * → 4 bits at sf0.001/sf0.01, 2 000 → 6 bits at sf0.1), proving the
+    * count-driven calibration is live, not a constant that happens to
+    * match. (The production default [[DefTargetBucket]] = 125 derives the
+    * historical 4 bits at every driver SF — d16 gates that point.)
+    */
+  val autoGateTargetBucket: Int = 31
+
+  /** The AutoBits oracle gate (d24): [[signLshPairs]] with bits derived
+    * from the corpus count at `targetBucket = 31`, against SQL that
+    * replays the derivation — the d18-d23 grid-gate pattern applied to
+    * the calibration itself.
+    */
+  def signLshPairsAuto(s: SparkSession, dir: String): DataFrame =
+    signLshPairs(s, dir, targetBucket = autoGateTargetBucket)
+
+  val signLshPairsAutoSql: String =
+    signLshPairsAutoSqlFor(defTables, autoGateTargetBucket, defBits, defCosMin)
+
+  /** The shipped-default mirror: [[signLshPairs]] with no explicit bits =
+    * AutoBits at [[DefTargetBucket]] — what [[graft.llm.DedupResolve
+    * .semanticCorpusPipeline]]'s oracle embeds.
+    */
+  val signLshPairsDefaultSql: String =
+    signLshPairsAutoSqlFor(defTables, DefTargetBucket, defBits, defCosMin)
 
   /** Parameter-GRID gate: the embedding twin at a non-shipped point —
     * 4 tables × 8 bits (same 32 planes, regrouped into finer buckets:

@@ -77,8 +77,20 @@ object MakeScaleCorpus {
     else translate(text, alpha + digits,
       perm(alpha, rep * 2 + 1) + perm(digits, rep * 2 + 2))
 
+  /** The id layout (body at `rep·Stride + id`, twins at `+ InjectOffset`)
+    * is collision-free only while base ids stay below InjectOffset — a
+    * larger base would silently alias body ids with twin ids and corrupt
+    * the ground-truth pair structure, so fail loudly instead.
+    */
+  private def requireIdsBelowInjectOffset(ids: DataFrame, idCol: String): Unit = {
+    val maxId = ids.agg(max(col(idCol))).first().getAs[Number](0).longValue()
+    require(maxId < InjectOffset,
+      s"base $idCol max $maxId >= InjectOffset $InjectOffset: replica ids would collide")
+  }
+
   def replicateDocs(s: SparkSession, dir: String, reps: Int, skewBlock: Boolean): DataFrame = {
     val base = graft.Tables.documents(s, dir)
+    requireIdsBelowInjectOffset(base, "doc_id")
     val nBase = base.count()
     val blockN = math.max(1L, nBase / 50L) // 2% template block (skew variant)
     val parts = (0 until reps).flatMap { r =>
@@ -97,10 +109,13 @@ object MakeScaleCorpus {
         col("lang"), col("source"),
         length(bodyText).as("n_chars"))
       // injected near-dup twin: two single-char edits ⇒ J ≈ 0.95 vs its
-      // same-rep original — a known true pair (orig, orig + InjectOffset)
+      // same-rep original — a known true pair (orig, orig + InjectOffset).
+      // Edits apply to bodyText, not the pre-template cip: inside the skew
+      // variant's template block the body IS the template, and a twin of
+      // the replaced original would break the injected-pair invariant.
       val twinText = overlay(
-        overlay(cip, lit("q"), (length(cip) / 3) + 1, lit(1)),
-        lit("q"), (length(cip) * 2 / 3) + 1, lit(1))
+        overlay(bodyText, lit("q"), (length(bodyText) / 3) + 1, lit(1)),
+        lit("q"), (length(bodyText) * 2 / 3) + 1, lit(1))
       val twins = base
         .filter(col("doc_id") % InjectEvery === 0)
         .select(
@@ -115,6 +130,7 @@ object MakeScaleCorpus {
 
   def replicateEmbeddings(s: SparkSession, dir: String, reps: Int): DataFrame = {
     val base = graft.Tables.embeddings(s, dir)
+    requireIdsBelowInjectOffset(base, "vec_id")
     val dim = 64
     val parts = (0 until reps).flatMap { r =>
       val rr = r % dim

@@ -41,8 +41,9 @@ object ScaleBench {
   private val InjOff = MakeScaleCorpus.InjectOffset
 
   private def emit(fields: (String, Any)*): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val body = fields.map {
-      case (k, v: String) => s""""$k":"$v""""
+      case (k, v: String) => s""""$k":"${esc(v)}""""
       case (k, v: Double) => s""""$k":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}"""
       case (k, v) => s""""$k":$v"""
     }.mkString(",")
@@ -68,8 +69,10 @@ object ScaleBench {
   /** Fraction of injected (x, x + InjOff) twin pairs present in `pairs`. */
   private def injectRecall(pairs: DataFrame, ids: DataFrame, idCol: String): (Long, Long) = {
     val expected = ids
-      .filter(col(idCol) % Stride < InjOff && col(idCol) % Stride % MakeScaleCorpus.InjectEvery === 0
-        && col(idCol) % Stride / MakeScaleCorpus.InjectEvery < 100000) // originals only
+      // originals only: body ids sit below InjOff within their replica
+      // stride, every InjectEvery-th of them has a twin at id + InjOff
+      .filter(col(idCol) % Stride < InjOff &&
+        col(idCol) % Stride % MakeScaleCorpus.InjectEvery === 0)
       .select(col(idCol).as("a_id"), (col(idCol) + InjOff).as("b_id"))
       // only count twins that exist (every original has one by construction)
       .join(ids.select(col(idCol).as("b_id")), Seq("b_id"), "left_semi")
@@ -118,7 +121,10 @@ object ScaleBench {
     val repBad = labels.groupBy(col("cluster")).agg(min(col("id")).as("m"))
       .filter(col("m") =!= col("cluster")).count()
     val bothKept = {
+      // both semi-joins read the kept set — materialize it once (the
+      // unmaterialized form re-ran the whole pipeline per join side)
       val keptIds = DedupResolve.corpusDedupPipeline(s, dir).select(col("doc_id"))
+        .localCheckpoint(true)
       d13.select("a_id", "b_id")
         .join(keptIds.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
         .join(keptIds.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
@@ -139,10 +145,15 @@ object ScaleBench {
     // the cross-rep gate.
     val bitsScaled = graft.llm.LshCalibration.bitsFor(nVecs)
     val (pairsFixW, pairsFixN) =
-      if (nVecs <= 30000) timed2(Similarity.signLshPairs(s, dir).count())
+      if (nVecs <= 30000) timed2(Similarity.signLshPairs(s, dir, bits = 4).count())
       else (-1.0, -1L) // fixed 4-bit buckets at this size: measured quadratic, skipped
     val (pairsSclW, pairsSclN) = timed2(
       Similarity.signLshPairs(s, dir, bits = bitsScaled).count())
+    // AUTO: the shipped default — the pipeline derives bits from its own
+    // count() (r8 verdict #1). Must land on the same bits as the manual
+    // retune above (same bitsFor call), so out_auto035 == out_scaled035
+    // and wall_auto035 ≈ wall_scaled035 + one count() job.
+    val (pairsAutoW, pairsAutoN) = timed2(Similarity.signLshPairs(s, dir).count())
     val (p08W, p08N) = timed2(
       Similarity.signLshPairs(s, dir, bits = bitsScaled, minCos = 0.8).count())
     val p08 = Similarity.signLshPairs(s, dir, bits = bitsScaled, minCos = 0.8)
@@ -153,6 +164,8 @@ object ScaleBench {
     val losers16 = labels16.filter(col("id") =!= col("cluster")).count()
     emit("corpus" -> label, "op" -> "d16", "bits_scaled" -> bitsScaled,
       "wall_scaled035" -> pairsSclW, "out_scaled035" -> pairsSclN,
+      "wall_auto035" -> pairsAutoW, "out_auto035" -> pairsAutoN,
+      "auto_matches_scaled" -> (pairsAutoN == pairsSclN),
       "wall_fixed4" -> pairsFixW, "out_fixed4" -> pairsFixN,
       "wall_cos08" -> p08W, "out_cos08" -> p08N,
       "rounds" -> rounds16, "losers" -> losers16,
@@ -168,8 +181,14 @@ object ScaleBench {
 
   private def skew(s: SparkSession, dir: String, label: String): Unit = {
     val nDocs = graft.Tables.documents(s, dir).count()
-    for (cap <- Seq(Dedup.NoBucketCap, 32, 10)) {
-      val capName = if (cap == Dedup.NoBucketCap) "none" else cap.toString
+    // AutoCap resolves to capFor(E[bucket]=1) = 32 on calibrated bands —
+    // its rung must reproduce the manual cap=32 rung exactly
+    for (cap <- Seq(Dedup.NoBucketCap, 32, 10, Dedup.AutoCap)) {
+      val capName = cap match {
+        case Dedup.NoBucketCap => "none"
+        case Dedup.AutoCap => "auto"
+        case c => c.toString
+      }
       val (candW, candN) =
         timed2(Dedup.minhashLsh(s, dir, k = 32, rowsPerBand = 8, bucketCap = cap).count())
       val (ladW, ladN) = timed2(Dedup.lshVerifiedPairs(s, dir, bucketCap = cap).count())
@@ -268,15 +287,18 @@ object ScaleBench {
     def stage(): String = {
       val d = Files.createTempDirectory("scale-stream")
       d.toFile.deleteOnExit()
-      val parts = Files.list(Paths.get(s"$dir/documents.parquet")).iterator()
-      var i = 0
-      while (parts.hasNext) {
-        val p = parts.next()
-        if (p.toString.endsWith(".parquet")) {
-          Files.createSymbolicLink(d.resolve(f"part-$i%05d.parquet"), p)
-          i += 1
+      val listing = Files.list(Paths.get(s"$dir/documents.parquet"))
+      try {
+        val parts = listing.iterator()
+        var i = 0
+        while (parts.hasNext) {
+          val p = parts.next()
+          if (p.toString.endsWith(".parquet")) {
+            Files.createSymbolicLink(d.resolve(f"part-$i%05d.parquet"), p)
+            i += 1
+          }
         }
-      }
+      } finally listing.close()
       d.toString
     }
     for ((mode, horizon) <- Seq(("bounded", Some("2 seconds")), ("lifetime", None))) {
@@ -305,6 +327,61 @@ object ScaleBench {
               .getOrElse(-1L))
       }
     }
+  }
+
+  /** The Kirsch–Mitzenmacher A/B (r8 verdict #3): shipped two-hash
+    * signatures (one (a, b) draw per shingle, rows correlated across the
+    * whole signature — the anchor-bucket mechanism) vs per-band-independent
+    * draws ([[graft.functions.MinHashSigPB]], 2·bands md5s per shingle).
+    * Measures, per arm: signature scan wall (the claimed dominant 100 TB
+    * cost), band-candidate volume and hottest-bucket size (the anchor
+    * flood), est-filter survivors, verified pairs and wall — then the
+    * cross-arm verified-output delta (pairs only one construction finds:
+    * banding recall differences, not correctness differences — every
+    * emitted pair is exact-Jaccard-verified in both arms).
+    */
+  private def kmab(s: SparkSession, dir: String, label: String): Unit = {
+    val docs = graft.Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val k = 32
+    val rpb = 8
+    def sigOf(perBand: Boolean): DataFrame = docs.select(col("doc_id"),
+      (if (perBand) graft.functions.MinHashSigPB(col("text"), 5, k, rpb)
+       else graft.functions.MinHashSig(col("text"), 5, k)).as("sig"))
+    val verified = scala.collection.mutable.Map[String, DataFrame]()
+    for ((name, perBand) <- Seq(("km2", false), ("pb", true))) {
+      // scan cost: force the full per-row signature, reduce to one value
+      val (scanW, _) = timed2(
+        sigOf(perBand).select(sum(element_at(col("sig"), 1)).as("x"))
+          .na.fill(0L).count())
+      // anchor profile: hottest (band, bsig) bucket of the banded explode
+      val bandCols = (0 until k / rpb).map { b =>
+        concat_ws(":", (0 until rpb).map(j =>
+          element_at(col("sig"), b * rpb + j + 1)): _*)
+      }
+      val topBucket = sigOf(perBand)
+        .select(posexplode(array(bandCols: _*)))
+        .groupBy(col("pos"), col("col")).count()
+        .agg(max(col("count"))).first().getLong(0)
+      val cand = graft.llm.Dedup
+        .bandedPairsFrom(sigOf(perBand), k, rpb, graft.llm.Dedup.NoBucketCap)
+        .localCheckpoint(true)
+      val (candW, candN) = timed2(graft.llm.Dedup
+        .bandedPairsFrom(sigOf(perBand), k, rpb, graft.llm.Dedup.NoBucketCap).count())
+      val estPass = cand.filter(col("est") >= 0.6).select(col("a_id"), col("b_id"))
+      val ver = Dedup.verifyJaccard(s, dir, estPass).select(col("a_id"), col("b_id"))
+        .localCheckpoint(true)
+      val verN = ver.count()
+      emit("corpus" -> label, "op" -> "kmab", "arm" -> name, "n_docs" -> nDocs,
+        "scan_wall" -> scanW, "cand" -> candN, "cand_wall" -> candW,
+        "top_bucket" -> topBucket, "est_pass" -> estPass.count(),
+        "verified" -> verN)
+      verified(name) = ver
+    }
+    val kmOnly = verified("km2").join(verified("pb"), Seq("a_id", "b_id"), "left_anti").count()
+    val pbOnly = verified("pb").join(verified("km2"), Seq("a_id", "b_id"), "left_anti").count()
+    emit("corpus" -> label, "op" -> "kmab", "arm" -> "delta",
+      "km2_only" -> kmOnly, "pb_only" -> pbOnly)
   }
 
   private def chain(s: SparkSession, dir: String, label: String): Unit = {
@@ -343,6 +420,7 @@ object ScaleBench {
       case "stream" => stream(spark, dir, label)
       case "ann" => ann(spark, dir, label)
       case "ivf" => ivf(spark, dir, label)
+      case "kmab" => kmab(spark, dir, label)
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

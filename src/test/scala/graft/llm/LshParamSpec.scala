@@ -124,6 +124,32 @@ class LshParamSpec extends AnyFunSuite {
     assert(d17.size >= d13.size)
   }
 
+  // ----------------------------------------------------- AutoBits calibration
+
+  test("signLshPairs AutoBits derives bits from the corpus count and matches the explicit run") {
+    // 500 embeddings at the default target (125) calibrate to the minBits
+    // floor of 4 — auto must be indistinguishable from an explicit bits=4 run
+    val auto = Similarity.signLshPairs(spark, sf)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val explicit4 = Similarity.signLshPairs(spark, sf, bits = 4)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(auto == explicit4)
+    // the d24 gate's targetBucket=31 derivation lands on DIFFERENT bits at
+    // the driver SFs: 500 vecs → 4 bits, 2 000 vecs → 6 bits
+    assert(LshCalibration.bitsFor(500, targetBucket = 31) == 4)
+    assert(LshCalibration.bitsFor(2000, targetBucket = 31) == 6)
+  }
+
+  test("simhashPairs capped run is a subset of the uncapped run (d25 posture)") {
+    val uncapped = Dedup.simhashPairsB8(spark, sf)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val capped = Dedup.simhashPairsB8Capped(spark, sf)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped),
+      s"capped-only pairs: ${(capped -- uncapped).take(5).mkString(",")}")
+    info(s"simhash 8-band: uncapped=${uncapped.size}, capped(${Dedup.simhashCapGate})=${capped.size}")
+  }
+
   // ------------------------------------------------------- skewed-bucket cap
 
   test("bucketCap bounds the candidate explosion of a template-skewed corpus") {
