@@ -342,7 +342,8 @@ object Dedup {
     * rows, 5.4 s vs 1.9 s for the 4×8 default — the full guarantee costs
     * ~Σ C(n/16, 2)·128 join volume BY CONSTRUCTION, which is why it is
     * the grid point and not the shipped default (at corpus scale pair it
-    * with `bucketCap`, which bounds every bucket's contribution). A
+    * with `bucketCap`, which bounds every bucket's contribution — that
+    * combination is its own oracle gate, [[simhashPairsB8Capped]]/d25). A
     * parameter-grid gate in the d18-d21 pattern: same code path, oracle
     * generated from the same arguments.
     */

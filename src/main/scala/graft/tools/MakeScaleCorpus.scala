@@ -128,27 +128,49 @@ object MakeScaleCorpus {
     parts.reduce(_ unionByName _)
   }
 
+  /** Deterministic per-rep permutation of [0, dim): Fisher–Yates over a
+    * seeded LCG (the index twin of [[perm]]). A plain ROTATION (`r % dim`)
+    * has period dim = 64, so reps 64 apart shared a rotation and the
+    * decorrelation rested on sign flips alone — the ×200 invariant run
+    * caught exactly that (237k cross-rep pairs at cos ≥ 0.8 from
+    * same-rotation rep couples whose sign patterns agree on the clustered
+    * vectors' energy support). Independent permutations have no period.
+    */
+  private def idxPerm(dim: Int, seed: Int): Array[Int] = {
+    val a = Array.tabulate(dim)(identity)
+    var x = (seed * 2654435761L + 1013904223L) & 0x7fffffffL
+    var i = a.length - 1
+    while (i > 0) {
+      x = (x * 48271L) % 2147483647L
+      val j = (x % (i + 1)).toInt
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    a
+  }
+
   def replicateEmbeddings(s: SparkSession, dir: String, reps: Int): DataFrame = {
     val base = graft.Tables.embeddings(s, dir)
     requireIdsBelowInjectOffset(base, "vec_id")
     val dim = 64
     val parts = (0 until reps).flatMap { r =>
-      val rr = r % dim
-      // rotation + per-rep random SIGN FLIPS: both orthogonal, so every
-      // within-rep cosine is exactly preserved; the sign flips are what
-      // actually decorrelates reps — these embeddings cluster by label, so
-      // a plain rotation leaves cross-rep centroid correlations well above
-      // a 0.35 threshold (measured: 104k cross-rep pairs at x10 without
-      // flips). With random signs, cross-rep cos concentrates at
-      // 0 ± 1/√dim; pairs above 0.8 are ~e^{-0.64·64/2} ≈ 0 — the
-      // invariant gate runs at that threshold.
-      val rotated0 =
-        if (rr == 0) col("embedding")
-        else concat(slice(col("embedding"), rr + 1, dim - rr), slice(col("embedding"), 1, rr))
+      // per-rep component PERMUTATION + per-rep random SIGN FLIPS: both
+      // orthogonal, so every within-rep cosine is exactly preserved; the
+      // combination is what decorrelates reps — these embeddings cluster
+      // by label, so sign flips alone leave cross-rep correlations on the
+      // clusters' energy support (the ×200 finding above), and a plain
+      // rotation alone left centroid correlations above 0.35 (measured:
+      // 104k cross-rep pairs at ×10 without flips). Permuted + signed,
+      // cross-rep cos concentrates at 0 ± 1/√dim; pairs above the 0.8
+      // invariant threshold are ~6σ tail events.
+      val pi = idxPerm(dim, r * 2 + 1)
+      val permuted =
+        if (r == 0) col("embedding")
+        else array((0 until dim).map(i => element_at(col("embedding"), pi(i) + 1)): _*)
       val signs = array((0 until dim).map { i =>
         lit(if (r == 0 || Integer.bitCount(r * 73856093 ^ i * 19349663) % 2 == 0) 1.0f else -1.0f)
       }: _*)
-      val rotated = if (r == 0) rotated0 else zip_with(rotated0, signs, (x, sg) => x * sg)
+      val rotated = if (r == 0) permuted else zip_with(permuted, signs, (x, sg) => x * sg)
       val body = base.select(
         (col("vec_id") + lit(r * Stride)).as("vec_id"),
         rotated.as("embedding"), col("label"))

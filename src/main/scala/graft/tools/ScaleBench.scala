@@ -329,6 +329,93 @@ object ScaleBench {
     }
   }
 
+  /** The ×200-decade ladder (r8 verdict #4): capped/retuned variants only
+    * — the shapes a production pipeline would actually run at this size
+    * (uncapped fixed-knob variants are the measured quadratic regimes).
+    * d13 ladder at AutoCap, d14 corpus dedup at AutoCap, d16 semantic at
+    * AutoBits (+ the 0.8 invariant-gated point), m02 phash pairs — each
+    * with the same by-construction invariant gates as `clean`, plus an
+    * AQE skew probe: the finalized adaptive plan of the capped band join,
+    * grepped for skew-handled shuffle reads.
+    */
+  private def big(s: SparkSession, dir: String, label: String): Unit = {
+    val docs = graft.Tables.documents(s, dir)
+    val vecs = graft.Tables.embeddings(s, dir)
+    val nDocs = docs.count()
+    val nVecs = vecs.count()
+    emit("corpus" -> label, "op" -> "corpus", "n_docs" -> nDocs, "n_vecs" -> nVecs)
+
+    // d13 ladder, AutoCap — the invariant probes reuse one materialized
+    // pair set (at 1M docs a re-run per count() is the difference between
+    // minutes and an hour)
+    val (candW, candN) = timed2(
+      Dedup.minhashLsh(s, dir, k = 32, rowsPerBand = 8, bucketCap = Dedup.AutoCap).count())
+    val d13 = Dedup.lshVerifiedPairs(s, dir, bucketCap = Dedup.AutoCap)
+      .localCheckpoint(true)
+    val (d13W, d13N) = timed2(
+      Dedup.lshVerifiedPairs(s, dir, bucketCap = Dedup.AutoCap).count())
+    val (bad13, cross13) = pairInvariants(d13)
+    val (found13, exp13) = injectRecall(d13, docs.select("doc_id"), "doc_id")
+    // AQE skew probe on the band join's finalized plan
+    val candDf = Dedup.minhashLsh(s, dir, k = 32, rowsPerBand = 8, bucketCap = Dedup.AutoCap)
+    candDf.write.format("noop").mode("overwrite").save()
+    val skewHits = "skew".r.findAllIn(candDf.queryExecution.executedPlan.toString).length
+    emit("corpus" -> label, "op" -> "d13cap_auto", "wall" -> d13W, "out" -> d13N,
+      "cand" -> candN, "cand_wall" -> candW, "bad_order" -> bad13,
+      "cross_rep" -> cross13, "inject_found" -> found13, "inject_expected" -> exp13,
+      "aqe_skew_mentions" -> skewHits)
+
+    // d14, AutoCap
+    val (d14W, kept) = timed2(
+      DedupResolve.corpusDedupPipeline(s, dir, bucketCap = Dedup.AutoCap).count())
+    val (labels, rounds) = DedupResolve.resolveClustersCounted(
+      d13.select(col("a_id"), col("b_id")))
+    val losers = labels.filter(col("id") =!= col("cluster")).count()
+    emit("corpus" -> label, "op" -> "d14cap_auto", "wall" -> d14W, "kept" -> kept,
+      "rounds" -> rounds, "losers" -> losers,
+      "kept_identity_ok" -> (kept == nDocs - losers))
+
+    bigSemantic(s, dir, label)
+  }
+
+  /** The d16/m02 half of [[big]], runnable alone (`big16`): the heavy
+    * semantic stage needs its own heap/broadcast posture at ×200, so its
+    * failures shouldn't cost a d13/d14 re-measure.
+    */
+  private def bigSemantic(s: SparkSession, dir: String, label: String): Unit = {
+    val vecs = graft.Tables.embeddings(s, dir)
+    val nVecs = vecs.count()
+    // d16 at AutoBits (the shipped default) + the 0.8 invariant point
+    val bitsAuto = graft.llm.LshCalibration.bitsFor(nVecs)
+    // the d16 verify stage joins ~10⁸ candidate id pairs against the
+    // ~100 MB vector table: under the conservative 10 MB default both
+    // joins SHUFFLE the wide joined rows (~80 GB of spill — it filled
+    // the disk at ×200); broadcasting the vector table is what a
+    // production cluster does, so raise the threshold for THIS section
+    // only (globally it would mis-broadcast d13's multi-GB gram table)
+    val defaultThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", (256L * 1024 * 1024).toString)
+    val (d16W, d16N) = timed2(Similarity.signLshPairs(s, dir).count())
+    val p08 = Similarity.signLshPairs(s, dir, minCos = 0.8).localCheckpoint(true)
+    val (p08W, p08N) = timed2(Similarity.signLshPairs(s, dir, minCos = 0.8).count())
+    val (bad16, cross16) = pairInvariants(p08)
+    val (found16, exp16) = injectRecall(p08, vecs.select("vec_id"), "vec_id")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", defaultThreshold)
+    emit("corpus" -> label, "op" -> "d16auto", "bits_auto" -> bitsAuto,
+      "wall_auto035" -> d16W, "out_auto035" -> d16N,
+      "wall_cos08" -> p08W, "out_cos08" -> p08N,
+      "bad_order" -> bad16, "cross_rep" -> cross16,
+      "inject_found" -> found16, "inject_expected" -> exp16)
+
+    // m02 — with the invariant probes (the ×200 per-rep pair-rate wobble
+    // needed the cross-rep counter to rule out generator artifacts)
+    val (m02W, m02N) = timed2(Multimodal.phashPairs(s, dir).count())
+    val m02pairs = Multimodal.phashPairs(s, dir).localCheckpoint(true)
+    val (badM, crossM) = pairInvariants(m02pairs)
+    emit("corpus" -> label, "op" -> "m02", "wall" -> m02W, "out" -> m02N,
+      "bad_order" -> badM, "cross_rep" -> crossM)
+  }
+
   /** The Kirsch–Mitzenmacher A/B (r8 verdict #3): shipped two-hash
     * signatures (one (a, b) draw per shingle, rows correlated across the
     * whole signature — the anchor-bucket mechanism) vs per-band-independent
@@ -421,6 +508,8 @@ object ScaleBench {
       case "ann" => ann(spark, dir, label)
       case "ivf" => ivf(spark, dir, label)
       case "kmab" => kmab(spark, dir, label)
+      case "big" => big(spark, dir, label)
+      case "big16" => bigSemantic(spark, dir, label)
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
