@@ -95,12 +95,13 @@ object Similarity {
       |  FROM p)
       |WHERE rnk <= 5""".stripMargin
 
-  /** DuckDB mirror of [[lshKnn]]: hyperplanes recomputed from the same
-    * md5 derivation, buckets from dot-product signs, then the same
-    * candidate join + rank. Sign decisions are safe against fp summation
-    * order (P(|dot| < 1e-13) ≈ 1e-13 per vector-plane).
+  /** DuckDB mirror of [[lshKnn]], generated from the SAME (nTables, bits)
+    * arguments: hyperplanes recomputed from the same md5 derivation,
+    * buckets from dot-product signs, then the same candidate join + rank.
+    * Sign decisions are safe against fp summation order
+    * (P(|dot| < 1e-13) ≈ 1e-13 per vector-plane).
     */
-  val lshKnnSql: String =
+  def lshKnnSqlFor(nTables: Int, bits: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -108,14 +109,14 @@ object Similarity {
        |planes AS (
        |  SELECT j, i,
        |    (((${Hashing.sqlHash60("j||':'||i")}) % 2000) - 1000)/1000.0 AS w
-       |  FROM range(0, 32) t1(j), range(0, 64) t2(i)),
+       |  FROM range(0, ${nTables * bits}) t1(j), range(0, 64) t2(i)),
        |dots AS (
        |  SELECT e.vec_id, p.j, SUM(e.v[p.i + 1] * p.w) AS d
        |  FROM e, planes p GROUP BY e.vec_id, p.j),
        |buckets AS (
-       |  SELECT vec_id, j // 4 AS table_id,
-       |    SUM(CASE WHEN d >= 0 THEN (1 << (j % 4)) ELSE 0 END) AS bucket
-       |  FROM dots GROUP BY vec_id, j // 4),
+       |  SELECT vec_id, j // $bits AS table_id,
+       |    SUM(CASE WHEN d >= 0 THEN (1 << (j % $bits)) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY vec_id, j // $bits),
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
        |  FROM buckets q JOIN buckets c
@@ -128,6 +129,21 @@ object Similarity {
        |  SELECT qid, nid,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
        |  FROM scored) WHERE rnk <= 5""".stripMargin
+
+  val lshKnnSql: String = lshKnnSqlFor(defTables, defBits)
+
+  /** The sign-LSH ANN grid gate (d26) — the d23 pattern applied to the
+    * kNN surface: the scale runs measured that retuned bits alone
+    * collapse recall (0.38 at ×10) and the PRODUCTION pair is bits
+    * retuned + tables scaled to buy the recall back (t32 rows in
+    * SCALING.md §3b). At the driver SFs the retuned bits are the shipped
+    * 4, so the gated point is (32 tables, 4 bits) — the tables knob at a
+    * non-shipped value, oracle generated from the same arguments.
+    */
+  def lshKnn32(s: SparkSession, dir: String): DataFrame =
+    lshKnn(s, dir, nTables = 32, bits = defBits)
+
+  val lshKnn32Sql: String = lshKnnSqlFor(32, defBits)
 
   /** Candidate-fed exact cosine verifier — the reusable verify stage of
     * the semantic ladder: takes ANY (a_id, b_id) candidate set (sign-LSH

@@ -124,6 +124,33 @@ class LshParamSpec extends AnyFunSuite {
     assert(d17.size >= d13.size)
   }
 
+  test("capFor implements the 10·E[bucket] cap prescription with a floor") {
+    import LshCalibration._
+    // the calibrated-band point (E[bucket] = 1) lands on the measured
+    // zero-loss cap — AutoCap on minhash ladders ≡ the gated cap=32
+    assert(capFor(1.0) == 32)
+    assert(capFor(100.0) == 1000) // sign-LSH at target bucket 100
+    assert(capFor(0.0) == 32) // floor holds at degenerate expectation
+    val caps = Seq(1.0, 10.0, 100.0, 1000.0).map(capFor(_))
+    assert(caps == caps.sorted) // monotone in expectation
+  }
+
+  test("d26 (32 tables) dominates the shipped 8-table kNN recall vs brute") {
+    // plane derivation is global in j, so the 32-table config's first 8
+    // tables ARE the shipped config: candidates only grow, and a true
+    // top-5 member among candidates always survives to the output top-5 —
+    // recall vs brute is monotone in the tables knob
+    val truth = Similarity.bruteKnn(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val h8 = Similarity.lshKnn(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val h32 = Similarity.lshKnn32(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    assert((truth intersect h32).size >= (truth intersect h8).size)
+    info(s"recall@5: 8 tables ${(truth intersect h8).size}/${truth.size}, " +
+      s"32 tables ${(truth intersect h32).size}/${truth.size}")
+  }
+
   // ----------------------------------------------------- AutoBits calibration
 
   test("signLshPairs AutoBits derives bits from the corpus count and matches the explicit run") {
