@@ -260,15 +260,24 @@ object ScaleBench {
     val nVecs = graft.Tables.embeddings(s, dir).count()
     val truth = Similarity.bruteKnn(s, dir).localCheckpoint(true)
     val truthN = truth.count()
-    for ((cells, probe) <- Seq((16, 2), (64, 2), (64, 4))) {
-      val (w, n) = timed2(Similarity.ivfKnn(s, dir, nCells = cells, nProbe = probe).count())
+    // the base grid, then — on corpora big enough for them to make sense
+    // — the cells-growth ladder (cells beyond the 200-vector default
+    // sample need sampleN scaled with them: ~8 training vectors per cell
+    // keeps every cell's mean meaningful). This measures the
+    // "cells ∝ corpus" law §3 names as the next knob.
+    val base = Seq((16, 2, 200), (64, 2, 200), (64, 4, 200))
+    val grown =
+      if (nVecs >= 100000) Seq((256, 8, 2048), (1024, 16, 8192)) else Seq.empty
+    for ((cells, probe, sampleN) <- base ++ grown) {
+      val (w, n) = timed2(
+        Similarity.ivfKnn(s, dir, nCells = cells, nProbe = probe, sampleN = sampleN).count())
       val hits = truth
-        .join(Similarity.ivfKnn(s, dir, nCells = cells, nProbe = probe)
+        .join(Similarity.ivfKnn(s, dir, nCells = cells, nProbe = probe, sampleN = sampleN)
           .select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
         .count()
       emit("corpus" -> label, "op" -> "ivf", "cells" -> cells, "probe" -> probe,
-        "n_vecs" -> nVecs, "wall" -> w, "out" -> n, "hits" -> hits,
-        "recall_at5" -> (hits.toDouble / truthN),
+        "sample_n" -> sampleN, "n_vecs" -> nVecs, "wall" -> w, "out" -> n,
+        "hits" -> hits, "recall_at5" -> (hits.toDouble / truthN),
         "scan_fraction" -> (probe.toDouble / cells))
     }
   }
