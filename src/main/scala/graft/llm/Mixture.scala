@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.Hashing.{hash60, sqlHash60}
+
+/** Data-mixture control for training-corpus assembly: per-source quotas
+  * and proportion rebalancing. Both operators are DETERMINISTIC — the
+  * kept set is a pure function of (doc_id, source counts), so a re-run
+  * over re-partitioned, re-ordered, or incrementally-grown input keeps
+  * the same documents. That is the property a 100 TB pipeline needs:
+  * sampling by `rand()` changes the corpus under retry, and sampling by
+  * row position changes it under repartition.
+  */
+object Mixture {
+
+  /** Cap every source at `quota` documents, keeping the `quota` docs with
+    * the smallest `hash60(doc_id)` (doc_id tiebreak) — a deterministic
+    * uniform draw per source. The domain-cap step of CommonCrawl-style
+    * curation: no single domain may dominate the mixture.
+    *
+    * Scale shape: rank-per-source via a window sorts every group to rank
+    * rows the cap then throws away; this instead reuses the
+    * [[graft.plans.TopKPerGroup]] physical operator — a bounded
+    * quota-sized heap per source per partition, O(n log quota), memory
+    * O(sources · quota), one hash exchange total (the same operator behind
+    * q43). The hash-order draw also makes the kept set MONOTONE: growing a
+    * source only ever replaces kept docs with lower-hash ones, never
+    * reshuffles the whole sample.
+    */
+  def sourceQuota(s: SparkSession, dir: String, quota: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        hash60(col("doc_id").cast("string")).as("h"))
+    graft.plans.TopK.perGroup(
+        docs, Seq("source"), Seq(("h", true), ("doc_id", true)), quota)
+      .select(col("doc_id"), col("source"))
+  }
+
+  def sourceQuotaSql(quota: Int): String =
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ${sqlHash60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= $quota""".stripMargin
+
+  /** Rebalance the mixture toward `targetPerSource` documents per source:
+    * each source is down-sampled at rate min(1, target/n_src) via a hash
+    * threshold. Unlike [[sourceQuota]] this needs NO ranking at all —
+    * the keep decision is row-local once the per-source rate is known:
+    *
+    *   1. one tiny aggregate (sources × counts — map-side combined),
+    *   2. broadcast it back onto the scan,
+    *   3. keep rows with hash60(doc_id) mod 10000 below the source's
+    *      integer threshold ⌊target·10000 / n_src⌋.
+    *
+    * All-integer arithmetic (Spark `div` ≡ DuckDB `//` on non-negative
+    * longs), so the oracle replays the derivation exactly. The kept count
+    * per source is binomial around the target, not exact — the standard
+    * trade: an exact-count draw needs a per-source rank (see sourceQuota),
+    * the thresholded draw is a pure scan. At 100 TB the aggregate reads
+    * one string column and the second pass is shuffle-free.
+    */
+  def mixtureSample(s: SparkSession, dir: String, targetPerSource: Long): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("thresh",
+        least(lit(10000L), expr(s"CAST(${targetPerSource * 10000L} AS BIGINT) div n_src")))
+    docs.join(broadcast(counts), Seq("source"))
+      .filter(pmod(hash60(col("doc_id").cast("string")), lit(10000L)) < col("thresh"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  def mixtureSampleSql(targetPerSource: Long): String =
+    s"""WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source)
+       |SELECT d.doc_id, d.source FROM documents d JOIN c USING (source)
+       |WHERE (${sqlHash60("CAST(doc_id AS VARCHAR)")}) % 10000
+       |  < least(10000, ${targetPerSource * 10000L} // n_src)""".stripMargin
+
+  // ---- shipped gate postures (SparkEntry needs (SparkSession, dir) arity).
+  // The corpus holds 25 docs/source at sf0.001/sf0.01 and 250 at sf0.1, so
+  // quota 12 and target 18 down-sample for real at every verify SF (the
+  // keep-all cap branch is spec-covered on a small source in MixtureSpec).
+
+  def sourceQuota12(s: SparkSession, dir: String): DataFrame =
+    sourceQuota(s, dir, quota = 12)
+  val sourceQuota12Sql: String = sourceQuotaSql(12)
+
+  def mixtureSample18(s: SparkSession, dir: String): DataFrame =
+    mixtureSample(s, dir, targetPerSource = 18L)
+  val mixtureSample18Sql: String = mixtureSampleSql(18L)
+}

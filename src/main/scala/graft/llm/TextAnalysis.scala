@@ -302,6 +302,48 @@ object TextAnalysis {
       |    GROUP BY doc_id, ch)
       |  GROUP BY doc_id)""".stripMargin
 
+  /** Gopher-style repetition evidence per document: the most frequent
+    * adjacent word pair, its count, and the fraction of the document's
+    * bigrams it covers. Highly repetitive documents (boilerplate, keyword
+    * stuffing, degenerate generations) score high and get cut by the
+    * `rep_ratio` threshold a curation pipeline applies downstream.
+    *
+    * Shuffle-free: one codegen'd pass per row
+    * ([[graft.functions.TopBigram]] — hash-count adjacent pairs, pick
+    * max with binary-min tiebreak) instead of explode(bigrams) →
+    * groupBy(doc_id, bigram) → window-rank, which shuffles one row per
+    * TOKEN of the corpus to compute a per-document statistic — hopeless
+    * at 100 TB. The ratio divides the two ints in IEEE double, matching
+    * the oracle bit-for-bit. Documents with < 2 tokens have no bigram and
+    * are absent from both sides.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), graft.functions.TopBigram(col("text")).as("tb"))
+      .filter(col("tb.n_bigrams") > 0)
+      .select(col("doc_id"),
+        col("tb.top_bigram").as("top_bigram"),
+        col("tb.top_n").as("top_n"),
+        (col("tb.top_n").cast("double") / col("tb.n_bigrams").cast("double"))
+          .as("rep_ratio"))
+
+  val repetitionSql: String = {
+    val toks = sqlTokens("text")
+    s"""WITH toks AS (SELECT doc_id, $toks AS tk FROM documents),
+       |bg AS (
+       |  SELECT doc_id, len(tk) - 1 AS n_bigrams,
+       |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+       |  FROM toks WHERE len(tk) >= 2),
+       |cnt AS (SELECT doc_id, n_bigrams, bigram, COUNT(*) AS n
+       |        FROM bg GROUP BY 1, 2, 3),
+       |rk AS (SELECT doc_id, n_bigrams, bigram, n,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram) AS rn
+       |       FROM cnt)
+       |SELECT doc_id, bigram AS top_bigram, CAST(n AS INT) AS top_n,
+       |  CAST(n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rep_ratio
+       |FROM rk WHERE rn = 1""".stripMargin
+  }
+
   /** Column profiling — the data-quality scan every ingestion pipeline
     * runs first: per-column null counts, distinct counts, and extrema over
     * the events table, emitted long-form (one row per column). One pass,
