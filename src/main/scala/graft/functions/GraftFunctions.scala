@@ -135,6 +135,15 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         arity("graft_termcounts(text)", exprs, 1)
         TermCounts(exprs.head)
+      }),
+    ("graft_topbigram",
+      info(classOf[TopBigram].getName, "graft_topbigram",
+        "_FUNC_(text) - Returns (top_bigram, top_n, n_bigrams): the most " +
+          "frequent adjacent token pair (binary-min tiebreak), its count, " +
+          "and the total bigram count — ('', 0, 0) for < 2 tokens."),
+      (exprs: Seq[Expression]) => {
+        arity("graft_topbigram(text)", exprs, 1)
+        TopBigram(exprs.head)
       }))
 
   /** The registered SQL surface, for doc/spec enumeration. */

@@ -222,6 +222,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(tc == Seq(("b", 2L), ("a", 1L)))
   }
 
+  test("graft_topbigram is callable from SQL and matches the Column form") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT s.* FROM (SELECT graft_topbigram('a b a b a') AS s)").head()
+    assert(viaSql.getString(0) == "a b" && viaSql.getInt(1) == 2 && viaSql.getInt(2) == 4)
+    val viaCol = Seq("a b a b a").toDF("t").select(TopBigram($"t").as("s"))
+      .select($"s.top_bigram", $"s.top_n", $"s.n_bigrams")
+      .as[(String, Int, Int)].head()
+    assert(viaCol == (("a b", 2, 4)))
+    // token-less input: the ("", 0, 0) sentinel, never null
+    assert(spark.sql("SELECT graft_topbigram(' ').n_bigrams AS n").as[Int].head() == 0)
+  }
+
   test("SignLshBuckets matches a driver-side reference and stays codegen'd") {
     val nTables = 8
     val bits = 4
