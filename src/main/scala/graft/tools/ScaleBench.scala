@@ -496,6 +496,81 @@ object ScaleBench {
     }
   }
 
+  /** Mixture-control operators at scale (t11/t12): A/B the shipped
+    * TopKPerGroup bounded-heap quota against the window-rank formulation
+    * it replaces, and drive t12's rebalancing invariants. Both arms are
+    * DETERMINISTIC functions of (doc_id, source counts), so the A/B has a
+    * ground truth by construction: the two row sets must be IDENTICAL —
+    * any diff is a correctness bug in one arm, not sampling noise. The
+    * t12 gates are exact too: monotone nesting in the target (a larger
+    * target's threshold dominates per source) and keep-all at
+    * target ≥ max(n_src).
+    */
+  private def mix(s: SparkSession, dir: String, label: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val maxPerSrc = docs.groupBy(col("source")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    emit("corpus" -> label, "op" -> "mix_corpus", "n_docs" -> nDocs,
+      "max_per_source" -> maxPerSrc)
+
+    val quota = 1000
+    val (heapW, heapN) = timed2(graft.llm.Mixture.sourceQuota(s, dir, quota).count())
+    def windowArm: DataFrame = {
+      val h = graft.llm.Hashing.hash60(col("doc_id").cast("string"))
+      docs.select(col("doc_id"), col("source"), h.as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+        .filter(col("rn") <= quota)
+        .select(col("doc_id"), col("source"))
+    }
+    val (winW, winN) = timed2(windowArm.count())
+    // shuffle volume: what each arm's exchange actually carried — the
+    // scale-defining number (wall at local sizes is overhead-dominated)
+    def shuffleRecords(df: DataFrame): Long = {
+      // collect(), not count(): count() plans a SEPARATE aggregate query,
+      // leaving this df's own executedPlan (where the metrics live)
+      // unexecuted. Output is <= sources*quota rows — driver-safe.
+      df.collect()
+      def rec(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          rec(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => rec(q.plan)
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+        case other => other.children.map(rec).sum
+      }
+      rec(df.queryExecution.executedPlan)
+    }
+    val heapDf = graft.llm.Mixture.sourceQuota(s, dir, quota)
+    val heapShuffled = shuffleRecords(heapDf)
+    val winShuffled = shuffleRecords(windowArm)
+    val armDiff = heapDf.exceptAll(windowArm).count() +
+      windowArm.exceptAll(heapDf).count()
+    val winPlan = windowArm.queryExecution.executedPlan.toString
+    emit("corpus" -> label, "op" -> "t11_quota", "quota" -> quota,
+      "wall_heap" -> heapW, "wall_window" -> winW,
+      "shuffled_heap" -> heapShuffled, "shuffled_window" -> winShuffled,
+      "window_group_limit" -> winPlan.contains("WindowGroupLimit"),
+      "window_sorts" -> winPlan.toLowerCase.contains("sort"),
+      "kept" -> heapN, "kept_window" -> winN, "arm_diff" -> armDiff)
+
+    val target = quota.toLong
+    val (mixW, mixN) = timed2(graft.llm.Mixture.mixtureSample(s, dir, target).count())
+    val small = graft.llm.Mixture.mixtureSample(s, dir, target / 2)
+    val large = graft.llm.Mixture.mixtureSample(s, dir, target)
+    val nestBreaks = small.select(col("doc_id"))
+      .join(large.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
+    val keptMax = large.groupBy(col("source")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val keepAll = graft.llm.Mixture.mixtureSample(s, dir, maxPerSrc).count()
+    emit("corpus" -> label, "op" -> "t12_mixture", "target" -> target,
+      "wall" -> mixW, "kept" -> mixN, "kept_max_per_source" -> keptMax,
+      "nest_breaks" -> nestBreaks, "keep_all_kept" -> keepAll,
+      "keep_all_expected" -> nDocs)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(dir, label, mode) = args.take(3)
     val spark = SparkSession.builder()
@@ -519,6 +594,7 @@ object ScaleBench {
       case "kmab" => kmab(spark, dir, label)
       case "big" => big(spark, dir, label)
       case "big16" => bigSemantic(spark, dir, label)
+      case "mix" => mix(spark, dir, label)
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

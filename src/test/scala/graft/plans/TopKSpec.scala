@@ -35,11 +35,37 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
-  test("physical plan uses the custom exec with one exchange and NO sort") {
+  test("physical plan is two-phase (partial below the exchange) with NO sort") {
     val p = customTopK(3).queryExecution.executedPlan.toString
     assert(p.contains("TopKPerGroup ["), p) // exec node prints without the Exec suffix
+    assert(p.contains("TopKPerGroupPartial ["), p)
     assert(p.contains("Exchange hashpartitioning(o_orderpriority"), p)
+    // partial must sit BELOW the exchange (map side), final above it
+    val (iFinal, iEx, iPartial) = (p.indexOf("TopKPerGroup ["),
+      p.indexOf("Exchange hashpartitioning"), p.indexOf("TopKPerGroupPartial ["))
+    assert(iFinal < iEx && iEx < iPartial, p)
     assert(!p.toLowerCase.contains("sortexec") && !p.contains("\nSort "), p)
+  }
+
+  test("partial phase bounds what the exchange carries to groups*k per partition") {
+    // 5 order priorities, k=3, over a multi-partition scan: the exchange
+    // must carry <= 5*3 rows per input partition, not the full table
+    val df = customTopK(3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    def records(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        records(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => records(q.plan)
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        s.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+      case other => other.children.map(records).sum
+    }
+    val shuffled = records(plan)
+    val nParts = Tables.orders(spark, sf).rdd.getNumPartitions
+    assert(shuffled > 0, s"expected an exchange in:\n$plan")
+    assert(shuffled <= 5L * 3 * nParts,
+      s"exchange carried $shuffled rows; partial phase should bound it to <= ${5 * 3 * nParts}")
   }
 
   test("rows come out in rank order within each group") {
