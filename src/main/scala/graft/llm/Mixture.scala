@@ -29,12 +29,15 @@ object Mixture {
     * source only ever replaces kept docs with lower-hash ones, never
     * reshuffles the whole sample.
     */
-  def sourceQuota(s: SparkSession, dir: String, quota: Int): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        hash60(col("doc_id").cast("string")).as("h"))
+  def sourceQuota(s: SparkSession, dir: String, quota: Int): DataFrame =
+    sourceQuotaDf(Tables.documents(s, dir), quota)
+
+  /** [[sourceQuota]] over any (doc_id, source, …) DataFrame. */
+  def sourceQuotaDf(docs: DataFrame, quota: Int): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("source"),
+      hash60(col("doc_id").cast("string")).as("h"))
     graft.plans.TopK.perGroup(
-        docs, Seq("source"), Seq(("h", true), ("doc_id", true)), quota)
+        keyed, Seq("source"), Seq(("h", true), ("doc_id", true)), quota)
       .select(col("doc_id"), col("source"))
   }
 
@@ -63,8 +66,11 @@ object Mixture {
     * the thresholded draw is a pure scan. At 100 TB the aggregate reads
     * one string column and the second pass is shuffle-free.
     */
-  def mixtureSample(s: SparkSession, dir: String, targetPerSource: Long): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def mixtureSample(s: SparkSession, dir: String, targetPerSource: Long): DataFrame =
+    mixtureSampleDf(Tables.documents(s, dir), targetPerSource)
+
+  /** [[mixtureSample]] over any (doc_id, source, …) DataFrame. */
+  def mixtureSampleDf(docs: DataFrame, targetPerSource: Long): DataFrame = {
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_src"))
       .withColumn("thresh",

@@ -556,6 +556,43 @@ object ScaleBench {
       "window_sorts" -> winPlan.toLowerCase.contains("sort"),
       "kept" -> heapN, "kept_window" -> winN, "arm_diff" -> armDiff)
 
+    // ---- source skew: the regime where the heap should still earn its
+    // keep on Spark 4. One hot source gets ~100× the docs; the window
+    // arm's partial WindowGroupLimit must LOCALLY SORT every partition of
+    // the hot source map-side (O(m log m) + spill pressure), while the
+    // heap scans unsorted at O(m log k) with memory bounded by
+    // sources·quota. Rows are synthesized in-flight (hot-source copies at
+    // shifted ids), so both arms stay deterministic and must still agree
+    // exactly.
+    val hot = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), col("source"))
+    val skewDocs = {
+      val copies = (1 to 99).map { i =>
+        hot.select((col("doc_id") + lit(i * 100000000L)).as("doc_id"), col("source"))
+      }
+      copies.foldLeft(docs.select(col("doc_id"), col("source")))(_ unionByName _)
+        .localCheckpoint(true) // freeze the input so both arms read one copy
+    }
+    val hotRows = skewDocs.filter(col("source") === "src0").count()
+    def skewWindowArm: DataFrame = {
+      val h = graft.llm.Hashing.hash60(col("doc_id").cast("string"))
+      skewDocs.select(col("doc_id"), col("source"), h.as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+        .filter(col("rn") <= quota)
+        .select(col("doc_id"), col("source"))
+    }
+    val (skHeapW, skHeapN) =
+      timed2(graft.llm.Mixture.sourceQuotaDf(skewDocs, quota).count())
+    val (skWinW, skWinN) = timed2(skewWindowArm.count())
+    val skewDiff = graft.llm.Mixture.sourceQuotaDf(skewDocs, quota)
+      .exceptAll(skewWindowArm).count() +
+      skewWindowArm.exceptAll(graft.llm.Mixture.sourceQuotaDf(skewDocs, quota)).count()
+    emit("corpus" -> label, "op" -> "t11_quota_skew", "quota" -> quota,
+      "hot_source_rows" -> hotRows,
+      "wall_heap" -> skHeapW, "wall_window" -> skWinW,
+      "kept" -> skHeapN, "kept_window" -> skWinN, "arm_diff" -> skewDiff)
+
     val target = quota.toLong
     val (mixW, mixN) = timed2(graft.llm.Mixture.mixtureSample(s, dir, target).count())
     val small = graft.llm.Mixture.mixtureSample(s, dir, target / 2)
