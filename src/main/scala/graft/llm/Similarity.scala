@@ -180,12 +180,27 @@ object Similarity {
     * ([[signLshPairs]], [[embedNearDup]]) pass it directly, skipping
     * [[verifyCosine]]'s id prune.
     */
+  /** Largest vector table the verify joins will broadcast: ~1M 64-float
+    * rows ≈ 300 MB — comfortably under Spark's broadcast ceiling and the
+    * memory of any executor sized for this workload. The knob exists
+    * because the candidate side is the BIG side here (banded LSH emits
+    * O(n·E[bucket]) id pairs): shuffling ~10⁸ wide joined rows against a
+    * conservative 10 MB autoBroadcast default spilled ~80 GB and filled
+    * the disk at ×200 (SCALING.md §3c lesson 2); the pipeline now makes
+    * the production call itself — one cheap count on the (pruned,
+    * usually checkpointed) vector table, broadcast when it provably
+    * fits, shuffle join above the bound.
+    */
+  private val MaxBroadcastVectors: Long = 1L << 20
+
   private[llm] def verifyCosineOn(e: DataFrame, pairs: DataFrame, minCos: Double): DataFrame = {
+    val small = e.count() <= MaxBroadcastVectors
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("qv"), col("nrm").as("qn"))
     val eb = e.select(col("vec_id").as("b_id"), col("embedding"), col("nrm"))
     pairs
-      .join(ea, "a_id")
-      .join(eb, "b_id")
+      .join(side(ea), "a_id")
+      .join(side(eb), "b_id")
       .withColumn("cos", dotCol / (col("qn") * col("nrm")))
       .filter(col("cos") >= minCos)
       .select(col("a_id"), col("b_id"))

@@ -397,19 +397,17 @@ object ScaleBench {
     // d16 at AutoBits (the shipped default) + the 0.8 invariant point
     val bitsAuto = graft.llm.LshCalibration.bitsFor(nVecs)
     // the d16 verify stage joins ~10⁸ candidate id pairs against the
-    // ~100 MB vector table: under the conservative 10 MB default both
-    // joins SHUFFLE the wide joined rows (~80 GB of spill — it filled
-    // the disk at ×200); broadcasting the vector table is what a
-    // production cluster does, so raise the threshold for THIS section
-    // only (globally it would mis-broadcast d13's multi-GB gram table)
-    val defaultThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", (256L * 1024 * 1024).toString)
+    // ~100 MB vector table: under the conservative 10 MB autoBroadcast
+    // default both joins SHUFFLED the wide joined rows (~80 GB of spill —
+    // it filled the disk at ×200). This section used to raise the
+    // threshold; `verifyCosineOn` now broadcasts the vector table ITSELF
+    // whenever it provably fits (≤ MaxBroadcastVectors), so the harness
+    // runs the pipeline unmodified — this measurement is the proof.
     val (d16W, d16N) = timed2(Similarity.signLshPairs(s, dir).count())
     val p08 = Similarity.signLshPairs(s, dir, minCos = 0.8).localCheckpoint(true)
     val (p08W, p08N) = timed2(Similarity.signLshPairs(s, dir, minCos = 0.8).count())
     val (bad16, cross16) = pairInvariants(p08)
     val (found16, exp16) = injectRecall(p08, vecs.select("vec_id"), "vec_id")
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", defaultThreshold)
     emit("corpus" -> label, "op" -> "d16auto", "bits_auto" -> bitsAuto,
       "wall_auto035" -> d16W, "out_auto035" -> d16N,
       "wall_cos08" -> p08W, "out_cos08" -> p08N,
