@@ -180,21 +180,34 @@ object Similarity {
     * ([[signLshPairs]], [[embedNearDup]]) pass it directly, skipping
     * [[verifyCosine]]'s id prune.
     */
-  /** Largest vector table the verify joins will broadcast: ~1M 64-float
-    * rows ≈ 300 MB — comfortably under Spark's broadcast ceiling and the
-    * memory of any executor sized for this workload. The knob exists
-    * because the candidate side is the BIG side here (banded LSH emits
-    * O(n·E[bucket]) id pairs): shuffling ~10⁸ wide joined rows against a
-    * conservative 10 MB autoBroadcast default spilled ~80 GB and filled
-    * the disk at ×200 (SCALING.md §3c lesson 2); the pipeline now makes
-    * the production call itself — one cheap count on the (pruned,
-    * usually checkpointed) vector table, broadcast when it provably
-    * fits, shuffle join above the bound.
+  /** Broadcast budget for the verify joins' vector side, in BYTES — ~384
+    * MB, sized so the measured ×200 point (1M 64-float rows ≈ 290 MB with
+    * per-row overhead) still broadcasts, comfortably under Spark's
+    * broadcast ceiling and the memory of any executor sized for this
+    * workload. Bytes, not rows: the forced `broadcast()` hint bypasses
+    * the planner's own size check, so a row-count gate would silently
+    * broadcast far more than intended for wider embeddings — the gate
+    * measures the actual vector width instead of assuming 64 floats. The
+    * knob exists because the candidate side is the BIG side here (banded
+    * LSH emits O(n·E[bucket]) id pairs): shuffling ~10⁸ wide joined rows
+    * against a conservative 10 MB autoBroadcast default spilled ~80 GB
+    * and filled the disk at ×200 (SCALING.md §3c lesson 2); the pipeline
+    * makes the production call itself — one aggregate pass over the
+    * (pruned, usually checkpointed) vector table, broadcast when it
+    * provably fits, shuffle join above the bound.
     */
-  private val MaxBroadcastVectors: Long = 1L << 20
+  private val MaxBroadcastBytes: Long = 384L << 20
 
   private[llm] def verifyCosineOn(e: DataFrame, pairs: DataFrame, minCos: Double): DataFrame = {
-    val small = e.count() <= MaxBroadcastVectors
+    // NOTE: one EAGER aggregate (row count + widest vector) runs here, at
+    // build time — the join strategy has to be decided when the plan is
+    // built, and every caller hands in a checkpointed table where the
+    // pass is a cheap scan. 4 bytes per float element + ~32 bytes of
+    // row/array envelope per broadcast row.
+    val stats = e.agg(count(lit(1)), max(size(col("embedding")))).head()
+    val rows = stats.getLong(0)
+    val dim = if (stats.isNullAt(1)) 0 else stats.getInt(1)
+    val small = rows * (4L * dim + 32L) <= MaxBroadcastBytes
     def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("qv"), col("nrm").as("qn"))
     val eb = e.select(col("vec_id").as("b_id"), col("embedding"), col("nrm"))

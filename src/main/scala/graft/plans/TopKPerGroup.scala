@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import scala.collection.mutable
 
@@ -88,6 +88,14 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) super.requiredChildDistribution
     else ClusteredDistribution(groupExprs) :: Nil
+
+  // both phases only drop rows within each partition (mapPartitions, no
+  // movement), so the child's partitioning survives. Without this override
+  // SparkPlan reports UnknownPartitioning and EnsureRequirements inserts an
+  // exchange above the partial phase even when the child is already
+  // hash-clustered by the group key — the zero-shuffle path the scaladoc
+  // promises.
+  override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output

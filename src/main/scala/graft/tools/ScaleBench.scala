@@ -564,9 +564,13 @@ object ScaleBench {
     // exactly.
     val hot = docs.filter(col("source") === "src0")
       .select(col("doc_id"), col("source"))
+    // shifted-copy stride derived from the data, not hard-coded: a fixed
+    // 1e8 would collide with genuine rows the day real ids reach it,
+    // silently breaking the determinism/ground-truth claim
+    val idStride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val skewDocs = {
       val copies = (1 to 99).map { i =>
-        hot.select((col("doc_id") + lit(i * 100000000L)).as("doc_id"), col("source"))
+        hot.select((col("doc_id") + lit(i * idStride)).as("doc_id"), col("source"))
       }
       copies.foldLeft(docs.select(col("doc_id"), col("source")))(_ unionByName _)
         .localCheckpoint(true) // freeze the input so both arms read one copy

@@ -68,6 +68,29 @@ class TopKSpec extends AnyFunSuite {
       s"exchange carried $shuffled rows; partial phase should bound it to <= ${5 * 3 * nParts}")
   }
 
+  test("a child already clustered by the group key incurs NO extra exchange") {
+    // outputPartitioning propagates through both phases, so when the child
+    // is hash-partitioned on the key, EnsureRequirements must find the
+    // final phase's ClusteredDistribution already satisfied: exactly the
+    // ONE exchange from the repartition, none inserted by the operator
+    val pre = Tables.orders(spark, sf)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      .repartition($"o_orderpriority")
+    val df = TopK.perGroup(pre, Seq("o_orderpriority"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+    df.collect()
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        exchanges(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => exchanges(q.plan)
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        1 + s.children.map(exchanges).sum
+      case other => other.children.map(exchanges).sum
+    }
+    val n = exchanges(df.queryExecution.executedPlan)
+    assert(n == 1, s"expected only the repartition exchange, found $n:\n${df.queryExecution.executedPlan}")
+  }
+
   test("rows come out in rank order within each group") {
     val rows = customTopK(5).collect()
     val byGroup = rows.groupBy(_.getString(0))
