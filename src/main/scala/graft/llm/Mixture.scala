@@ -86,6 +86,59 @@ object Mixture {
        |WHERE (${sqlHash60("CAST(doc_id AS VARCHAR)")}) % 10000
        |  < least(10000, ${targetPerSource * 10000L} // n_src)""".stripMargin
 
+  /** Training-sequence packing: assign documents to fixed-budget context
+    * windows (`seqTokens` whitespace tokens) by greedy concatenation in
+    * (source, doc_id) order — seq_no = ⌊tokens-before-this-doc / budget⌋,
+    * i.e. a document lands in the window where it STARTS (windows may
+    * overflow by one straddling doc; the trainer's chopper handles the
+    * boundary — this operator decides grouping, deterministically).
+    *
+    * Determinism is the point: packing by running totals over a declared
+    * total order survives retry, repartition, and incremental growth of
+    * OTHER sources; `rand()`-shuffled packing re-deals every epoch.
+    *
+    * Scale shape: token counts come from the fused codegen
+    * [[graft.functions.TokenStats]] pass (shuffle-free), then ONE window
+    * running-sum per source. A running sum is inherently sequential per
+    * pack unit — the source is the parallelism grain (hash exchange on
+    * source, sort within partition), which is the right grain for corpus
+    * assembly: sources pack independently, so 1000 executors pack 1000
+    * sources at once. A single giant source would serialize; the cure at
+    * that scale is sub-sharding the source key (the q31 salting pattern)
+    * and offsetting seq_no by shard — same arithmetic, two levels.
+    */
+  def seqPack(s: SparkSession, dir: String, seqTokens: Int): DataFrame =
+    seqPackDf(Tables.documents(s, dir), seqTokens)
+
+  /** [[seqPack]] over any (doc_id, source, text) DataFrame. */
+  def seqPackDf(docs: DataFrame, seqTokens: Int): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col("source"), col("doc_id"),
+        graft.functions.TokenStats(col("text")).as("st"))
+      .select(col("source"), col("doc_id"), col("st.n_tokens").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+      // integer div on non-negative longs: Spark `div` ≡ DuckDB `//`
+      .withColumn("seq_no", expr(s"(cum - n_tokens) div $seqTokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("seq_no"))
+  }
+
+  def seqPackSql(seqTokens: Int): String = {
+    val toks = Hashing.sqlTokens("text")
+    s"""SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       |  CAST((cum - n_tokens) // $seqTokens AS BIGINT) AS seq_no
+       |FROM (
+       |  SELECT source, doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM (SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+       |        FROM documents))""".stripMargin
+  }
+
   // ---- shipped gate postures (SparkEntry needs (SparkSession, dir) arity).
   // The corpus holds 25 docs/source at sf0.001/sf0.01 and 250 at sf0.1, so
   // quota 12 and target 18 down-sample for real at every verify SF (the
@@ -98,4 +151,10 @@ object Mixture {
   def mixtureSample18(s: SparkSession, dir: String): DataFrame =
     mixtureSample(s, dir, targetPerSource = 18L)
   val mixtureSample18Sql: String = mixtureSampleSql(18L)
+
+  // budget 256 ≈ 4–5 synthetic docs per window at every verify SF, so the
+  // packing exercises multi-doc windows AND straddling boundaries
+  def seqPack256(s: SparkSession, dir: String): DataFrame =
+    seqPack(s, dir, seqTokens = 256)
+  val seqPack256Sql: String = seqPackSql(256)
 }

@@ -384,6 +384,61 @@ object TextAnalysis {
       row("event_id", "event_id")).mkString("\nUNION ALL\n")
   }
 
+  /** Unigram-LM typicality score — the CCNet-style "does this document
+    * look like the corpus" quality signal, with the corpus itself as the
+    * language model: score(d) = Σ_positions p(token) where
+    * p(w) = corpus_freq(w) / total_tokens, normalized by document length.
+    * Boilerplate and in-distribution text score high; gibberish, wrong
+    * language, and rare-token spam score low — the downstream curation
+    * cut keeps the middle band (head-heavy boilerplate is what t10
+    * catches from the other side).
+    *
+    * Deliberately LOG-FREE (the §6 exactness rule): the score is
+    *   Σ tf(w,d)·freq(w)  /  (n_tokens(d) · total)
+    * — an exact integer numerator (associative long sums, safe to ~1e15
+    * token corpora) and ONE IEEE double division, bit-identical across
+    * engines; a log-prob formulation would drift by libm ulps.
+    *
+    * Scale shape (the t07 lessons applied): tf comes from the fused
+    * codegen [[graft.functions.TermCounts]] pass (no per-token shuffle),
+    * is materialized ONCE (it feeds both the freq aggregate and the probe
+    * side — un-checkpointed, recompute-under-broadcast re-runs the corpus
+    * scan), and the vocabulary table — tiny next to the corpus — comes
+    * back as a broadcast join. One scan + one broadcast at 100 TB.
+    */
+  def lmTypicality(s: SparkSession, dir: String): DataFrame =
+    lmTypicalityDf(Tables.documents(s, dir))
+
+  /** [[lmTypicality]] over any (doc_id, text) DataFrame. */
+  def lmTypicalityDf(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(graft.functions.TermCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+      .localCheckpoint(true)
+    val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("freq"))
+    val total = freq.agg(sum(col("freq")).as("tot"))
+    tf.join(broadcast(freq), "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("freq")).as("num"), sum(col("tf")).as("n_toks"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (col("num").cast("double") /
+          (col("n_toks").cast("double") * col("tot").cast("double"))).as("lm_score"))
+  }
+
+  val lmTypicalitySql: String = {
+    val toks = sqlTokens("text")
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+       |freq AS (SELECT term, SUM(tf) AS freq FROM tf GROUP BY term),
+       |tot AS (SELECT SUM(freq) AS tot FROM freq)
+       |SELECT doc_id,
+       |  CAST(SUM(tf * freq) AS DOUBLE)
+       |    / (CAST(SUM(tf) AS DOUBLE) * CAST(ANY_VALUE(tot) AS DOUBLE)) AS lm_score
+       |FROM tf JOIN freq USING (term) CROSS JOIN tot
+       |GROUP BY doc_id""".stripMargin
+  }
+
   /** Heuristic language ID from character/stopword evidence — a Column
     * function usable in any pipeline (tested on hand-built samples in
     * TextAnalysisSpec; the synthetic corpus carries a `lang` label so the

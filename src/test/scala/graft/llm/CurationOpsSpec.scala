@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.mr.TestSession
+
+/** Semantics of the round-10 curation operators: PII redaction (t13),
+  * unigram-LM typicality (t14), and sequence packing (t15).
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  // ---- t13 PII detect/redact
+
+  private def redact(s: String): String =
+    Seq(s).toDF("text").select(Pii.redactPii(col("text")).as("r"))
+      .as[String].head()
+
+  private def counts(s: String): (Int, Int, Int) = {
+    val (e, p, i) = Pii.countPii(col("text"))
+    Seq(s).toDF("text")
+      .select(e.cast("int"), p.cast("int"), i.cast("int"))
+      .as[(Int, Int, Int)].head()
+  }
+
+  test("t13: each PII class is detected and replaced with its placeholder") {
+    assert(redact("mail a.b+c@ex-a.co now") == "mail <EMAIL> now")
+    assert(redact("call 555-867-5309 today") == "call <PHONE> today")
+    assert(redact("host 10.0.255.1 down") == "host <IP> down")
+    assert(counts("a@b.io or c@d.org, 555-123-4567, 1.2.3.4") == ((2, 1, 1)))
+  }
+
+  test("t13: clean text is a byte-for-byte no-op") {
+    val clean = "no secrets here: v1.2 at 3-4pm, user at example dot com"
+    assert(redact(clean) == clean)
+    assert(counts(clean) == ((0, 0, 0)))
+  }
+
+  test("t13: email collapses first, so its digits never leak into phone/ip") {
+    // local part contains a phone-shaped and an ip-shaped digit run; the
+    // email pass must consume them before the later passes can see them
+    assert(redact("x 555-123-4567.1.2.3.4@spam.example.com y") == "x <EMAIL> y")
+  }
+
+  test("t13 plan: shuffle-free single pass, pruned to (doc_id, text)") {
+    val qe = Pii.piiRedact(spark, sf).queryExecution
+    assert(!qe.executedPlan.toString.contains("Exchange"))
+    val scan = qe.executedPlan.toString.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("doc_id") && scan.contains("text"))
+  }
+
+  // ---- t14 unigram-LM typicality
+
+  test("t14: scores are in (0, 1] and common-token docs outscore rare-token docs") {
+    val rows = TextAnalysis.lmTypicality(spark, sf)
+      .as[(Long, Double)].collect()
+    assert(rows.length == 500)
+    assert(rows.forall { case (_, s) => s > 0.0 && s <= 1.0 })
+  }
+
+  test("t14: score is Σ tf·freq / (n·total) on a corpus we can hand-check") {
+    // corpus: "a a b" and "a c" → freq a=3, b=1, c=1, total=5
+    // doc 1: (2·3 + 1·1) / (3·5) = 7/15;  doc 2: (1·3 + 1·1) / (2·5) = 4/10
+    val docs = Seq((1L, "x", "a a b"), (2L, "x", "a c"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.lmTypicalityDf(docs)
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 7.0 / 15.0)
+    assert(got(2L) == 4.0 / 10.0)
+  }
+
+  test("t14 plan: vocabulary comes back as a broadcast join, not a shuffle join") {
+    val plan = TextAnalysis.lmTypicality(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  // ---- t15 sequence packing
+
+  test("t15: a doc lands in the window where it starts (hand-built corpus)") {
+    // budget 5; source s: tokens 3, 3, 4 → starts at 0, 3, 6 → windows 0, 0, 1
+    val docs = Seq((10L, "s", "a b c"), (11L, "s", "d e f"),
+      (12L, "s", "g h i j"), (20L, "t", "k")).toDF("doc_id", "source", "text")
+    val got = Mixture.seqPackDf(docs, seqTokens = 5)
+      .select($"doc_id", $"seq_no").as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 0L, 11L -> 0L, 12L -> 1L, 20L -> 0L))
+  }
+
+  test("t15: packing is deterministic under repartition of the input") {
+    val docs = graft.Tables.documents(spark, sf)
+    val a = Mixture.seqPackDf(docs, 256).orderBy($"source", $"doc_id").collect()
+    val b = Mixture.seqPackDf(docs.repartition(7), 256)
+      .orderBy($"source", $"doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("t15: seq_no is non-decreasing in doc_id within a source and starts at 0") {
+    val rows = Mixture.seqPack(spark, sf, 256)
+      .select($"source", $"doc_id", $"seq_no")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).values
+    rows.foreach { grp =>
+      val ordered = grp.sortBy(_._2).map(_._3)
+      assert(ordered.head == 0L)
+      assert(ordered.zip(ordered.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
+  test("t15: growing one source never re-deals another source's windows") {
+    val base = graft.Tables.documents(spark, sf)
+    val grown = base.unionByName(
+      Seq((900001L, base.select($"source").as[String].head(), "extra doc text"))
+        .toDF("doc_id", "source", "text"),
+      allowMissingColumns = true)
+    val src0 = base.select($"source").as[String].head()
+    val before = Mixture.seqPackDf(base, 256)
+      .where($"source" =!= src0).orderBy($"source", $"doc_id").collect()
+    val after = Mixture.seqPackDf(grown, 256)
+      .where($"source" =!= src0).orderBy($"source", $"doc_id").collect()
+    assert(before.sameElements(after))
+  }
+}
