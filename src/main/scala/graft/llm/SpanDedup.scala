@@ -1,0 +1,179 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Exact duplicated-SPAN detection — substring-granularity dedup: find,
+  * in every document, the maximal runs of ≥ `minTokens` consecutive
+  * tokens that occur more than once in the corpus (boilerplate headers,
+  * license blocks, templated paragraphs — the stuff document-level dedup
+  * can't touch because the surrounding text differs).
+  *
+  * The literature does this with a corpus-wide suffix array (an
+  * inherently sequential external-memory build). The Spark-first
+  * restatement: a duplicated token-span of length ≥ k contains only
+  * duplicated k-grams, and conversely every maximal run of duplicated
+  * k-gram start positions [s, e] recovers a maximal duplicated region
+  * [s, e + k - 1]. So the operator is three declarative steps, each a
+  * stock Catalyst shape:
+  *
+  *   1. SEED  — explode every k-gram start position with a 60-bit gram
+  *      key (one generator pass over the scan, text never shuffles);
+  *   2. COUNT — `groupBy(gram).count > 1` (partial aggregation applies;
+  *      the surviving duplicated-gram table is orders of magnitude
+  *      smaller than the gram stream) joined back position-side — AQE
+  *      picks broadcast when the dup table fits, shuffle join when a
+  *      boilerplate-heavy corpus makes it big;
+  *   3. MERGE — gaps-and-islands per document (`pos − row_number`) to
+  *      fuse consecutive duplicated positions into maximal spans: one
+  *      hash exchange on doc_id, one sort.
+  *
+  * The gram stream is checkpointed (the t14/t07 pattern): it feeds both
+  * the count and the probe side, and regenerating it under a broadcast
+  * join would re-scan the corpus.
+  *
+  * Grouping on the 60-bit [[Hashing.hash60]] of the gram instead of the
+  * gram string keeps the shuffle rows fixed-width (16 bytes vs a k-token
+  * string) — the difference between shuffling ~2× the corpus and ~0.2×
+  * of it at 100 TB. A hash collision can only ADD a false duplicated
+  * position (birthday bound: ~1e-18 per gram pair, ~10⁻⁵ corpora of 1e12
+  * grams); both engines hash identically, so the oracle gate is exact
+  * either way.
+  *
+  * Islands semantics: two distinct duplicated substrings that abut or
+  * overlap within a document merge into one reported span — the right
+  * answer for the downstream use (cut the whole region).
+  *
+  * Reference scope: gomrjob (mr_*.go) ships no text operators at all;
+  * this extends the engine toward its training-pipeline north star.
+  */
+object SpanDedup {
+
+  /** Maximal duplicated spans of ≥ `minTokens` whitespace tokens.
+    * Output: (doc_id, span_start, span_end, span_tokens), token
+    * positions 1-based inclusive.
+    */
+  def dupSpans(s: SparkSession, dir: String, minTokens: Int): DataFrame =
+    dupSpansDf(Tables.documents(s, dir), minTokens)
+
+  /** [[dupSpans]] over any (doc_id, text) DataFrame. */
+  def dupSpansDf(docs: DataFrame, minTokens: Int): DataFrame = {
+    val hits = dupPositions(docs, minTokens)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (minTokens - 1)).as("span_end"))
+      .select(col("doc_id"),
+        col("span_start").cast("int").as("span_start"),
+        col("span_end").cast("int").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("int").as("span_tokens"))
+  }
+
+  /** Start positions (doc_id, pos) of corpus-duplicated `minTokens`-grams. */
+  private def dupPositions(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"minTokens must be >= 2, got $k")
+    val grams = docs
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => Hashing.hash60(concat_ws(" ", slice(col("t"), i, lit(k)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gk"))
+      .localCheckpoint(true)
+    val dup = grams.groupBy(col("gk")).count().where(col("count") > 1)
+      .select(col("gk"))
+    grams.join(dup, "gk").select(col("doc_id"), col("pos"))
+  }
+
+  /** DuckDB mirror of [[dupSpansDf]] over the `documents` table. */
+  def dupSpansSqlFor(k: Int): String = {
+    val toks = Hashing.sqlTokens("text")
+    val gk = Hashing.sqlHash60(s"array_to_string(t[i:i+${k - 1}], ' ')")
+    s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+       |sh AS (SELECT doc_id, CAST(i AS INT) AS pos, $gk AS gk
+       |       FROM tok CROSS JOIN LATERAL unnest(range(1, len(t)-${k - 2})) r(i)
+       |       WHERE len(t) >= $k),
+       |dup AS (SELECT gk FROM sh GROUP BY gk HAVING COUNT(*) > 1),
+       |hit AS (SELECT doc_id, pos,
+       |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |        FROM sh WHERE gk IN (SELECT gk FROM dup))
+       |SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+       |  CAST(MAX(pos) + ${k - 1} AS INT) AS span_end,
+       |  CAST(MAX(pos) - MIN(pos) + $k AS INT) AS span_tokens
+       |FROM hit GROUP BY doc_id, isl""".stripMargin
+  }
+
+  /** The removal half: every document rewritten with its duplicated
+    * spans cut out. Output: (doc_id, clean_text, n_removed) for EVERY
+    * document (untouched docs pass through with n_removed = 0 — the
+    * all-clear rows prove the rewrite is a no-op on clean text).
+    *
+    * Scale shape — the rewrite never shuffles tokens: duplicated start
+    * positions expand to covered positions (equi-join keys, no range
+    * join), aggregate to ONE small per-doc position set, join back to
+    * the corpus on doc_id (left join; only span-bearing docs carry a
+    * set), and a codegen'd index-filter lambda drops the covered tokens
+    * per ROW. What moves is O(duplicated positions), not O(corpus).
+    */
+  def stripSpans(s: SparkSession, dir: String, minTokens: Int): DataFrame =
+    stripSpansDf(Tables.documents(s, dir), minTokens)
+
+  /** [[stripSpans]] over any (doc_id, text) DataFrame. */
+  def stripSpansDf(docs: DataFrame, minTokens: Int): DataFrame = {
+    val cov = dupPositions(docs, minTokens)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (minTokens - 1))).as("pos"))
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("cov"))
+    docs
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("t"))
+      .join(cov, Seq("doc_id"), "left")
+      // Spark's filter-lambda index is 0-based; positions are 1-based
+      .select(col("doc_id"),
+        when(col("cov").isNull, col("t"))
+          .otherwise(filter(col("t"),
+            (x, i) => !array_contains(col("cov"), i + 1))).as("kept"),
+        size(col("t")).as("n_toks"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        (col("n_toks") - size(col("kept"))).cast("int").as("n_removed"))
+  }
+
+  /** DuckDB mirror of [[stripSpansDf]] (its lambda index is 1-based). */
+  def stripSpansSqlFor(k: Int): String = {
+    val toks = Hashing.sqlTokens("text")
+    val gk = Hashing.sqlHash60(s"array_to_string(t[i:i+${k - 1}], ' ')")
+    s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+       |sh AS (SELECT doc_id, CAST(i AS INT) AS pos, $gk AS gk
+       |       FROM tok CROSS JOIN LATERAL unnest(range(1, len(t)-${k - 2})) r(i)
+       |       WHERE len(t) >= $k),
+       |dup AS (SELECT gk FROM sh GROUP BY gk HAVING COUNT(*) > 1),
+       |cov AS (SELECT doc_id, list(DISTINCT CAST(j AS INT)) AS cov
+       |        FROM sh CROSS JOIN LATERAL unnest(range(pos, pos + $k)) c(j)
+       |        WHERE gk IN (SELECT gk FROM dup) GROUP BY doc_id),
+       |kept AS (SELECT t.doc_id,
+       |           CASE WHEN cov.cov IS NULL THEN t.t
+       |                ELSE list_filter(t.t, (x, i) -> NOT list_contains(cov.cov, i))
+       |           END AS kept, len(t.t) AS n_toks
+       |         FROM tok t LEFT JOIN cov USING (doc_id))
+       |-- array_to_string([]) is NULL in DuckDB but array_join([]) is ''
+       |-- in Spark: a fully-duplicated doc strips to the empty string
+       |SELECT doc_id, COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+       |  CAST(n_toks - len(kept) AS INT) AS n_removed
+       |FROM kept""".stripMargin
+  }
+
+  // ---- shipped gate postures: k=8 — long enough that word-salad
+  // coincidences are rare (the hits are the planted twins' shared
+  // regions), short enough that the gates exercise multi-gram islands
+  def dupSpans8(s: SparkSession, dir: String): DataFrame =
+    dupSpans(s, dir, minTokens = 8)
+  val dupSpans8Sql: String = dupSpansSqlFor(8)
+
+  def stripSpans8(s: SparkSession, dir: String): DataFrame =
+    stripSpans(s, dir, minTokens = 8)
+  val stripSpans8Sql: String = stripSpansSqlFor(8)
+}

@@ -416,7 +416,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
       .localCheckpoint(true)
     val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("freq"))
-    val total = freq.agg(sum(col("freq")).as("tot"))
+    // Σ freq ≡ Σ tf: total token count comes straight off the checkpointed
+    // tf pass (one partial-sum, no per-term exchange) instead of
+    // re-aggregating the vocabulary
+    val total = tf.agg(sum(col("tf")).as("tot"))
     tf.join(broadcast(freq), "term")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("freq")).as("num"), sum(col("tf")).as("n_toks"))

@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.mr.TestSession
+
+/** Semantics of duplicated-span detection/removal (d27/d28) on corpora
+  * where the ground truth is hand-checkable.
+  */
+class SpanDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private def spans(d: org.apache.spark.sql.DataFrame, k: Int) =
+    SpanDedup.dupSpansDf(d, k).as[(Long, Int, Int, Int)].collect()
+      .map { case (id, s, e, n) => (id, s, e, n) }.toSet
+
+  // ten distinct filler tokens so no accidental cross-doc k-grams
+  private val fillA = "a1 a2 a3 a4 a5"
+  private val fillB = "b1 b2 b3 b4 b5"
+  private val shared = "s1 s2 s3 s4"
+
+  test("d27: a shared region surfaces as the same maximal span in both docs") {
+    // the filler differs per doc, so ONLY the shared run is duplicated;
+    // it sits at positions 6-9 in both docs (k=3 → starts 6,7)
+    val d = docs(1L -> s"u1 u2 u3 u4 u5 $shared v1 v2 v3 v4 v5",
+      2L -> s"w1 w2 w3 w4 w5 $shared x1 x2 x3 x4 x5")
+    val got = spans(d, 3)
+    assert(got == Set((1L, 6, 9, 4), (2L, 6, 9, 4)))
+  }
+
+  test("d27: within-doc repetition is duplication too") {
+    val d = docs(1L -> s"$shared $fillA $shared")
+    // "s1 s2 s3 s4" at 1-4 and 10-13; k=4 → single dup gram each
+    assert(spans(d, 4) == Set((1L, 1, 4, 4), (1L, 10, 13, 4)))
+  }
+
+  test("d27: overlapping duplicated regions merge into one island") {
+    // doc 1 shares tokens 1-6 with doc 2 AND 4-9 with doc 3; in doc 1 the
+    // two regions overlap → one maximal span 1-9
+    val d = docs(
+      1L -> "x1 x2 x3 x4 x5 x6 x7 x8 x9",
+      2L -> s"$fillA x1 x2 x3 x4 x5 x6",
+      3L -> s"$fillB x4 x5 x6 x7 x8 x9")
+    val got = spans(d, 3).filter(_._1 == 1L)
+    assert(got == Set((1L, 1, 9, 9)))
+  }
+
+  test("d27: spans shorter than minTokens do not exist by construction") {
+    val d = docs(1L -> s"$shared $fillA", 2L -> s"$shared $fillB")
+    // shared run is 4 tokens; with k=5 no duplicated 5-gram exists
+    assert(spans(d, 5).isEmpty)
+  }
+
+  test("d28: strip removes exactly the spans and leaves clean docs byte-identical") {
+    val d = docs(1L -> s"u1 u2 u3 u4 u5 $shared v1 v2 v3 v4 v5",
+      2L -> s"w1 w2 w3 w4 w5 $shared x1 x2 x3 x4 x5",
+      3L -> "c1 c2 c3 c4 c5 c6 c7")
+    val got = SpanDedup.stripSpansDf(d, 3)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("u1 u2 u3 u4 u5 v1 v2 v3 v4 v5", 4)))
+    assert(got(2L) == (("w1 w2 w3 w4 w5 x1 x2 x3 x4 x5", 4)))
+    assert(got(3L) == (("c1 c2 c3 c4 c5 c6 c7", 0)))
+  }
+
+  test("d28: an exact duplicate pair strips to empty, and n_removed is the full length") {
+    val d = docs(1L -> fillA, 2L -> fillA)
+    val got = SpanDedup.stripSpansDf(d, 5)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> (("", 5)), 2L -> (("", 5))))
+  }
+
+  test("d27/d28 agree: stripped token count equals the span-token total per doc") {
+    val sf = "/root/testdata/sf0.001"
+    val bySpans = SpanDedup.dupSpans(spark, sf, 8)
+      .groupBy($"doc_id").sum("span_tokens")
+      .as[(Long, Long)].collect().toMap
+    val byStrip = SpanDedup.stripSpans(spark, sf, 8)
+      .where($"n_removed" > 0)
+      .select($"doc_id", $"n_removed").as[(Long, Int)].collect().toMap
+    assert(byStrip.nonEmpty)
+    assert(byStrip.keySet == bySpans.keySet)
+    byStrip.foreach { case (id, n) => assert(n.toLong == bySpans(id)) }
+  }
+
+  test("d27 plan: the gram stream shuffles 16-byte keys, never the text") {
+    val plan = SpanDedup.dupSpans(spark, "/root/testdata/sf0.001", 8)
+      .queryExecution.executedPlan.toString
+    // text is consumed by the generator before any exchange
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text")), plan)
+  }
+}
