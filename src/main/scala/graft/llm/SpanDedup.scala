@@ -166,6 +166,82 @@ object SpanDedup {
        |FROM kept""".stripMargin
   }
 
+  /** Span-level benchmark decontamination — the position-bearing upgrade
+    * of [[Decontaminate.flagOverlaps]]: for every TRAINING document, the
+    * maximal runs of ≥ `minTokens` consecutive tokens that appear
+    * verbatim anywhere in the benchmark set (the GPT-3-style 13-gram
+    * overlap method, reporting WHERE the leak is so it can be cut with
+    * the [[stripSpansDf]] rewrite instead of dropping the whole doc).
+    *
+    * Scale shape: same SEED/MERGE stages as [[dupSpansDf]], but the
+    * membership test replaces the corpus-wide COUNT — the benchmark gram
+    * set (eval suites are MBs, not TBs) broadcasts, so the corpus-side
+    * gram stream never shuffles at all; the only exchange in the whole
+    * plan is the per-doc islands merge over MATCHED positions, which is
+    * proportional to actual contamination, not corpus size.
+    */
+  def contamSpansDf(train: DataFrame, bench: DataFrame, minTokens: Int): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val k = minTokens
+    val bgrams = bench
+      .select(Hashing.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= k)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+        i => Hashing.hash60(concat_ws(" ", slice(col("t"), i, lit(k))))))
+        .as("gk"))
+      .distinct()
+    val hits = train
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => Hashing.hash60(concat_ws(" ", slice(col("t"), i, lit(k)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gk"))
+      .join(broadcast(bgrams), "gk")
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"),
+        col("span_start").cast("int").as("span_start"),
+        col("span_end").cast("int").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("int").as("span_tokens"))
+  }
+
+  /** [[contamSpansDf]] with every 10th doc as the eval stand-in and
+    * benchmark docs excluded from the training side (they would
+    * trivially self-flag end to end). Every 10th — not d10's every
+    * 100th — because the gate must exercise real hits: at k = 8 the
+    * sf0.01 corpus has 47 span-bearing docs, none ≡ 0 (mod 100), so the
+    * d10 convention would gate an empty result at the driver's SF.
+    */
+  def contamSpans(s: SparkSession, dir: String, minTokens: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    contamSpansDf(docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0), minTokens)
+  }
+
+  /** DuckDB mirror of [[contamSpans]]. */
+  def contamSpansSqlFor(k: Int): String = {
+    val toks = Hashing.sqlTokens("text")
+    val gk = Hashing.sqlHash60(s"array_to_string(t[i:i+${k - 1}], ' ')")
+    s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+       |sh AS (SELECT doc_id, CAST(i AS INT) AS pos, $gk AS gk
+       |       FROM tok CROSS JOIN LATERAL unnest(range(1, len(t)-${k - 2})) r(i)
+       |       WHERE len(t) >= $k),
+       |bg AS (SELECT DISTINCT gk FROM sh WHERE doc_id % 10 = 0),
+       |hit AS (SELECT doc_id, pos,
+       |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |        FROM sh WHERE doc_id % 10 <> 0 AND gk IN (SELECT gk FROM bg))
+       |SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+       |  CAST(MAX(pos) + ${k - 1} AS INT) AS span_end,
+       |  CAST(MAX(pos) - MIN(pos) + $k AS INT) AS span_tokens
+       |FROM hit GROUP BY doc_id, isl""".stripMargin
+  }
+
   // ---- shipped gate postures: k=8 — long enough that word-salad
   // coincidences are rare (the hits are the planted twins' shared
   // regions), short enough that the gates exercise multi-gram islands
@@ -176,4 +252,8 @@ object SpanDedup {
   def stripSpans8(s: SparkSession, dir: String): DataFrame =
     stripSpans(s, dir, minTokens = 8)
   val stripSpans8Sql: String = stripSpansSqlFor(8)
+
+  def contamSpans8(s: SparkSession, dir: String): DataFrame =
+    contamSpans(s, dir, minTokens = 8)
+  val contamSpans8Sql: String = contamSpansSqlFor(8)
 }

@@ -403,24 +403,38 @@ object TextAnalysis {
     * codegen [[graft.functions.TermCounts]] pass (no per-token shuffle),
     * is materialized ONCE (it feeds both the freq aggregate and the probe
     * side — un-checkpointed, recompute-under-broadcast re-runs the corpus
-    * scan), and the vocabulary table — tiny next to the corpus — comes
-    * back as a broadcast join. One scan + one broadcast at 100 TB.
+    * scan), and the vocabulary join is left UNHINTED on purpose: AQE sees
+    * the aggregated freq table's true size at runtime and picks broadcast
+    * when the vocabulary fits (every measured corpus) — but a heavy-tail
+    * 100 TB vocabulary that outgrows the driver degrades to a shuffle
+    * join instead of an OOM. The knob turns itself.
     */
   def lmTypicality(s: SparkSession, dir: String): DataFrame =
     lmTypicalityDf(Tables.documents(s, dir))
 
-  /** [[lmTypicality]] over any (doc_id, text) DataFrame. */
-  def lmTypicalityDf(docs: DataFrame): DataFrame = {
-    val tf = docs
+  /** [[lmTypicality]] over any (doc_id, text) DataFrame.
+    *
+    * `materializeTf` pins the exploded tf stream (it feeds both the freq
+    * aggregate and the probe side) instead of recomputing the scan under
+    * the broadcast — the t07 pattern, and the faster choice at small
+    * corpora (ScaleBench `cur`, ×10: 3.2 s pinned vs 4.2 s recompute).
+    * At corpus scale the trade inverts — caching an exploded
+    * corpus-sized stream costs more than a second codegen'd scan (×200:
+    * 34.5 s pinned vs 28.8 s recompute) — and at 100 TB pinning
+    * ~corpus-sized state is not an option at all, so the default is the
+    * scan-twice shape and the pin is the small-corpus opt-in.
+    */
+  def lmTypicalityDf(docs: DataFrame, materializeTf: Boolean = false): DataFrame = {
+    val tfRaw = docs
       .select(col("doc_id"), explode(graft.functions.TermCounts(col("text"))).as("tc"))
       .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
-      .localCheckpoint(true)
+    val tf = if (materializeTf) tfRaw.localCheckpoint(true) else tfRaw
     val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("freq"))
     // Σ freq ≡ Σ tf: total token count comes straight off the checkpointed
     // tf pass (one partial-sum, no per-term exchange) instead of
     // re-aggregating the vocabulary
     val total = tf.agg(sum(col("tf")).as("tot"))
-    tf.join(broadcast(freq), "term")
+    tf.join(freq, "term")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("freq")).as("num"), sum(col("tf")).as("n_toks"))
       .crossJoin(broadcast(total))

@@ -610,6 +610,126 @@ object ScaleBench {
       "keep_all_expected" -> nDocs)
   }
 
+  /** d27/d28 at scale. Two ground-truth-by-construction gates:
+    *
+    *  - **gram level, full corpus**: the per-rep cipher is a character
+    *    bijection, so no 8-gram can match across reps (even the injected
+    *    twins' literal-'q' edit chars sit inside otherwise-ciphered
+    *    grams) — the count of duplicated grams spanning two reps must be
+    *    exactly 0;
+    *  - **span level, twin-free projection**: dropping the injected twin
+    *    docs (id % Stride ≥ InjectOffset) leaves R pure cipher images of
+    *    the base corpus, whose duplicated-span structure must project to
+    *    the SAME (base_id, start, end) set in every rep — one distinct
+    *    per-rep fingerprint ⇒ exact linearity in R. (The FULL corpus has
+    *    no such identity: the twin edit char is literal 'q' in rep space,
+    *    i.e. a different base-space character per rep, so whether an
+    *    edited token collides with a real vocabulary token is
+    *    rep-dependent — measured: 9 distinct fingerprints over 10 reps
+    *    before the projection, 1 after.)
+    *
+    * The d27≡d28 token-count identity re-gates the strip at sizes no
+    * oracle reaches.
+    */
+  private def spansMode(s: SparkSession, dir: String, label: String): Unit = {
+    val docs = graft.Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val k = 8
+
+    val (w27, n27) = timed2(graft.llm.SpanDedup.dupSpans(s, dir, k).count())
+    val spans = graft.llm.SpanDedup.dupSpans(s, dir, k).localCheckpoint(true)
+    val spanToks = spans.agg(sum(col("span_tokens"))).head().getLong(0)
+
+    // gram-level cross-rep contamination (same tokenizer+hash as d27)
+    val grams = docs
+      .select(col("doc_id"), graft.llm.Hashing.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => graft.llm.Hashing.hash60(
+            concat_ws(" ", slice(col("t"), i, lit(k)))))).as("gk"))
+    // min ≠ max is "spans two reps" without countDistinct's per-group set
+    val crossRep = grams
+      .select(col("gk"), (col("doc_id") / Stride).cast("long").as("rep"))
+      .groupBy(col("gk"))
+      .agg(min(col("rep")).as("lo"), max(col("rep")).as("hi"))
+      .where(col("lo") =!= col("hi")).count()
+    emit("corpus" -> label, "op" -> "d27_spans", "n_docs" -> nDocs,
+      "wall" -> w27, "spans" -> n27, "span_tokens" -> spanToks,
+      "cross_rep_grams" -> crossRep)
+
+    // twin-free projection: per-rep structure must be identical
+    val pure = docs.where(col("doc_id") % Stride < MakeScaleCorpus.InjectOffset)
+    val repFp = graft.llm.SpanDedup.dupSpansDf(pure, k)
+      .select((col("doc_id") / Stride).cast("long").as("rep"),
+        concat_ws(":", col("doc_id") % Stride, col("span_start"),
+          col("span_end")).as("row"))
+      .groupBy(col("rep"))
+      .agg(md5(concat_ws(",", sort_array(collect_list(col("row"))))).as("fp"),
+        count(lit(1)).as("n"))
+    val nReps = repFp.count()
+    val nFps = repFp.select(col("fp")).distinct().count()
+    val perRep = repFp.select(col("n")).distinct().head().getLong(0)
+    emit("corpus" -> label, "op" -> "d27_twin_free", "reps" -> nReps,
+      "distinct_rep_fingerprints" -> nFps, "spans_per_rep" -> perRep)
+
+    val (w28, n28) = timed2(graft.llm.SpanDedup.stripSpans(s, dir, k).count())
+    val removed = graft.llm.SpanDedup.stripSpans(s, dir, k)
+      .agg(sum(col("n_removed"))).head().getLong(0)
+    emit("corpus" -> label, "op" -> "d28_strip", "wall" -> w28,
+      "docs_out" -> n28, "removed_tokens" -> removed,
+      "all_docs_out" -> (n28 == nDocs),
+      "strip_matches_spans" -> (removed == spanToks))
+  }
+
+  /** t13/t14/t15 at scale: PII scrub wall (pure map pass), LM typicality
+    * wall + the join strategy AQE actually picked for the vocabulary
+    * (broadcast expected while the vocab fits — the unhinted-join
+    * posture's measurement), and sequence packing wall + determinism
+    * under repartition (the property that makes packing reproducible on
+    * a cluster).
+    */
+  private def cur(s: SparkSession, dir: String, label: String): Unit = {
+    val docs = graft.Tables.documents(s, dir)
+    val nDocs = docs.count()
+
+    val (w13, _) = timed2 {
+      docs.select(col("doc_id"), graft.llm.Pii.redactPii(col("text")).as("r"))
+        .write.format("noop").mode("overwrite").save(); nDocs
+    }
+    emit("corpus" -> label, "op" -> "t13_pii", "n_docs" -> nDocs, "wall" -> w13)
+
+    // A/B: recompute-the-scan (shipped default) vs pinned tf stream —
+    // the t07 trade re-measured at scale
+    val (w14, n14) = timed2(graft.llm.TextAnalysis.lmTypicalityDf(docs).count())
+    val (w14p, _) = timed2(
+      graft.llm.TextAnalysis.lmTypicalityDf(docs, materializeTf = true).count())
+    val df14 = graft.llm.TextAnalysis.lmTypicalityDf(docs)
+    df14.queryExecution.toRdd.count() // finalize THIS adaptive plan
+    // read only the FINAL adaptive plan — toString appends the pre-AQE
+    // "Initial Plan" section, whose SortMergeJoin is exactly what AQE
+    // replaced
+    val plan14 = df14.queryExecution.executedPlan.toString
+      .split("Initial Plan").head
+    val vocab = docs
+      .select(explode(graft.functions.TermCounts(col("text"))).as("tc"))
+      .select(col("tc.term")).distinct().count()
+    emit("corpus" -> label, "op" -> "t14_typicality", "wall" -> w14,
+      "wall_pinned_tf" -> w14p,
+      "docs_out" -> n14, "vocab" -> vocab,
+      "aqe_broadcast" -> plan14.contains("BroadcastHashJoin"),
+      "shuffle_join" -> plan14.contains("SortMergeJoin"))
+
+    val (w15, n15) = timed2(graft.llm.Mixture.seqPackDf(docs, 2048).count())
+    val packed = graft.llm.Mixture.seqPackDf(docs, 2048)
+    val windows = packed.select(col("source"), col("seq_no")).distinct().count()
+    val reparted = graft.llm.Mixture.seqPackDf(docs.repartition(17), 2048)
+    val drift = packed.exceptAll(reparted).count() +
+      reparted.exceptAll(packed).count()
+    emit("corpus" -> label, "op" -> "t15_pack", "wall" -> w15,
+      "docs_out" -> n15, "windows" -> windows, "repartition_drift" -> drift)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(dir, label, mode) = args.take(3)
     val spark = SparkSession.builder()
@@ -634,6 +754,8 @@ object ScaleBench {
       case "big" => big(spark, dir, label)
       case "big16" => bigSemantic(spark, dir, label)
       case "mix" => mix(spark, dir, label)
+      case "spans" => spansMode(spark, dir, label)
+      case "cur" => cur(spark, dir, label)
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

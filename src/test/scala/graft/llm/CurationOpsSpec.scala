@@ -72,11 +72,12 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(2L) == 4.0 / 10.0)
   }
 
-  test("t14 plan: vocabulary comes back as a broadcast join, not a shuffle join") {
-    val plan = TextAnalysis.lmTypicality(spark, sf)
-      .queryExecution.executedPlan.toString
+  test("t14 plan: AQE broadcasts the vocabulary join at runtime (join is unhinted)") {
+    val df = TextAnalysis.lmTypicality(spark, sf)
+    df.collect() // finalize this QueryExecution's adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   // ---- t15 sequence packing

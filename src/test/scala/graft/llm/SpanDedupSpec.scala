@@ -85,6 +85,27 @@ class SpanDedupSpec extends AnyFunSuite {
     byStrip.foreach { case (id, n) => assert(n.toLong == bySpans(id)) }
   }
 
+  test("d29: only train-side runs matching a BENCHMARK gram are flagged") {
+    val bench = docs(100L -> s"b1 b2 b3 $shared b4 b5")
+    val train = docs(
+      1L -> s"u1 u2 u3 $shared u4 u5", // contains the benchmark's 4-gram
+      2L -> "v1 v2 v3 v4 v5 v6 v7", // clean
+      // 3 and 4 duplicate each OTHER — corpus dup, but NOT contamination
+      3L -> "w1 w2 w3 w4 w5 w6",
+      4L -> "w1 w2 w3 w4 w5 w6")
+    val got = SpanDedup.contamSpansDf(train, bench, 4)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got == Set((1L, 4, 7, 4)))
+  }
+
+  test("d29: a benchmark doc embedded whole in a train doc flags end to end") {
+    val bench = docs(100L -> "e1 e2 e3 e4 e5")
+    val train = docs(1L -> s"pre1 pre2 e1 e2 e3 e4 e5 post1")
+    val got = SpanDedup.contamSpansDf(train, bench, 5)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got == Set((1L, 3, 7, 5)))
+  }
+
   test("d27 plan: the gram stream shuffles 16-byte keys, never the text") {
     val plan = SpanDedup.dupSpans(spark, "/root/testdata/sf0.001", 8)
       .queryExecution.executedPlan.toString
