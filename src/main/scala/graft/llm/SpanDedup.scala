@@ -30,9 +30,17 @@ import graft.Tables
   *      fuse consecutive duplicated positions into maximal spans: one
   *      hash exchange on doc_id, one sort.
   *
-  * The gram stream is checkpointed (the t14/t07 pattern): it feeds both
-  * the count and the probe side, and regenerating it under a broadcast
-  * join would re-scan the corpus.
+  * The gram stream feeds both the count and the probe side. Unlike t14
+  * (where re-generating the reused intermediate beats pinning it and
+  * the default is scan-twice), HERE the pin wins: isolated one-arm-
+  * per-JVM A/B at ×200 (1.02M docs, ~55M grams): 35.9 s pinned vs
+  * 62.6 s regenerated (SCALING.md §3d) — because re-generation re-runs
+  * an md5 per gram (CPU-bound) where t14's re-generation is a cheap
+  * codegen'd term explode. The variable in the materialization trade
+  * is the COST TO REBUILD, not just the size to cache;
+  * `materializeGrams = false` remains the opt-out for clusters where
+  * pinning a ~corpus-sized stream (MEMORY_AND_DISK) is worse than the
+  * second hash pass.
   *
   * Grouping on the 60-bit [[Hashing.hash60]] of the gram instead of the
   * gram string keeps the shuffle rows fixed-width (16 bytes vs a k-token
@@ -58,9 +66,15 @@ object SpanDedup {
   def dupSpans(s: SparkSession, dir: String, minTokens: Int): DataFrame =
     dupSpansDf(Tables.documents(s, dir), minTokens)
 
-  /** [[dupSpans]] over any (doc_id, text) DataFrame. */
-  def dupSpansDf(docs: DataFrame, minTokens: Int): DataFrame = {
-    val hits = dupPositions(docs, minTokens)
+  /** [[dupSpans]] over any (doc_id, text) DataFrame. `materializeGrams`
+    * pins the exploded gram stream between the count and probe sides —
+    * the measured default (see the object scaladoc for the A/B and the
+    * t14 contrast); pass false to trade a second md5 pass for zero
+    * cached state.
+    */
+  def dupSpansDf(docs: DataFrame, minTokens: Int,
+      materializeGrams: Boolean = true): DataFrame = {
+    val hits = dupPositions(docs, minTokens, materializeGrams)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       .withColumn("isl", col("pos") - row_number().over(w))
@@ -74,16 +88,17 @@ object SpanDedup {
   }
 
   /** Start positions (doc_id, pos) of corpus-duplicated `minTokens`-grams. */
-  private def dupPositions(docs: DataFrame, k: Int): DataFrame = {
+  private def dupPositions(docs: DataFrame, k: Int,
+      materializeGrams: Boolean): DataFrame = {
     require(k >= 2, s"minTokens must be >= 2, got $k")
-    val grams = docs
+    val gramsRaw = docs
       .select(col("doc_id"), Hashing.tokens(col("text")).as("t"))
       .where(size(col("t")) >= k)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
           i => Hashing.hash60(concat_ws(" ", slice(col("t"), i, lit(k)))))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gk"))
-      .localCheckpoint(true)
+    val grams = if (materializeGrams) gramsRaw.localCheckpoint(true) else gramsRaw
     val dup = grams.groupBy(col("gk")).count().where(col("count") > 1)
       .select(col("gk"))
     grams.join(dup, "gk").select(col("doc_id"), col("pos"))
@@ -123,8 +138,9 @@ object SpanDedup {
     stripSpansDf(Tables.documents(s, dir), minTokens)
 
   /** [[stripSpans]] over any (doc_id, text) DataFrame. */
-  def stripSpansDf(docs: DataFrame, minTokens: Int): DataFrame = {
-    val cov = dupPositions(docs, minTokens)
+  def stripSpansDf(docs: DataFrame, minTokens: Int,
+      materializeGrams: Boolean = true): DataFrame = {
+    val cov = dupPositions(docs, minTokens, materializeGrams)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (minTokens - 1))).as("pos"))
       .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("cov"))

@@ -401,9 +401,10 @@ object TextAnalysis {
     *
     * Scale shape (the t07 lessons applied): tf comes from the fused
     * codegen [[graft.functions.TermCounts]] pass (no per-token shuffle),
-    * is materialized ONCE (it feeds both the freq aggregate and the probe
-    * side — un-checkpointed, recompute-under-broadcast re-runs the corpus
-    * scan), and the vocabulary join is left UNHINTED on purpose: AQE sees
+    * feeds both the freq aggregate and the probe side un-checkpointed —
+    * recomputing the cheap explode twice beats pinning a corpus-sized
+    * stream (measured 15×; see [[lmTypicalityDf]]) — and the vocabulary
+    * join is left UNHINTED on purpose: AQE sees
     * the aggregated freq table's true size at runtime and picks broadcast
     * when the vocabulary fits (every measured corpus) — but a heavy-tail
     * 100 TB vocabulary that outgrows the driver degrades to a shuffle
@@ -416,13 +417,15 @@ object TextAnalysis {
     *
     * `materializeTf` pins the exploded tf stream (it feeds both the freq
     * aggregate and the probe side) instead of recomputing the scan under
-    * the broadcast — the t07 pattern, and the faster choice at small
-    * corpora (ScaleBench `cur`, ×10: 3.2 s pinned vs 4.2 s recompute).
-    * At corpus scale the trade inverts — caching an exploded
-    * corpus-sized stream costs more than a second codegen'd scan (×200:
-    * 34.5 s pinned vs 28.8 s recompute) — and at 100 TB pinning
-    * ~corpus-sized state is not an option at all, so the default is the
-    * scan-twice shape and the pin is the small-corpus opt-in.
+    * the broadcast — the t07 pattern. Measured isolated (one arm per
+    * JVM, ScaleBench `ab:cur:*`, ×200 = 1.02M docs): recompute 5.7 s vs
+    * pinned 85.7 s — a 15× loss for the pin, because the rebuild is one
+    * cheap codegen'd [[graft.functions.TermCounts]] explode while the
+    * pin checkpoints a corpus-sized stream (contrast [[SpanDedup]],
+    * where the rebuild re-runs an md5 per gram and the pin WINS — the
+    * variable is the cost to rebuild). At 100 TB pinning ~corpus-sized
+    * state is not an option at all, so the default is the scan-twice
+    * shape and the pin is a small-corpus opt-in.
     */
   def lmTypicalityDf(docs: DataFrame, materializeTf: Boolean = false): DataFrame = {
     val tfRaw = docs

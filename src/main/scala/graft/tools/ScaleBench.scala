@@ -30,6 +30,12 @@ import graft.llm.{Dedup, DedupResolve, Multimodal, Similarity}
   *    candidates and wall at NoBucketCap / 32 / 10.
   *  - `chain`: resolution rounds vs component diameter (chains of length
   *    4/16/64/256 — the workload replication can't produce).
+  *  - later rounds: `k48 | stream | ann | ivf | kmab | big | big16 |
+  *    mix | spans | cur` (see each mode's method doc) and `ab:<spans|cur>:
+  *    <pin|regen>` — ISOLATED one-arm-per-JVM materialization A/Bs:
+  *    in-JVM two-arm comparisons proved order-dominated at ×200 (both
+  *    the d27 and t14 trades reversed when the arms swapped run order),
+  *    so arm comparisons are only meaningful across JVMs.
   *
   * Wall times are min-of-2 (the bench protocol). One JSON line per
   * measurement on stdout, prefixed `[scale]`.
@@ -636,6 +642,10 @@ object ScaleBench {
     val nDocs = docs.count()
     val k = 8
 
+    // shipped default arm only: the pin-vs-regen trade is measured by
+    // the isolated `ab:spans:*` mode — in-JVM two-arm comparisons
+    // proved order-dominated (both trades reversed when run order
+    // swapped)
     val (w27, n27) = timed2(graft.llm.SpanDedup.dupSpans(s, dir, k).count())
     val spans = graft.llm.SpanDedup.dupSpans(s, dir, k).localCheckpoint(true)
     val spanToks = spans.agg(sum(col("span_tokens"))).head().getLong(0)
@@ -655,7 +665,8 @@ object ScaleBench {
       .agg(min(col("rep")).as("lo"), max(col("rep")).as("hi"))
       .where(col("lo") =!= col("hi")).count()
     emit("corpus" -> label, "op" -> "d27_spans", "n_docs" -> nDocs,
-      "wall" -> w27, "spans" -> n27, "span_tokens" -> spanToks,
+      "wall" -> w27,
+      "spans" -> n27, "span_tokens" -> spanToks,
       "cross_rep_grams" -> crossRep)
 
     // twin-free projection: per-rep structure must be identical
@@ -673,7 +684,14 @@ object ScaleBench {
     emit("corpus" -> label, "op" -> "d27_twin_free", "reps" -> nReps,
       "distinct_rep_fingerprints" -> nFps, "spans_per_rep" -> perRep)
 
-    val (w28, n28) = timed2(graft.llm.SpanDedup.stripSpans(s, dir, k).count())
+    // time via the noop sink: a count() of the left join would let
+    // Catalyst prune the whole gram pipeline away (join preserves
+    // cardinality) and time an empty plan
+    val (w28, _) = timed2 {
+      graft.llm.SpanDedup.stripSpans(s, dir, k)
+        .write.format("noop").mode("overwrite").save(); nDocs
+    }
+    val n28 = graft.llm.SpanDedup.stripSpans(s, dir, k).count()
     val removed = graft.llm.SpanDedup.stripSpans(s, dir, k)
       .agg(sum(col("n_removed"))).head().getLong(0)
     emit("corpus" -> label, "op" -> "d28_strip", "wall" -> w28,
@@ -699,11 +717,10 @@ object ScaleBench {
     }
     emit("corpus" -> label, "op" -> "t13_pii", "n_docs" -> nDocs, "wall" -> w13)
 
-    // A/B: recompute-the-scan (shipped default) vs pinned tf stream —
-    // the t07 trade re-measured at scale
+    // shipped default arm only: the recompute-vs-pin trade is measured
+    // by the isolated `ab:cur:*` mode (in-JVM two-arm comparisons are
+    // order-dominated)
     val (w14, n14) = timed2(graft.llm.TextAnalysis.lmTypicalityDf(docs).count())
-    val (w14p, _) = timed2(
-      graft.llm.TextAnalysis.lmTypicalityDf(docs, materializeTf = true).count())
     val df14 = graft.llm.TextAnalysis.lmTypicalityDf(docs)
     df14.queryExecution.toRdd.count() // finalize THIS adaptive plan
     // read only the FINAL adaptive plan — toString appends the pre-AQE
@@ -715,12 +732,15 @@ object ScaleBench {
       .select(explode(graft.functions.TermCounts(col("text"))).as("tc"))
       .select(col("tc.term")).distinct().count()
     emit("corpus" -> label, "op" -> "t14_typicality", "wall" -> w14,
-      "wall_pinned_tf" -> w14p,
       "docs_out" -> n14, "vocab" -> vocab,
       "aqe_broadcast" -> plan14.contains("BroadcastHashJoin"),
       "shuffle_join" -> plan14.contains("SortMergeJoin"))
 
-    val (w15, n15) = timed2(graft.llm.Mixture.seqPackDf(docs, 2048).count())
+    // noop sink: count() would prune the cardinality-preserving window
+    val (w15, n15) = timed2 {
+      graft.llm.Mixture.seqPackDf(docs, 2048)
+        .write.format("noop").mode("overwrite").save(); nDocs
+    }
     val packed = graft.llm.Mixture.seqPackDf(docs, 2048)
     val windows = packed.select(col("source"), col("seq_no")).distinct().count()
     val reparted = graft.llm.Mixture.seqPackDf(docs.repartition(17), 2048)
@@ -728,6 +748,31 @@ object ScaleBench {
       reparted.exceptAll(packed).count()
     emit("corpus" -> label, "op" -> "t15_pack", "wall" -> w15,
       "docs_out" -> n15, "windows" -> windows, "repartition_drift" -> drift)
+  }
+
+  /** Cold-isolated A/B arm (the BenchCold discipline applied to the
+    * materialization trades): ONE arm per JVM, an in-JVM warmup pass so
+    * JIT/page-cache state is comparable across JVMs, then min-of-2. The
+    * in-JVM two-arm A/Bs proved order-dominated at ×200 — both the d27
+    * and t14 trades REVERSED when the arms swapped run order — so arm
+    * comparisons are only meaningful across isolated JVMs.
+    * Mode syntax: `ab:spans:pin|regen` / `ab:cur:pin|regen`.
+    */
+  private def abArm(s: SparkSession, dir: String, label: String,
+      which: String, arm: String): Unit = {
+    val docs = graft.Tables.documents(s, dir)
+    val pin = arm == "pin"
+    def build() = which match {
+      case "spans" => graft.llm.SpanDedup.dupSpansDf(docs, 8, materializeGrams = pin)
+      case "cur" => graft.llm.TextAnalysis.lmTypicalityDf(docs, materializeTf = pin)
+      case other => sys.error(s"unknown ab target $other")
+    }
+    def clear(): Unit =
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    build().count(); clear() // warmup
+    val (w, n) = timed2 { val c = build().count(); clear(); c }
+    emit("corpus" -> label, "op" -> s"${which}_ab_cold", "arm" -> arm,
+      "wall" -> w, "out" -> n)
   }
 
   def main(args: Array[String]): Unit = {
@@ -756,6 +801,9 @@ object ScaleBench {
       case "mix" => mix(spark, dir, label)
       case "spans" => spansMode(spark, dir, label)
       case "cur" => cur(spark, dir, label)
+      case ab if ab.startsWith("ab:") =>
+        val Array(_, which, arm) = ab.split(":")
+        abArm(spark, dir, label, which, arm)
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -106,6 +106,18 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 3, 7, 5)))
   }
 
+  test("materializeGrams is a pure performance knob: both arms agree exactly") {
+    val d = docs(1L -> s"u1 u2 u3 u4 u5 $shared v1 v2 v3 v4 v5",
+      2L -> s"w1 w2 w3 w4 w5 $shared x1 x2 x3 x4 x5",
+      3L -> "c1 c2 c3 c4 c5 c6 c7")
+    assert(spans(d, 3) ==
+      SpanDedup.dupSpansDf(d, 3, materializeGrams = false)
+        .as[(Long, Int, Int, Int)].collect().toSet)
+    assert(SpanDedup.stripSpansDf(d, 3).as[(Long, String, Int)].collect().toSet ==
+      SpanDedup.stripSpansDf(d, 3, materializeGrams = false)
+        .as[(Long, String, Int)].collect().toSet)
+  }
+
   test("d27 plan: the gram stream shuffles 16-byte keys, never the text") {
     val plan = SpanDedup.dupSpans(spark, "/root/testdata/sf0.001", 8)
       .queryExecution.executedPlan.toString
