@@ -66,6 +66,11 @@ object GraftFunctions {
         "_FUNC_(a, b) - Returns the dot product of two float arrays as a " +
           "double, accumulated in index order (bit-stable across engines)."),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))),
+    ("graft_intvecdot",
+      info(classOf[IntVecDot].getName, "graft_intvecdot",
+        "_FUNC_(a, b) - Returns the dot product of two int arrays as a " +
+          "bigint (integer-exact, the sq8-quantized ANN scoring kernel)."),
+      (exprs: Seq[Expression]) => IntVecDot(exprs(0), exprs(1))),
     ("graft_minshinglehash60",
       info(classOf[MinShingleHash60].getName, "graft_minshinglehash60",
         "_FUNC_(text, n) - Returns the minimum 60-bit hash over the " +

@@ -95,6 +95,73 @@ object Similarity {
       |  FROM p)
       |WHERE rnk <= 5""".stripMargin
 
+  /** Int8 scalar-quantized exact kNN (d30) — the memory-compression arm
+    * of the ANN family. Normalize-then-quantize, the production cosine
+    * recipe: each vector is L2-normalized, then every coordinate maps to
+    * `round(v_i / ‖v‖ · 127) ∈ [-127, 127]`, and candidates rank by the
+    * INTEGER dot of quantized vectors (codegen
+    * [[graft.functions.IntVecDot]]) — qdot/127² ≈ cosine. The ranking
+    * key is integer-exact: unlike the float-cosine paths (portable only
+    * because both engines accumulate in index order), an integer dot has
+    * one possible value anywhere, so rank parity is by construction. The
+    * only FP steps — the norm and the per-coordinate `round` — are plain
+    * IEEE double ops both engines compute identically on float32 inputs.
+    *
+    * Why it matters at 100 TB: int8 coordinates are 4× smaller than
+    * float32 (the `array<int>` here models the layout; a packed binary
+    * column is the production encoding), so 4× more corpus fits any
+    * memory budget — executor cache, broadcast threshold, IVF cell —
+    * and the integer kernel vectorizes better. Composes with [[ivfKnn]]
+    * (quantize within cells) exactly as IVF-SQ8 does in the standard ANN
+    * stacks. Quantization error vs exact cosine is bounded by ~d/127 per
+    * dot; the spec measures recall overlap vs [[bruteKnn]].
+    *
+    * Output (qid, nid, rnk, qdot): the exact integer score ships in the
+    * row, so the oracle compare pins values, not just ranks.
+    */
+  def sq8Knn(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntVecDot
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", greatest(normCol, lit(1e-12)))
+      .withColumn("qv", transform(col("embedding"),
+        x => round(x.cast("double") / col("nrm") * 127).cast("int")))
+      .select(col("vec_id"), col("qv"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("qv").as("qa"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("qdot", IntVecDot(col("qa"), col("qv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("qdot").desc, col("vec_id").asc)
+    pairs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rnk"), col("qdot"))
+  }
+
+  /** DuckDB mirror of [[sq8Knn]]: the same normalize→round→integer-dot
+    * pipeline in SQL. `list_dot_product` over BIGINT lists is exact here
+    * (≤ 64·127² ≈ 1.03e6 ≪ 2^53).
+    */
+  val sq8KnnSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12) AS nrm
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> CAST(round(x / nrm * 127) AS BIGINT)) AS qv
+      |  FROM n),
+      |p AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |    CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS qdot
+      |  FROM q a, q b WHERE a.vec_id < 50 AND b.vec_id <> a.vec_id)
+      |SELECT qid, nid, CAST(rnk AS INT) AS rnk, qdot FROM (
+      |  SELECT qid, nid, qdot,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qdot DESC, nid ASC) AS rnk
+      |  FROM p)
+      |WHERE rnk <= 5""".stripMargin
+
   /** DuckDB mirror of [[lshKnn]], generated from the SAME (nTables, bits)
     * arguments: hyperplanes recomputed from the same md5 derivation,
     * buckets from dot-product signs, then the same candidate join + rank.

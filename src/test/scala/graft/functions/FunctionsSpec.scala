@@ -48,6 +48,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("IntVecDot is exactly the HOF aggregate/zip_with long sum") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 255) - 127))
+    }.toDF("id", "v")
+    val pairs = vecs.as("a").crossJoin(vecs.limit(10).as("b"))
+      .select(col("a.v").as("qa"), col("b.v").as("qv"))
+    val hof = expr(
+      "aggregate(zip_with(qa, qv, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (acc, z) -> acc + z)")
+    val mismatches = pairs
+      .select(IntVecDot(col("qa"), col("qv")).as("fast"), hof.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("IntVecDot throws on length-mismatched vectors, never truncates") {
+    val df = Seq((Array(1, 2, 3), Array(1, 2))).toDF("a", "b")
+    val ex = intercept[Throwable] {
+      df.select(IntVecDot(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("equal-length")), ex.toString)
+  }
+
   test("FloatVecDot throws on length-mismatched vectors, never truncates") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
     val ex = intercept[Throwable] {

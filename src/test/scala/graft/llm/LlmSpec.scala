@@ -86,6 +86,23 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"LSH recall@5 $recall; lsh=${lsh.size} brute=${brute.size}")
   }
 
+  test("sq8-quantized knn nearly reproduces the full-precision ranking") {
+    val brute = Similarity.bruteKnn(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val sq8 = Similarity.sq8Knn(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    assert(sq8.size == brute.size)
+    // int8 after L2 normalization perturbs each cosine by ≲ d/127²;
+    // only near-ties can flip, so overlap should be near-total
+    val overlap = sq8.count(brute.contains).toDouble / brute.size
+    assert(overlap >= 0.9, s"sq8 overlap@5 $overlap (n=${brute.size})")
+    // quantized coordinates are genuinely int8-range
+    val maxAbs = Similarity.sq8Knn(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.abs($"qdot"))).as[Long].head()
+    assert(maxAbs <= 64L * 127 * 127, s"qdot $maxAbs exceeds the 64-dim int8 bound")
+  }
+
   test("multimodal batch decode runs per-partition and is deterministic") {
     val media = Multimodal.mediaTable(spark, sf)
     val feats = Multimodal.extractFeatures(media).collect()
