@@ -16,15 +16,23 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = s.read.parquet(s"$dir/part.parquet")
   def orders(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/orders.parquet")
   def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/lineitem.parquet")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and truncate to
-    * microseconds (Spark's native timestamp precision). `ts div 1000`
-    * floors, matching DuckDB's ns→µs truncation semantics.
+  /** events.ts has shipped under two physical encodings across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects
+    * with [PARQUET_TYPE_ILLEGAL] — read as raw nanos and floor to micros,
+    * matching DuckDB's ns→µs truncation) and plain TIMESTAMP_MICROS
+    * (read natively). Adapt on the footer schema so both load identically;
+    * NTZ casts to session-TZ timestamp, value-identity under the engine's
+    * fixed UTC session (graft.GraftSession).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")

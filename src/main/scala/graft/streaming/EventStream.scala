@@ -24,11 +24,12 @@ import org.apache.spark.sql.types._
 object EventStream {
 
   /** Physical schema of events.parquet under the nanos-as-long read
-    * (see graft.Tables.events).
+    * (see graft.Tables.events): `tsType` is LongType for a
+    * TIMESTAMP(NANOS) file, TimestampNTZType for a TIMESTAMP_MICROS one.
     */
-  val eventsRawSchema: StructType = StructType(Seq(
+  def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // raw nanos
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -52,11 +53,27 @@ object EventStream {
       link.toFile.deleteOnExit()
       d.toString
     }
-    s.readStream
-      .schema(eventsRawSchema)
-      .parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // FileStreamSource needs the schema up front; take the physical ts type
+    // from the batch footer read and apply the same normalization
+    // Tables.events does.
+    val physical = physicalTsType(s, s"$dir/events.parquet")
+    normalizeTs(s.readStream.schema(eventsRawSchema(physical)).parquet(streamDir), physical)
   }
+
+  /** Physical ts type of an events parquet file under the nanos-as-long
+    * read: LongType for a TIMESTAMP(NANOS) file, TimestampNTZ for
+    * TIMESTAMP_MICROS (footer-only read; no data scan).
+    */
+  def physicalTsType(s: SparkSession, eventsFile: String): DataType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(eventsFile).schema("ts").dataType
+  }
+
+  /** The graft.Tables.events ts normalization, applied to a raw read. */
+  def normalizeTs(df: DataFrame, physical: DataType): DataFrame =
+    if (physical == LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df.withColumn("ts", col("ts").cast("timestamp"))
 
   /** Tumbling 1-hour windowed counts per event type with a 1-hour
     * watermark — the streaming form of queries.Relational.timeWindow

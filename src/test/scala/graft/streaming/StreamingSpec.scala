@@ -39,11 +39,12 @@ class StreamingSpec extends AnyFunSuite {
     val src = java.nio.file.Paths.get(s"$sf/events.parquet")
     java.nio.file.Files.createSymbolicLink(d.resolve("a.parquet"), src)
     java.nio.file.Files.createSymbolicLink(d.resolve("b.parquet"), src)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val doubled = spark.readStream
-      .schema(EventStream.eventsRawSchema)
-      .parquet(d.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val physical = EventStream.physicalTsType(spark, s"$sf/events.parquet")
+    val doubled = EventStream.normalizeTs(
+      spark.readStream
+        .schema(EventStream.eventsRawSchema(physical))
+        .parquet(d.toString),
+      physical)
     val q = EventStream.dedupedEvents(doubled)
       .groupBy().count()
       .writeStream.outputMode("complete")
@@ -64,9 +65,9 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$sf/events.parquet"))
     val outDir = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toString + "/data"
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt-meta").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physical = EventStream.physicalTsType(spark, s"$sf/events.parquet")
     def start() = spark.readStream
-      .schema(EventStream.eventsRawSchema)
+      .schema(EventStream.eventsRawSchema(physical))
       .parquet(srcDir.toString)
       .select($"event_id", $"user_id")
       .writeStream
