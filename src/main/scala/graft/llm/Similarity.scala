@@ -350,13 +350,35 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 2,
       sampleN: Int = 200): DataFrame = {
-    val dim = 64
     // 5 branches reference e (seeds, sample, scored, qv, corpus) —
     // materialize once
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normCol)
       .localCheckpoint(false)
+    val candIds = ivfCandidateIds(e, nCells, nProbe, sampleN)
+    val qv = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val corpus = e.select(col("vec_id").as("nid"), col("embedding"), col("nrm"))
+    val cands = candIds
+      .join(corpus, "nid")
+      .join(broadcast(qv), "qid")
+      .withColumn("cos", dotCol / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("nid"), col("rnk"))
+  }
+
+  /** IVF candidate generation shared by [[ivfKnn]] and [[ivfSq8Knn]]:
+    * train centroids (one deterministic Lloyd iteration over the fixed
+    * sample), assign every vector to its argmax cell, probe each query's
+    * nearest `nProbe` cells, and emit the distinct (qid, nid) candidate
+    * ids. `e` is the materialized (vec_id, embedding, nrm) table.
+    */
+  private def ivfCandidateIds(
+      e: DataFrame, nCells: Int, nProbe: Int, sampleN: Int): DataFrame = {
+    val dim = 64
     val seeds = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("qv"), col("nrm").as("cnrm"))
     // E-step on the deterministic sample: nearest seed per sample vector
@@ -384,22 +406,51 @@ object Similarity {
     val cells = ranked.filter(col("r") === 1).select(col("vec_id"), col("cid").as("cell"))
     val probes = ranked.filter(col("vec_id") < 50 && col("r") <= nProbe)
       .select(col("vec_id").as("qid"), col("cid").as("probe_cell"))
-    val candIds = probes
+    probes
       .join(cells.withColumnRenamed("vec_id", "nid"), col("cell") === col("probe_cell"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"))
       .distinct()
-    val qv = e.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
-    val corpus = e.select(col("vec_id").as("nid"), col("embedding"), col("nrm"))
+  }
+
+  /** IVF-SQ8 (d31): the composition [[sq8Knn]]'s scaladoc promises —
+    * IVF cell probing for candidate generation, int8 scalar-quantized
+    * INTEGER ranking within the probed cells. Candidate membership is
+    * exactly [[ivfKnn]]'s (same trained centroids, same argmax cells);
+    * only the re-ranking kernel changes, from float cosine to the
+    * integer dot of normalize-then-quantize vectors — so the scan is
+    * corpus/nCells·nProbe AND the candidate vectors are 4× smaller. This
+    * is the standard IVF-SQ stack shape: the coarse quantizer bounds the
+    * scan, the scalar quantizer bounds the bytes per scanned row.
+    *
+    * Rank parity is by construction (one possible integer score), and
+    * the exact qdot ships in the output so the oracle pins values.
+    */
+  def ivfSq8Knn(
+      s: SparkSession,
+      dir: String,
+      nCells: Int = 16,
+      nProbe: Int = 2,
+      sampleN: Int = 200): DataFrame = {
+    import graft.functions.IntVecDot
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normCol)
+      .localCheckpoint(false)
+    val candIds = ivfCandidateIds(e, nCells, nProbe, sampleN)
+    val qt = e
+      .withColumn("qv8", transform(col("embedding"),
+        x => round(x.cast("double") / greatest(col("nrm"), lit(1e-12)) * 127).cast("int")))
+      .select(col("vec_id"), col("qv8"))
     val cands = candIds
-      .join(corpus, "nid")
-      .join(broadcast(qv), "qid")
-      .withColumn("cos", dotCol / (col("qn") * col("nrm")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+      .join(qt.select(col("vec_id").as("nid"), col("qv8").as("nv8")), "nid")
+      .join(broadcast(qt.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("qv8").as("qq8"))), "qid")
+      .withColumn("qdot", IntVecDot(col("qq8"), col("nv8")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid").asc)
     cands.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
-      .select(col("qid"), col("nid"), col("rnk"))
+      .select(col("qid"), col("nid"), col("rnk"), col("qdot"))
   }
 
   /** DuckDB mirror of [[ivfKnn]], generated from the SAME (nCells,
@@ -408,7 +459,10 @@ object Similarity {
     * shipped 16 at a third of the scan budget, so the retuning path must
     * be gated too).
     */
-  def ivfKnnSqlFor(nCells: Int, nProbe: Int, sampleN: Int): String =
+  /** Shared CTE prefix (through `cand_ids`) of the IVF oracles —
+    * generated from the same arguments as [[ivfCandidateIds]].
+    */
+  private def ivfCandidateCte(nCells: Int, nProbe: Int, sampleN: Int): String =
     s"""WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -449,7 +503,11 @@ object Similarity {
       |cand_ids AS (
       |  SELECT DISTINCT p.qid, c.vec_id AS nid
       |  FROM probes p JOIN cells c ON c.cell = p.probe_cell
-      |  WHERE c.vec_id <> p.qid),
+      |  WHERE c.vec_id <> p.qid)""".stripMargin
+
+  def ivfKnnSqlFor(nCells: Int, nProbe: Int, sampleN: Int): String =
+    ivfCandidateCte(nCells, nProbe, sampleN) +
+    """,
       |cands AS (
       |  SELECT ci.qid, ci.nid,
       |    list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos
@@ -461,6 +519,35 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
       |  FROM cands)
       |WHERE rnk <= 5""".stripMargin
+
+  /** DuckDB mirror of [[ivfSq8Knn]]: the shared candidate CTE plus the
+    * [[sq8KnnSql]] quantize→integer-dot ranking, generated from the same
+    * arguments.
+    */
+  def ivfSq8KnnSqlFor(nCells: Int, nProbe: Int, sampleN: Int): String =
+    ivfCandidateCte(nCells, nProbe, sampleN) +
+    """,
+      |qt AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> CAST(round(x / greatest(nrm, 1e-12) * 127) AS BIGINT)) AS qv8
+      |  FROM e),
+      |cands AS (
+      |  SELECT ci.qid, ci.nid,
+      |    CAST(list_dot_product(a.qv8, b.qv8) AS BIGINT) AS qdot
+      |  FROM cand_ids ci
+      |  JOIN qt a ON a.vec_id = ci.qid
+      |  JOIN qt b ON b.vec_id = ci.nid)
+      |SELECT qid, nid, CAST(rnk AS INT) AS rnk, qdot FROM (
+      |  SELECT qid, nid, qdot,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qdot DESC, nid ASC) AS rnk
+      |  FROM cands)
+      |WHERE rnk <= 5""".stripMargin
+
+  /** The d31 gate: IVF-SQ8 at the shipped IVF defaults. */
+  def ivfSq8Knn16(s: SparkSession, dir: String): DataFrame =
+    ivfSq8Knn(s, dir, nCells = 16, nProbe = 2, sampleN = 200)
+
+  val ivfSq8KnnSql: String = ivfSq8KnnSqlFor(16, 2, 200)
 
   val ivfKnnSql: String = ivfKnnSqlFor(16, 2, 200)
 

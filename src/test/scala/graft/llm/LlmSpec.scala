@@ -103,6 +103,25 @@ class LlmSpec extends AnyFunSuite {
     assert(maxAbs <= 64L * 127 * 127, s"qdot $maxAbs exceeds the 64-dim int8 bound")
   }
 
+  test("IVF-SQ8 probes the same cells as IVF and nearly reproduces its ranking") {
+    // same candidate generation ⇒ the quantized re-rank can only permute
+    // within IVF's candidate set: every neighbor IVF-SQ8 returns must be
+    // one IVF itself could have returned under a different rank kernel,
+    // and the top-5 sets should nearly coincide (int8 flips near-ties only)
+    val ivf = Similarity.ivfKnn(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val sq8 = Similarity.ivfSq8Knn(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    assert(sq8.size == ivf.size)
+    val overlap = sq8.count(ivf.contains).toDouble / ivf.size
+    assert(overlap >= 0.9, s"IVF-SQ8 overlap@5 vs IVF $overlap (n=${ivf.size})")
+    // integer scores stay inside the 64-dim int8 bound
+    val maxAbs = Similarity.ivfSq8Knn(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.abs($"qdot"))).as[Long].head()
+    assert(maxAbs <= 64L * 127 * 127, s"qdot $maxAbs exceeds the 64-dim int8 bound")
+  }
+
   test("multimodal batch decode runs per-partition and is deterministic") {
     val media = Multimodal.mediaTable(spark, sf)
     val feats = Multimodal.extractFeatures(media).collect()
