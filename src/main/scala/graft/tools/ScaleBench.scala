@@ -30,7 +30,7 @@ import graft.llm.{Dedup, DedupResolve, Multimodal, Similarity}
   *    candidates and wall at NoBucketCap / 32 / 10.
   *  - `chain`: resolution rounds vs component diameter (chains of length
   *    4/16/64/256 — the workload replication can't produce).
-  *  - later rounds: `k48 | stream | ann | ivf | kmab | big | big16 |
+  *  - later rounds: `k48 | stream | ann | ivf | sq8 | kmab | big | big16 |
   *    mix | spans | cur` (see each mode's method doc) and `ab:<spans|cur>:
   *    <pin|regen>` — ISOLATED one-arm-per-JVM materialization A/Bs:
   *    in-JVM two-arm comparisons proved order-dominated at ×200 (both
@@ -285,6 +285,52 @@ object ScaleBench {
         "sample_n" -> sampleN, "n_vecs" -> nVecs, "wall" -> w, "out" -> n,
         "hits" -> hits, "recall_at5" -> (hits.toDouble / truthN),
         "scan_fraction" -> (probe.toDouble / cells))
+    }
+  }
+
+  /** The SQ8 family at scale — the memory-compression arm measured
+    * against its float parents at IDENTICAL candidate generation, so each
+    * comparison isolates one thing. sq8-exact vs brute: the same all-pairs
+    * scan, so the delta is the integer kernel's cost and the
+    * quantization-only recall loss (the bound the d30 scaladoc claims —
+    * near-ties only). IVF-SQ8 vs IVF at the same (cells, probe): the same
+    * probed candidate set, so the delta is what scalar quantization adds
+    * ON TOP of IVF's own cell-truncation loss. The scale claim under test:
+    * the composed operator's recall tracks IVF's (quantization loss stays
+    * additive-small at every corpus size) while reading 4× fewer vector
+    * bytes per candidate.
+    */
+  private def sq8(s: SparkSession, dir: String, label: String): Unit = {
+    val nVecs = graft.Tables.embeddings(s, dir).count()
+    val truth = Similarity.bruteKnn(s, dir).localCheckpoint(true)
+    val truthN = truth.count()
+    def hitsOf(df: DataFrame): Long = truth
+      .join(df.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
+      .count()
+    val (bruteW, _) = timed2(Similarity.bruteKnn(s, dir).count())
+    emit("corpus" -> label, "op" -> "sq8", "variant" -> "brute_fp32",
+      "n_vecs" -> nVecs, "wall" -> bruteW, "recall_at5" -> 1.0)
+    val (sqW, sqN) = timed2(Similarity.sq8Knn(s, dir).count())
+    val sqHits = hitsOf(Similarity.sq8Knn(s, dir))
+    emit("corpus" -> label, "op" -> "sq8", "variant" -> "sq8_exact",
+      "n_vecs" -> nVecs, "wall" -> sqW, "out" -> sqN, "hits" -> sqHits,
+      "recall_at5" -> (sqHits.toDouble / truthN))
+    for ((cells, probe, sampleN, name) <- Seq(
+        (16, 2, 200, "ivf16x2"), (64, 4, 200, "ivf64x4"))) {
+      val (fw, _) = timed2(
+        Similarity.ivfKnn(s, dir, nCells = cells, nProbe = probe, sampleN = sampleN).count())
+      val fHits = hitsOf(
+        Similarity.ivfKnn(s, dir, nCells = cells, nProbe = probe, sampleN = sampleN))
+      emit("corpus" -> label, "op" -> "sq8", "variant" -> s"${name}_fp32",
+        "cells" -> cells, "probe" -> probe, "wall" -> fw, "hits" -> fHits,
+        "recall_at5" -> (fHits.toDouble / truthN))
+      val (qw, qn) = timed2(
+        Similarity.ivfSq8Knn(s, dir, nCells = cells, nProbe = probe, sampleN = sampleN).count())
+      val qHits = hitsOf(
+        Similarity.ivfSq8Knn(s, dir, nCells = cells, nProbe = probe, sampleN = sampleN))
+      emit("corpus" -> label, "op" -> "sq8", "variant" -> s"${name}_sq8",
+        "cells" -> cells, "probe" -> probe, "wall" -> qw, "out" -> qn,
+        "hits" -> qHits, "recall_at5" -> (qHits.toDouble / truthN))
     }
   }
 
@@ -795,6 +841,7 @@ object ScaleBench {
       case "stream" => stream(spark, dir, label)
       case "ann" => ann(spark, dir, label)
       case "ivf" => ivf(spark, dir, label)
+      case "sq8" => sq8(spark, dir, label)
       case "kmab" => kmab(spark, dir, label)
       case "big" => big(spark, dir, label)
       case "big16" => bigSemantic(spark, dir, label)
