@@ -459,6 +459,97 @@ object TextAnalysis {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** Per-source vocabulary concentration and a LOG-FREE heavy-tail
+    * diagnostic (t16) — the corpus statistics a mixture designer reads
+    * before setting sampling weights: vocabulary size, total token mass,
+    * the share of mass in the top-10/top-100 tokens, and a Zipf
+    * "doubling ratio" — the mean of count(rank k)/count(rank 2k) over
+    * k ∈ {1,2,4,8,16,32}. For a Zipf-s law that ratio is 2^s, so it
+    * carries the same information as the usual log-log slope WITHOUT
+    * computing a single ln(): every input is an integer count, each
+    * ratio is one IEEE division of identical integers in both engines,
+    * and the 6-term mean accumulates in decimal (the §6 exactness rule —
+    * the tree deliberately has no log() anywhere, libm ulp drift).
+    *
+    * Scale shape: explode→count is one map-side-combinable shuffle onto
+    * the (source, token) key space — VOCABULARY-sized, not corpus-sized,
+    * and sublinear in the corpus (Heaps' law). The per-source rank
+    * window partitions by source over that same vocabulary-sized table,
+    * so the skew bound is max vocab per source, not max docs per source.
+    * Sources need rank-2 to contribute a ratio (inner join): a
+    * degenerate sub-2-token-type source drops rather than emitting NULL.
+    */
+  def vocabConcentration(s: SparkSession, dir: String): DataFrame =
+    vocabConcentrationDf(Tables.documents(s, dir))
+
+  /** [[vocabConcentration]] over an explicit (source, text) table. */
+  def vocabConcentrationDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tc = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("cnt").desc, col("tok").asc)
+    // rk feeds three branches (base aggregate + both ratio sides) —
+    // materialize the vocabulary-sized table once
+    val rk = tc.withColumn("rnk", row_number().over(w)).localCheckpoint(false)
+    val base = rk.groupBy(col("source")).agg(
+      count(lit(1)).as("vocab"),
+      sum(col("cnt")).as("total_tokens"),
+      sum(when(col("rnk") <= 10, col("cnt"))).as("top10"),
+      sum(when(col("rnk") <= 100, col("cnt"))).as("top100"))
+    val lo = rk.filter(col("rnk").isin(1, 2, 4, 8, 16, 32))
+      .select(col("source"), col("rnk").as("k"), col("cnt").as("ck"))
+    val hi = rk.filter(col("rnk").isin(2, 4, 8, 16, 32, 64))
+      .select(col("source").as("s2"), col("rnk").as("k2"), col("cnt").as("c2k"))
+    val zr = lo.join(hi, col("s2") === col("source") && col("k2") === col("k") * 2)
+      .select(col("source"), (col("ck").cast("double") / col("c2k").cast("double")).as("r"))
+      .groupBy(col("source"))
+      .agg((sum(col("r").cast(DecimalType(38, 12))).cast("double")
+        / count(col("r")).cast("double")).as("zipf_doubling_ratio"))
+    base.join(zr, Seq("source"))
+      .select(col("source"), col("vocab"), col("total_tokens"),
+        (col("top10").cast("double") / col("total_tokens").cast("double")).as("top10_share"),
+        (col("top100").cast("double") / col("total_tokens").cast("double")).as("top100_share"),
+        col("zipf_doubling_ratio"))
+  }
+
+  /** DuckDB mirror of [[vocabConcentration]]: same count→rank→share/
+    * ratio pipeline, same decimal accumulation for the ratio mean.
+    */
+  val vocabConcentrationSql: String = {
+    val toks = sqlTokens("text")
+    s"""WITH tc AS (
+       |  SELECT source, tok, COUNT(*) AS cnt FROM (
+       |    SELECT source, unnest($toks) AS tok FROM documents)
+       |  GROUP BY source, tok),
+       |rk AS (
+       |  SELECT source, tok, cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, tok ASC) AS rnk
+       |  FROM tc),
+       |base AS (
+       |  SELECT source, COUNT(*) AS vocab, SUM(cnt) AS total_tokens,
+       |    SUM(cnt) FILTER (rnk <= 10) AS top10,
+       |    SUM(cnt) FILTER (rnk <= 100) AS top100
+       |  FROM rk GROUP BY source),
+       |ratios AS (
+       |  SELECT a.source, CAST(a.cnt AS DOUBLE) / CAST(b.cnt AS DOUBLE) AS r
+       |  FROM rk a JOIN rk b ON b.source = a.source AND b.rnk = a.rnk * 2
+       |  WHERE a.rnk IN (1, 2, 4, 8, 16, 32)),
+       |zr AS (
+       |  SELECT source,
+       |    CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+       |      / CAST(COUNT(r) AS DOUBLE) AS zipf_doubling_ratio
+       |  FROM ratios GROUP BY source)
+       |SELECT b.source, CAST(vocab AS BIGINT) AS vocab,
+       |  CAST(total_tokens AS BIGINT) AS total_tokens,
+       |  CAST(top10 AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS top10_share,
+       |  CAST(top100 AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS top100_share,
+       |  zipf_doubling_ratio
+       |FROM base b JOIN zr z ON z.source = b.source""".stripMargin
+  }
+
   /** Heuristic language ID from character/stopword evidence — a Column
     * function usable in any pipeline (tested on hand-built samples in
     * TextAnalysisSpec; the synthetic corpus carries a `lang` label so the

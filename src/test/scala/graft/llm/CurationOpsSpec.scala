@@ -124,4 +124,42 @@ class CurationOpsSpec extends AnyFunSuite {
       .where($"source" =!= src0).orderBy($"source", $"doc_id").collect()
     assert(before.sameElements(after))
   }
+
+  // ---- t16 vocabulary concentration / doubling ratio
+
+  test("t16: exact doubling corpus yields ratio 2 and hand-checked shares") {
+    // Zipf-1 shape quantized to powers of two: the count class halves as
+    // the class SIZE doubles — 1 token ×64, 1 ×32, 2 ×16, 4 ×8, 8 ×4,
+    // 16 ×2, 32 ×1. Then the count AT rank 2k is exactly half the count
+    // at rank k for every probed k (1,2,4,8,16,32), so the doubling
+    // ratio is exactly 2 with all-integer inputs.
+    val classes = Seq(64 -> 1, 32 -> 1, 16 -> 2, 8 -> 4, 4 -> 8, 2 -> 16, 1 -> 32)
+    var next = 0
+    val body = classes.flatMap { case (cnt, sz) =>
+      (0 until sz).flatMap { _ =>
+        val tok = f"t$next%02d"; next += 1
+        Seq.fill(cnt)(tok)
+      }
+    }
+    val docs = Seq(("s1", body.mkString(" "))).toDF("source", "text")
+    val row = TextAnalysis.vocabConcentrationDf(docs).head()
+    assert(row.getAs[Long]("vocab") == 64)
+    assert(row.getAs[Long]("total_tokens") == 256)
+    // top-10 counts: 64,32,16,16,8,8,8,8,4,4 = 168
+    assert(row.getAs[Double]("top10_share") == 168.0 / 256.0)
+    // top-100 covers the whole 64-token vocabulary
+    assert(row.getAs[Double]("top100_share") == 1.0)
+    assert(row.getAs[Double]("zipf_doubling_ratio") == 2.0)
+  }
+
+  test("t16: a flat (non-heavy-tail) source scores doubling ratio 1") {
+    val body = ('a' to 'z').flatMap(c => Seq.fill(5)(c.toString))
+    val docs = Seq(("flat", body.mkString(" "))).toDF("source", "text")
+    val row = TextAnalysis.vocabConcentrationDf(docs).head()
+    assert(row.getAs[Long]("vocab") == 26)
+    // every count equals 5 ⇒ every doubling ratio is exactly 1
+    assert(row.getAs[Double]("zipf_doubling_ratio") == 1.0)
+    // top-10 of 26 equal tokens carries exactly 10/26 of the mass
+    assert(math.abs(row.getAs[Double]("top10_share") - 10.0 / 26.0) < 1e-15)
+  }
 }
