@@ -438,10 +438,14 @@ object Similarity {
       .withColumn("nrm", normCol)
       .localCheckpoint(false)
     val candIds = ivfCandidateIds(e, nCells, nProbe, sampleN)
+    // quantize ONCE and materialize — the HOF transform is interpreted
+    // (no codegen for lambda bodies), and qt feeds both join sides; this
+    // is also the production layout: int8 codes are stored, not derived
     val qt = e
       .withColumn("qv8", transform(col("embedding"),
         x => round(x.cast("double") / greatest(col("nrm"), lit(1e-12)) * 127).cast("int")))
       .select(col("vec_id"), col("qv8"))
+      .localCheckpoint(false)
     val cands = candIds
       .join(qt.select(col("vec_id").as("nid"), col("qv8").as("nv8")), "nid")
       .join(broadcast(qt.filter(col("vec_id") < 50)
