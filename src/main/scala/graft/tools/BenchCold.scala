@@ -20,14 +20,15 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchCold {
 
-  /** The default list: heaviest queries by BENCH_r08/r09 — the set whose
-    * round-over-round movement has needed adjudication.
+  /** The default list: heaviest queries by the round-10 bench (top-10 of
+    * the 103-query inventory) — the set whose round-over-round movement
+    * has needed adjudication.
     */
   private val defaultHeavy = Seq(
-    "d19_lsh_grid_k32x4", "d22_simhash_b8", "d18_lsh_grid_k16x8",
-    "d11_semantic_dedup", "d15_curate", "d14_dedup_corpus",
-    "d16_semantic_corpus", "d13_lsh_verified", "d21_lsh_capped",
-    "d04_ngram_jaccard")
+    "d19_lsh_grid_k32x4", "d22_simhash_b8", "d16_semantic_corpus",
+    "d15_curate", "d11_semantic_dedup", "d08_dedup_pipeline",
+    "d14_dedup_corpus", "d04_ngram_jaccard", "d18_lsh_grid_k16x8",
+    "d17_lsh_verified_k48")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
