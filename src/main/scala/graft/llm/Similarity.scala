@@ -553,6 +553,16 @@ object Similarity {
 
   val ivfSq8KnnSql: String = ivfSq8KnnSqlFor(16, 2, 200)
 
+  /** The d32 gate: IVF-SQ8 at the measured production point (64 cells ×
+    * 4 probes — the d23 retuning, composed with scalar quantization; the
+    * ×10/×50/×200 runs measured 0.92 recall at ×200 on a 6% scan for
+    * this pair, SCALING.md §3d).
+    */
+  def ivfSq8Knn64(s: SparkSession, dir: String): DataFrame =
+    ivfSq8Knn(s, dir, nCells = 64, nProbe = 4, sampleN = 200)
+
+  val ivfSq8Knn64Sql: String = ivfSq8KnnSqlFor(64, 4, 200)
+
   val ivfKnnSql: String = ivfKnnSqlFor(16, 2, 200)
 
   /** The IVF grid gate: the retuned point the scale runs measured best
