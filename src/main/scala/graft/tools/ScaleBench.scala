@@ -30,7 +30,7 @@ import graft.llm.{Dedup, DedupResolve, Multimodal, Similarity}
   *    candidates and wall at NoBucketCap / 32 / 10.
   *  - `chain`: resolution rounds vs component diameter (chains of length
   *    4/16/64/256 — the workload replication can't produce).
-  *  - later rounds: `k48 | stream | ann | ivf | sq8 | kmab | big | big16 |
+  *  - later rounds: `k48 | stream | ann | ivf | sq8 | vocab | kmab | big | big16 |
   *    mix | spans | cur` (see each mode's method doc) and `ab:<spans|cur>:
   *    <pin|regen>` — ISOLATED one-arm-per-JVM materialization A/Bs:
   *    in-JVM two-arm comparisons proved order-dominated at ×200 (both
@@ -332,6 +332,32 @@ object ScaleBench {
         "cells" -> cells, "probe" -> probe, "wall" -> qw, "out" -> qn,
         "hits" -> qHits, "recall_at5" -> (qHits.toDouble / truthN))
     }
+  }
+
+  /** t16 at scale: the vocabulary-concentration claim is that every
+    * post-tokenize structure is VOCABULARY-sized, not corpus-sized — the
+    * (source, token) count table, the rank window's per-source
+    * partitions, and the ratio join. The cipher replication multiplies
+    * vocabulary linearly in R (each rep re-letters its tokens), which
+    * makes it the adversarial case for that claim: vocab rows = R × base
+    * vocab, the worst growth a real corpus (Heaps-sublinear) would never
+    * reach. Records wall, doc/vocab counts, and the per-source max
+    * vocabulary (the window skew bound).
+    */
+  private def vocab(s: SparkSession, dir: String, label: String): Unit = {
+    import graft.llm.TextAnalysis
+    val docs = graft.Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val (w, nSrc) = timed2(TextAnalysis.vocabConcentrationDf(docs).count())
+    val tc = docs
+      .select(col("source"), explode(graft.llm.Hashing.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val vocabRows = tc.count()
+    val maxPerSource = tc.groupBy(col("source")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    emit("corpus" -> label, "op" -> "vocab", "n_docs" -> nDocs,
+      "wall" -> w, "sources_out" -> nSrc, "vocab_rows" -> vocabRows,
+      "max_vocab_per_source" -> maxPerSource)
   }
 
   /** Streaming state posture at scale: drive the corpus through
@@ -842,6 +868,7 @@ object ScaleBench {
       case "ann" => ann(spark, dir, label)
       case "ivf" => ivf(spark, dir, label)
       case "sq8" => sq8(spark, dir, label)
+      case "vocab" => vocab(spark, dir, label)
       case "kmab" => kmab(spark, dir, label)
       case "big" => big(spark, dir, label)
       case "big16" => bigSemantic(spark, dir, label)
