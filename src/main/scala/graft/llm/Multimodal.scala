@@ -228,10 +228,17 @@ object Multimodal {
   /** Perceptual-hash near-dup pairs over the media corpus: fingerprints
     * from [[perceptualHash]], banded into `bands` equal slices of the
     * 60-bit signature, bucket self-join, exact Hamming verify ≤
-    * `maxHamming`. With `maxHamming < bands` the pigeonhole makes banding
-    * LOSSLESS — every pair within the threshold shares at least one full
-    * band — so the scalable banded join returns exactly the all-pairs
-    * result (which is what the oracle computes). That equality holds ONLY
+    * `maxHamming`, then a `minBands` requirement on DISTINCT shared
+    * bands. With `maxHamming ≤ bands − minBands` the pigeonhole makes
+    * banding LOSSLESS — h bit errors corrupt at most h bands, so every
+    * pair within the threshold shares at least `bands − maxHamming ≥
+    * minBands` full bands — and the scalable banded join returns exactly
+    * the all-pairs result (which is what the oracle computes).
+    * `minBands = 2` is the birthday-horizon guard the ×500 scale run
+    * prescribed: chance collisions of unrelated payloads (n²·1.2e-11 of
+    * them at 60 bits/Hamming 5) almost always share exactly one band,
+    * so requiring a second shared band removes them while — at
+    * `maxHamming ≤ bands − 2` — provably losing no true pair. That equality holds ONLY
     * at the default `bucketCap = NoBucketCap`: a finite cap drops every
     * pair whose shared bands all sit in over-cap buckets (the deliberate
     * skew trade-off of [[Dedup.capBuckets]]) while the pigeonhole
@@ -249,10 +256,13 @@ object Multimodal {
       dir: String,
       bands: Int = 6,
       maxHamming: Int = 5,
-      bucketCap: Int = Dedup.NoBucketCap): DataFrame = {
+      bucketCap: Int = Dedup.NoBucketCap,
+      minBands: Int = 1): DataFrame = {
     require(60 % bands == 0, s"bands=$bands must divide the 60-bit signature")
-    require(maxHamming < bands,
-      s"banding is pigeonhole-complete only for maxHamming < bands ($maxHamming >= $bands)")
+    require(minBands >= 1, s"minBands must be >= 1, got $minBands")
+    require(maxHamming <= bands - minBands,
+      s"banding is pigeonhole-complete only for maxHamming <= bands - minBands " +
+        s"($maxHamming > $bands - $minBands)")
     val width = 60 / bands
     val mask = (1L << width) - 1
     val sigs = perceptualHash(mediaTable(s, dir)).toDF()
@@ -270,9 +280,19 @@ object Multimodal {
     a.join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.band").as("band"),
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+      // one row per shared (band, bsig); requiring >= minBands distinct
+      // shared bands is the birthday-horizon guard the ×500 run
+      // prescribed (SCALING.md §3d: chance 60-bit collisions typically
+      // share exactly one band) — and with maxHamming <= bands - minBands
+      // the pigeonhole keeps it LOSSLESS, since h bit errors can corrupt
+      // at most h of the bands
+      .groupBy(col("a_id"), col("b_id"), col("hamming"))
+      .agg(countDistinct(col("band")).as("nb"))
+      .filter(col("nb") >= minBands)
+      .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
   /** DuckDB mirror of [[phashPairs]] (at the default `NoBucketCap` only —
@@ -324,4 +344,16 @@ object Multimodal {
     phashPairs(s, dir, bands = 4, maxHamming = 3)
 
   val phashPairsH3Sql: String = phashPairsSqlFor(3)
+
+  /** m04: the birthday-horizon posture from the ×500 run — ≥ 2 shared
+    * bands at Hamming ≤ 4, which the pigeonhole keeps lossless (4 errors
+    * leave ≥ 2 of 6 bands intact), verified against the SAME
+    * banding-independent all-pairs oracle at maxHamming = 4. The gate
+    * proves the minBands plumbing drops nothing it shouldn't; at corpus
+    * scale it is what removes the measured n² chance-collision stream.
+    */
+  def phashPairsMin2(s: SparkSession, dir: String): DataFrame =
+    phashPairs(s, dir, bands = 6, maxHamming = 4, minBands = 2)
+
+  val phashPairsMin2Sql: String = phashPairsSqlFor(4)
 }

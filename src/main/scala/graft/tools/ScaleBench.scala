@@ -30,7 +30,7 @@ import graft.llm.{Dedup, DedupResolve, Multimodal, Similarity}
   *    candidates and wall at NoBucketCap / 32 / 10.
   *  - `chain`: resolution rounds vs component diameter (chains of length
   *    4/16/64/256 — the workload replication can't produce).
-  *  - later rounds: `k48 | stream | ann | ivf | sq8 | vocab | kmab | big | big16 |
+  *  - later rounds: `k48 | stream | ann | ivf | sq8 | vocab | phash | kmab | big | big16 |
   *    mix | spans | cur` (see each mode's method doc) and `ab:<spans|cur>:
   *    <pin|regen>` — ISOLATED one-arm-per-JVM materialization A/Bs:
   *    in-JVM two-arm comparisons proved order-dominated at ×200 (both
@@ -331,6 +331,27 @@ object ScaleBench {
       emit("corpus" -> label, "op" -> "sq8", "variant" -> s"${name}_sq8",
         "cells" -> cells, "probe" -> probe, "wall" -> qw, "out" -> qn,
         "hits" -> qHits, "recall_at5" -> (qHits.toDouble / truthN))
+    }
+  }
+
+  /** The m04 birthday-horizon guard measured at scale: phash pairs at
+    * Hamming ≤ 4 with minBands 1 vs 2. Chance collisions of unrelated
+    * payloads almost always share exactly one band, so the second-band
+    * requirement should zero the cross-rep counter while — by the
+    * pigeonhole at maxHamming ≤ bands − 2 — keeping every true pair
+    * (out_delta isolates what the guard dropped).
+    */
+  private def phashGuard(s: SparkSession, dir: String, label: String): Unit = {
+    var out1 = -1L
+    for (mb <- Seq(1, 2)) {
+      val (w, n) = timed2(
+        Multimodal.phashPairs(s, dir, bands = 6, maxHamming = 4, minBands = mb).count())
+      val p = Multimodal.phashPairs(s, dir, bands = 6, maxHamming = 4, minBands = mb)
+        .localCheckpoint(true)
+      val (bad, cross) = pairInvariants(p)
+      emit("corpus" -> label, "op" -> "m04", "min_bands" -> mb, "wall" -> w,
+        "out" -> n, "bad_order" -> bad, "cross_rep" -> cross,
+        "out_delta_vs_minbands1" -> (if (mb == 1) { out1 = n; 0L } else out1 - n))
     }
   }
 
@@ -869,6 +890,7 @@ object ScaleBench {
       case "ivf" => ivf(spark, dir, label)
       case "sq8" => sq8(spark, dir, label)
       case "vocab" => vocab(spark, dir, label)
+      case "phash" => phashGuard(spark, dir, label)
       case "kmab" => kmab(spark, dir, label)
       case "big" => big(spark, dir, label)
       case "big16" => bigSemantic(spark, dir, label)

@@ -239,6 +239,22 @@ class LlmSpec extends AnyFunSuite {
     lbl.foreach { case (id, c) => assert(c <= id && lbl(c) == c, s"($id,$c) not canonical-min") }
   }
 
+  test("phash minBands=2 is lossless at hamming<=4 and rejects unsafe parameters") {
+    // pigeonhole: 4 bit errors corrupt at most 4 of 6 bands, so every
+    // true hamming<=4 pair shares >=2 bands — requiring the second band
+    // must drop NOTHING at these arguments
+    val base = Multimodal.phashPairs(spark, sf, bands = 6, maxHamming = 4)
+      .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Int)].collect().toSet
+    val min2 = Multimodal.phashPairs(spark, sf, bands = 6, maxHamming = 4, minBands = 2)
+      .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Int)].collect().toSet
+    assert(min2 == base, s"minBands=2 dropped ${(base -- min2).size} of ${base.size} pairs")
+    // at maxHamming=5 the guarantee does not hold — the operator must
+    // refuse rather than silently become lossy
+    intercept[IllegalArgumentException] {
+      Multimodal.phashPairs(spark, sf, bands = 6, maxHamming = 5, minBands = 2)
+    }
+  }
+
   test("phash windows over UTF-8 BYTES: non-ASCII near-dups are found and partition-invariant") {
     // multi-byte corpus (2/3/4-byte codepoints + sub-window/empty payloads)
     // with near-dups planted INSIDE the non-ASCII text — the case where a
