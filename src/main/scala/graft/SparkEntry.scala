@@ -146,11 +146,16 @@ object SparkEntry {
     // t16: vocabulary concentration + log-free Zipf doubling ratio
     "t16_vocab_conc"     -> (graft.llm.TextAnalysis.vocabConcentration _),
     "m01_media_stats"    -> (graft.llm.Multimodal.mediaStats _),
-    "m02_phash_neardup"  -> ((s, dir) => graft.llm.Multimodal.phashPairs(s, dir)),
+    // m02 pins the FIXED-threshold plumbing (h=5); the shipped default is
+    // AutoHamming, gated by m05 with the derivation replayed in the oracle
+    "m02_phash_neardup"  -> ((s, dir) => graft.llm.Multimodal.phashPairs(s, dir, maxHamming = 5)),
     "m03_phash_grid_h3"  -> (graft.llm.Multimodal.phashPairsH3 _),
-    // m04: >=2 shared bands at hamming<=4 — the x500 birthday-horizon
-    // posture, lossless by pigeonhole at these arguments
+    // m04: >=2 shared bands at hamming<=4 — inert by pigeonhole at these
+    // arguments (see the honesty note); pins that the nb cut drops nothing
     "m04_phash_minbands" -> (graft.llm.Multimodal.phashPairsMin2 _),
+    // m05: AutoHamming — threshold derived from the corpus count, the
+    // HUGEINT CTE re-derives it oracle-side (h=4 at sf0.01 vs m02's 5)
+    "m05_phash_auto"     -> (graft.llm.Multimodal.phashPairsAuto _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -259,5 +264,6 @@ object SparkEntry {
     "m02_phash_neardup"  -> graft.llm.Multimodal.phashPairsSql,
     "m03_phash_grid_h3"  -> graft.llm.Multimodal.phashPairsH3Sql,
     "m04_phash_minbands" -> graft.llm.Multimodal.phashPairsMin2Sql,
+    "m05_phash_auto"     -> graft.llm.Multimodal.phashPairsAutoSql,
   )
 }

@@ -20,19 +20,37 @@ object Tables {
     * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects
     * with [PARQUET_TYPE_ILLEGAL] — read as raw nanos and floor to micros,
     * matching DuckDB's ns→µs truncation) and plain TIMESTAMP_MICROS
-    * (read natively). Adapt on the footer schema so both load identically;
-    * NTZ casts to session-TZ timestamp, value-identity under the engine's
-    * fixed UTC session (graft.GraftSession).
+    * (read natively). Adapt on the footer schema so both load identically.
+    *
+    * Loader contract: `ts` values are UTC wall-clock instants regardless
+    * of the caller's session timezone. The NANOS path is TZ-independent
+    * arithmetic; the MICROS path's NTZ→timestamp cast is interpreted in
+    * the session TZ **at analysis time**, so the cast is built under a
+    * scoped UTC pin and the caller's timezone restored before returning
+    * (ResolveTimeZone freezes the zone into the analyzed plan, so the
+    * restore cannot shift execution; spec-pinned in RuntimeSpec).
+    *
+    * Known session-global side effect: `nanosAsLong` must REMAIN set —
+    * parquet footer schemas are re-converted inside every scan task at
+    * execution time, long after this function returns, so a set-restore
+    * here would fail the job at the first action. The conf only changes
+    * how nanos-typed parquet columns load (they are otherwise unreadable),
+    * so a second nanos consumer sees Long — exactly what this adapter
+    * expects — and every other type is untouched.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case _ =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-    }
+    val prevTz = s.conf.get("spark.sql.session.timeZone")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    try {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case _ =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      }
+    } finally s.conf.set("spark.sql.session.timeZone", prevTz)
   }
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")

@@ -468,16 +468,27 @@ object TextAnalysis {
     * carries the same information as the usual log-log slope WITHOUT
     * computing a single ln(): every input is an integer count, each
     * ratio is one IEEE division of identical integers in both engines,
-    * and the 6-term mean accumulates in decimal (the §6 exactness rule —
-    * the tree deliberately has no log() anywhere, libm ulp drift).
+    * and the ratio mean (up to 6 terms — see the partial-output contract
+    * below) accumulates in decimal (the §6 exactness rule — the tree
+    * deliberately has no log() anywhere, libm ulp drift).
     *
     * Scale shape: explode→count is one map-side-combinable shuffle onto
     * the (source, token) key space — VOCABULARY-sized, not corpus-sized,
     * and sublinear in the corpus (Heaps' law). The per-source rank
     * window partitions by source over that same vocabulary-sized table,
     * so the skew bound is max vocab per source, not max docs per source.
-    * Sources need rank-2 to contribute a ratio (inner join): a
-    * degenerate sub-2-token-type source drops rather than emitting NULL.
+    *
+    * Partial-output contract (ADVICE r11): sources need rank-2 to
+    * contribute a ratio (inner join with the ratio branch), so a
+    * degenerate single-token-type source is ABSENT from the output
+    * entirely — callers aggregating per-source rows must not assume
+    * every input source appears. And the "doubling ratio" averages only
+    * the probed ranks that EXIST: a source with vocab < 64 contributes
+    * fewer than 6 (k, 2k) terms, one with vocab < 4 only the (1,2) term
+    * — a partial mean over present ranks, not a fixed 6-term mean. Both
+    * behaviors are deliberate (they mirror bit-exactly in the oracle and
+    * avoid NULL-ratio rows); a caller needing every source represented
+    * should left-join this output back to its source list.
     */
   def vocabConcentration(s: SparkSession, dir: String): DataFrame =
     vocabConcentrationDf(Tables.documents(s, dir))

@@ -334,24 +334,31 @@ object ScaleBench {
     }
   }
 
-  /** The m04 birthday-horizon guard measured at scale: phash pairs at
-    * Hamming ≤ 4 with minBands 1 vs 2. Chance collisions of unrelated
-    * payloads almost always share exactly one band, so the second-band
-    * requirement should zero the cross-rep counter while — by the
-    * pigeonhole at maxHamming ≤ bands − 2 — keeping every true pair
-    * (out_delta isolates what the guard dropped).
+  /** The birthday-horizon posture measured at scale — ROUND-11 REWRITE
+    * after the advisor proved the round-10 minBands A/B a tautology (the
+    * cut is inert everywhere the pigeonhole admits it; both arms were
+    * measured identical at 403 198 pairs, so the mode was asserting
+    * nothing). The real chance-pair lever is the Hamming threshold: this
+    * mode runs fixed h = 5 (the pre-round-11 default, inside the measured
+    * chance regime at ×500), fixed h = 4, and the shipped AutoHamming
+    * default (budget = one expected chance pair corpus-wide), recording
+    * the derived threshold and the cross-rep counter — chance pairs are
+    * exactly the cross-replica ones, so the auto arm's claim is
+    * cross_rep = 0 where the fixed-5 arm measures the n² stream.
     */
   private def phashGuard(s: SparkSession, dir: String, label: String): Unit = {
-    var out1 = -1L
-    for (mb <- Seq(1, 2)) {
+    val nDocs = graft.Tables.documents(s, dir).count()
+    val autoH = Multimodal.hammingFor(nDocs)
+    val arms = Seq(("fixed5", 5), ("fixed4", 4), ("auto", autoH))
+    for ((name, h) <- arms) {
       val (w, n) = timed2(
-        Multimodal.phashPairs(s, dir, bands = 6, maxHamming = 4, minBands = mb).count())
-      val p = Multimodal.phashPairs(s, dir, bands = 6, maxHamming = 4, minBands = mb)
+        Multimodal.phashPairs(s, dir, bands = 6, maxHamming = h).count())
+      val p = Multimodal.phashPairs(s, dir, bands = 6, maxHamming = h)
         .localCheckpoint(true)
       val (bad, cross) = pairInvariants(p)
-      emit("corpus" -> label, "op" -> "m04", "min_bands" -> mb, "wall" -> w,
-        "out" -> n, "bad_order" -> bad, "cross_rep" -> cross,
-        "out_delta_vs_minbands1" -> (if (mb == 1) { out1 = n; 0L } else out1 - n))
+      emit("corpus" -> label, "op" -> "m05", "arm" -> name, "n_docs" -> nDocs,
+        "max_hamming" -> h, "wall" -> w, "out" -> n,
+        "bad_order" -> bad, "cross_rep_chance_pairs" -> cross)
     }
   }
 

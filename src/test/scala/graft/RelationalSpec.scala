@@ -61,6 +61,25 @@ class RelationalSpec extends AnyFunSuite {
     med.foreach(r => assert(quantities.contains(r.getDouble(1))))
   }
 
+  test("events loader yields the same UTC instants under any session timezone") {
+    // ADVICE r11: the MICROS branch's NTZ->timestamp cast was session-TZ
+    // dependent. The loader now builds the cast under a scoped UTC pin
+    // (frozen into the plan at analysis), so the loaded INSTANTS must be
+    // identical no matter what TZ the caller's session carries — and the
+    // caller's timezone setting must survive the call untouched.
+    val utcVals = Tables.events(spark, sf)
+      .select($"ts".cast("long")).as[Long].orderBy($"ts").collect().toSeq
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val nycVals = Tables.events(spark, sf)
+        .select($"ts".cast("long")).as[Long].orderBy($"ts").collect().toSeq
+      assert(nycVals == utcVals, "events instants shifted with session timezone")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "America/New_York",
+        "loader must restore the caller's timezone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("asof join matches each event to its user's latest prior order") {
     val got = Relational.asofJoin(spark, sf)
     assert(got.count() == Tables.events(spark, sf).count())

@@ -239,20 +239,59 @@ class LlmSpec extends AnyFunSuite {
     lbl.foreach { case (id, c) => assert(c <= id && lbl(c) == c, s"($id,$c) not canonical-min") }
   }
 
-  test("phash minBands=2 is lossless at hamming<=4 and rejects unsafe parameters") {
-    // pigeonhole: 4 bit errors corrupt at most 4 of 6 bands, so every
-    // true hamming<=4 pair shares >=2 bands — requiring the second band
-    // must drop NOTHING at these arguments
-    val base = Multimodal.phashPairs(spark, sf, bands = 6, maxHamming = 4)
-      .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Int)].collect().toSet
-    val min2 = Multimodal.phashPairs(spark, sf, bands = 6, maxHamming = 4, minBands = 2)
-      .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Int)].collect().toSet
-    assert(min2 == base, s"minBands=2 dropped ${(base -- min2).size} of ${base.size} pairs")
-    // at maxHamming=5 the guarantee does not hold — the operator must
-    // refuse rather than silently become lossy
+  test("phash minBands actually drops spread-error pairs in the lossy posture") {
+    // The round-10 losslessness A/B was a tautology (the cut is inert
+    // wherever the pigeonhole require admits it), so this drives the
+    // nb plumbing where it CAN drop rows: synthetic 60-bit signatures,
+    // 6 bands x 10 bits, allowLossy.
+    //   doc 1: all-zero reference
+    //   doc 2: 5 bit errors spread over bands 0..4 -> shares exactly 1
+    //           band with doc 1 (band 5) at hamming 5
+    //   doc 3: 2 bit errors both inside band 0 -> shares 5 bands with
+    //           doc 1 at hamming 2
+    val sigs = Seq(
+      (1L, 0L),
+      (2L, (1L << 0) | (1L << 10) | (1L << 20) | (1L << 30) | (1L << 40)),
+      (3L, (1L << 0) | (1L << 1))).toDF("doc_id", "phash")
+    def pairsAt(minBands: Int): Set[(Long, Long, Int)] =
+      Multimodal.phashPairsFromSigs(sigs, bands = 6, maxHamming = 5,
+          minBands = minBands, allowLossy = true)
+        .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Int)].collect().toSet
+    // xor(2,3) = bits {1,10,20,30,40} (bit 0 cancels) -> hamming(2,3)=5,
+    // also sharing only band 5; all three pairs pass the plain verify
+    assert(pairsAt(1) == Set((1L, 2L, 5), (2L, 3L, 5), (1L, 3L, 2)))
+    // minBands=2 must drop exactly the two spread-error 1-shared-band
+    // pairs and keep the clustered-error one
+    assert(pairsAt(2) == Set((1L, 3L, 2)),
+      "lossy minBands=2 should drop the 1-shared-band pairs and keep the clustered one")
+    // minBands=6 requires ALL bands shared — impossible at hamming>0
+    assert(pairsAt(6).isEmpty)
+    // without allowLossy the lossy parameterization must refuse, not
+    // silently drop
     intercept[IllegalArgumentException] {
       Multimodal.phashPairs(spark, sf, bands = 6, maxHamming = 5, minBands = 2)
     }
+  }
+
+  test("AutoHamming derives the measured chance-pair thresholds from the corpus count") {
+    import Multimodal.hammingFor
+    // default budget (one expected chance pair corpus-wide): h=5 holds
+    // through ~620k docs, crosses to 4, reaches the measured x500 regime
+    // (2.55M docs) at 3, and collapses to 0 at web scale
+    assert(hammingFor(0) == 5 && hammingFor(1) == 5)
+    assert(hammingFor(500) == 5)
+    assert(hammingFor(620000) == 5)
+    assert(hammingFor(640000) == 4)
+    assert(hammingFor(2550000) == 3)
+    assert(hammingFor(2000000000L) == 0)
+    // monotone: more docs never loosens the threshold
+    val pts = Seq(1L, 1000L, 100000L, 1000000L, 10000000L, 100000000L, 1000000000L)
+    pts.sliding(2).foreach { case Seq(a, b) =>
+      assert(hammingFor(a) >= hammingFor(b), s"not monotone at ($a,$b)")
+    }
+    // the m05 gate budget moves the threshold ACROSS the verify SFs
+    val b = Multimodal.autoGateBudgetLog2
+    assert(hammingFor(50, b) == 5 && hammingFor(500, b) == 4 && hammingFor(5000, b) == 3)
   }
 
   test("phash windows over UTF-8 BYTES: non-ASCII near-dups are found and partition-invariant") {
