@@ -126,6 +126,10 @@ object SparkEntry {
     "d31_knn_ivf_sq8"    -> (graft.llm.Similarity.ivfSq8Knn16 _),
     // d32: IVF-SQ8 at the measured production grid point (64x4)
     "d32_ivf_sq8_64x4"   -> (graft.llm.Similarity.ivfSq8Knn64 _),
+    // d33: curation v2 — the COMPOSED ingest chain (strip spans -> PII
+    // redact -> quality filter -> source quota -> seq-pack), one oracle
+    // pinning every stage boundary
+    "d33_curate_v2"      -> ((s, dir) => graft.llm.Curate.curateV2(s, dir)),
     "t01_doc_stats"      -> (graft.llm.TextAnalysis.docStats _),
     "t02_lang_dist"      -> (graft.llm.TextAnalysis.langDistribution _),
     "t03_token_counts"   -> (graft.llm.TextAnalysis.tokenCounts _),
@@ -244,6 +248,7 @@ object SparkEntry {
     "d30_knn_sq8"        -> graft.llm.Similarity.sq8KnnSql,
     "d31_knn_ivf_sq8"    -> graft.llm.Similarity.ivfSq8KnnSql,
     "d32_ivf_sq8_64x4"   -> graft.llm.Similarity.ivfSq8Knn64Sql,
+    "d33_curate_v2"      -> graft.llm.Curate.curateV2Sql,
     "t01_doc_stats"      -> graft.llm.TextAnalysis.docStatsSql,
     "t02_lang_dist"      -> graft.llm.TextAnalysis.langDistributionSql,
     "t03_token_counts"   -> graft.llm.TextAnalysis.tokenCountsSql,

@@ -41,6 +41,136 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /** Curation v2 (d33) — the chain a production ingest actually runs,
+    * composed as ONE DataFrame pipeline so the stage-BOUNDARY contracts
+    * are oracle-gated (each stage is individually green as d28/t13/t05/
+    * t11/t15; what this pins is that packing sees redacted, stripped,
+    * quota'd text — not the raw corpus):
+    *
+    *   0. ingest with planted PII (the corpus has none organically; the
+    *      t13 planting is replayed by the oracle, so the scrub stages do
+    *      real work whose effects cascade through every later boundary);
+    *   1. strip corpus-duplicated token spans ([[SpanDedup.stripSpansDf]],
+    *      k = 8) — text cut BEFORE anything downstream counts tokens;
+    *   2. PII-redact the stripped text ([[Pii.redactPii]]) and count what
+    *      was caught (n_pii) — detection runs on post-strip text;
+    *   3. quality-filter the REDACTED text ([[TextAnalysis.qualityScore]]
+    *      ≥ 0.5; docs stripped to zero tokens drop here) — scores shift
+    *      when redaction rewrites characters, which is the point;
+    *   4. per-source quota (smallest hash60(doc_id) — the t11 bounded-heap
+    *      [[graft.plans.TopKPerGroup]] operator) over the SURVIVORS, so
+    *      the quota ranks post-filter population;
+    *   5. greedy sequence packing (t15 running sum, budget 256) of the
+    *      quota'd docs using the redacted text's token counts.
+    *
+    * Output: (source, doc_id, n_removed, n_pii, quality, n_tokens,
+    * seq_no) — one row per packed doc, carrying each boundary's evidence.
+    *
+    * Scale shape = the stages' own (documented per operator): span strip
+    * moves O(duplicated positions); redact/quality are codegen scan
+    * passes; the one source-keyed exchange is shared by quota and the
+    * packing window (TopKPerGroupExec's final phase clusters by source
+    * and propagates its partitioning, so the window re-uses it rather
+    * than re-shuffling); redacted TEXT never crosses the quota exchange —
+    * only (ids, counts, score) do.
+    */
+  def curateV2(s: SparkSession, dir: String, minTokens: Int = 8,
+      quota: Int = 12, seqTokens: Int = 256): DataFrame =
+    curateV2Df(Tables.documents(s, dir), minTokens, quota, seqTokens)
+
+  /** [[curateV2]] over any (doc_id, source, text) DataFrame. */
+  def curateV2Df(docs: DataFrame, minTokens: Int = 8,
+      quota: Int = 12, seqTokens: Int = 256): DataFrame = {
+    val planted = docs.select(col("doc_id"), col("source"), Pii.plantCol.as("text"))
+    val stripped = SpanDedup.stripSpansDf(
+      planted.select(col("doc_id"), col("text")), minTokens)
+    val (ne, np, ni) = Pii.countPii(col("clean_text"))
+    val redacted = stripped.select(col("doc_id"), col("n_removed"),
+      (ne + np + ni).cast("int").as("n_pii"),
+      Pii.redactPii(col("clean_text")).as("rtext"))
+    val scored = redacted
+      .join(planted.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_removed"), col("n_pii"),
+        col("rtext"), graft.functions.TokenStats(col("rtext")).as("st"))
+      .where(col("st.n_tokens") > 0)
+      // explode(array(...)) = the t05 pushdown barrier: the filter can't
+      // substitute the score below the Generate, so TokenStats runs once
+      .select(col("doc_id"), col("source"), col("n_removed"), col("n_pii"),
+        col("st.n_tokens").cast("int").as("n_tokens"),
+        explode(array(TextAnalysis.qualityScore(col("st"), col("rtext"))))
+          .as("quality"))
+      .filter(col("quality") >= 0.5)
+    val keyed = scored.withColumn("h",
+      Hashing.hash60(col("doc_id").cast("string")))
+    val quotad = graft.plans.TopK.perGroup(
+        keyed, Seq("source"), Seq(("h", true), ("doc_id", true)), quota)
+      .drop("h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    quotad
+      .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+      .withColumn("seq_no", expr(s"(cum - n_tokens) div $seqTokens"))
+      .select(col("source"), col("doc_id"), col("n_removed"), col("n_pii"),
+        col("quality"), col("n_tokens"), col("seq_no"))
+  }
+
+  /** DuckDB mirror of [[curateV2]]: the d28 strip CTEs over the planted
+    * ingest, the t13 redaction chain, the t05 score, the t11 rank window,
+    * the t15 running sum — one CTE per stage boundary.
+    */
+  def curateV2SqlFor(k: Int, quota: Int, seqTokens: Int): String = {
+    val toks = Hashing.sqlTokens("text")
+    val rtoks = Hashing.sqlTokens("rtext")
+    val gk = Hashing.sqlHash60(s"array_to_string(t[i:i+${k - 1}], ' ')")
+    s"""WITH p AS (SELECT doc_id, source, __PLANT__ AS text FROM documents),
+       |tok AS (SELECT doc_id, $toks AS t FROM p),
+       |sh AS (SELECT doc_id, CAST(i AS INT) AS pos, $gk AS gk
+       |       FROM tok CROSS JOIN LATERAL unnest(range(1, len(t)-${k - 2})) r(i)
+       |       WHERE len(t) >= $k),
+       |dup AS (SELECT gk FROM sh GROUP BY gk HAVING COUNT(*) > 1),
+       |cov AS (SELECT doc_id, list(DISTINCT CAST(j AS INT)) AS cov
+       |        FROM sh CROSS JOIN LATERAL unnest(range(pos, pos + $k)) c(j)
+       |        WHERE gk IN (SELECT gk FROM dup) GROUP BY doc_id),
+       |kept AS (SELECT t.doc_id,
+       |           CASE WHEN cov.cov IS NULL THEN t.t
+       |                ELSE list_filter(t.t, (x, i) -> NOT list_contains(cov.cov, i))
+       |           END AS kept, len(t.t) AS n_toks
+       |         FROM tok t LEFT JOIN cov USING (doc_id)),
+       |stripped AS (SELECT doc_id,
+       |    COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+       |    CAST(n_toks - len(kept) AS INT) AS n_removed FROM kept),
+       |red AS (SELECT doc_id, n_removed,
+       |    CAST(len(regexp_extract_all(clean_text, '${Pii.EmailRe}'))
+       |       + len(regexp_extract_all(clean_text, '${Pii.PhoneRe}'))
+       |       + len(regexp_extract_all(clean_text, '${Pii.IpRe}')) AS INT) AS n_pii,
+       |    regexp_replace(regexp_replace(regexp_replace(clean_text,
+       |      '${Pii.EmailRe}', '<EMAIL>', 'g'),
+       |      '${Pii.PhoneRe}', '<PHONE>', 'g'),
+       |      '${Pii.IpRe}', '<IP>', 'g') AS rtext
+       |  FROM stripped),
+       |q AS (SELECT r.doc_id, p.source, r.n_removed, r.n_pii,
+       |    CAST(len($rtoks) AS INT) AS n_tokens,
+       |    ${TextAnalysis.qualityScoreSql("rtext")} AS quality
+       |  FROM red r JOIN p USING (doc_id)
+       |  WHERE len($rtoks) > 0),
+       |qf AS (SELECT * FROM q WHERE quality >= 0.5),
+       |qk AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source
+       |      ORDER BY ${Hashing.sqlHash60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+       |    FROM qf) WHERE rn <= $quota),
+       |packed AS (SELECT source, doc_id, n_removed, n_pii, quality, n_tokens,
+       |    SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source
+       |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM qk)
+       |SELECT source, doc_id, n_removed, n_pii, quality, n_tokens,
+       |  CAST((cum - n_tokens) // $seqTokens AS BIGINT) AS seq_no
+       |FROM packed""".stripMargin.replace("__PLANT__", Pii.plantSql)
+  }
+
+  val curateV2Sql: String = curateV2SqlFor(8, 12, 256)
+
   val curateSql: String =
     s"""WITH RECURSIVE pairs AS (${Dedup.lshVerifiedPairsSql}),
        |edges AS (

@@ -114,20 +114,39 @@ object TextAnalysis {
     * in the same order — the doubles are bit-identical, so the threshold
     * cut is engine-stable. Shuffle-free single scan.
     */
+  /** The t05 composite score over a fused [[graft.functions.TokenStats]]
+    * struct + the text column it was computed from — public so composed
+    * pipelines (d33 curateV2) score intermediate text with the exact same
+    * arithmetic (same operations in the same order: the doubles stay
+    * bit-identical to [[qualityScoreSql]]).
+    */
+  def qualityScore(st: Column, text: Column): Column = {
+    val nt = st.getField("n_tokens").cast("double")
+    val nd = st.getField("n_distinct_tokens").cast("double")
+    val nStop = st.getField("n_stopwords").cast("double")
+    val nAlpha = st.getField("n_alpha").cast("double")
+    val nChars = length(text).cast("double")
+    lit(0.25) * least(nt / lit(100.0), lit(1.0)) +
+      lit(0.25) * (nd / nt) +
+      lit(0.25) * least(nStop / nt * lit(5.0), lit(1.0)) +
+      lit(0.25) * (nAlpha / nChars)
+  }
+
+  /** DuckDB mirror of [[qualityScore]] as one expression over `textExpr`. */
+  def qualityScoreSql(textExpr: String): String = {
+    val toks = sqlTokens(textExpr)
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""0.25 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) +
+       |    0.25 * (CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) +
+       |    0.25 * least(CAST(len(list_filter($toks, t -> t IN ($stopList))) AS DOUBLE)
+       |      / CAST(len($toks) AS DOUBLE) * 5.0, 1.0) +
+       |    0.25 * (CAST(length(regexp_replace($textExpr, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       |      / CAST(length($textExpr) AS DOUBLE))""".stripMargin
+  }
+
   def qualityFilter(s: SparkSession, dir: String): DataFrame = {
-    // every count from ONE fused TokenStats pass (see docStats); the score
-    // arithmetic is unchanged — same operations in the same order, so the
-    // doubles stay bit-identical to the oracle's
-    val nt = col("st.n_tokens").cast("double")
-    val nd = col("st.n_distinct_tokens").cast("double")
-    val nStop = col("st.n_stopwords").cast("double")
-    val nAlpha = col("st.n_alpha").cast("double")
-    val nChars = length(col("text")).cast("double")
-    val score =
-      lit(0.25) * least(nt / lit(100.0), lit(1.0)) +
-        lit(0.25) * (nd / nt) +
-        lit(0.25) * least(nStop / nt * lit(5.0), lit(1.0)) +
-        lit(0.25) * (nAlpha / nChars)
+    // every count from ONE fused TokenStats pass (see docStats)
+    val score = qualityScore(col("st"), col("text"))
     // explode(array(score)) is a PUSHDOWN BARRIER, not data generation:
     // filtering on a plainly projected `quality` lets PushDownPredicates
     // substitute the whole score expression into the Filter, so TokenStats
@@ -141,20 +160,11 @@ object TextAnalysis {
       .filter(col("quality") >= 0.5)
   }
 
-  val qualityFilterSql: String = {
-    val toks = sqlTokens("text")
-    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+  val qualityFilterSql: String =
     s"""SELECT doc_id, quality FROM (
-       |  SELECT doc_id,
-       |    0.25 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) +
-       |    0.25 * (CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) +
-       |    0.25 * least(CAST(len(list_filter($toks, t -> t IN ($stopList))) AS DOUBLE)
-       |      / CAST(len($toks) AS DOUBLE) * 5.0, 1.0) +
-       |    0.25 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-       |      / CAST(length(text) AS DOUBLE)) AS quality
+       |  SELECT doc_id, ${qualityScoreSql("text")} AS quality
        |  FROM documents)
        |WHERE quality >= 0.5""".stripMargin
-  }
 
   /** Token-bigram counts per language (n-gram language-model statistics):
     * one pass, bigrams built positionally inside codegen, count ≥ 2 floor

@@ -850,6 +850,88 @@ object ScaleBench {
       "docs_out" -> n15, "windows" -> windows, "repartition_drift" -> drift)
   }
 
+  /** Curation v2 (d33) composed chain at scale: quota scaled with the
+    * corpus (n/100) so the rank/pack stages carry scale-proportional
+    * rows, budget 2048. Beyond the wall, gates the two properties the
+    * oracle can't check at this size: per-boundary ACTIVITY (strips, PII
+    * redactions actually occur — a silently no-op stage would pass a
+    * wall measurement) and DETERMINISM under input repartition (the
+    * chain is a pure function of ids + content; a rank or packing stage
+    * that leaked partition order would drift).
+    */
+  private def cur2(s: SparkSession, dir: String, label: String): Unit = {
+    val docs = graft.Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val quota = math.max(12, (nDocs / 100).toInt)
+    def build(d: DataFrame = docs): DataFrame =
+      graft.llm.Curate.curateV2Df(d, quota = quota, seqTokens = 2048)
+    val (w, _) = timed2 {
+      build().write.format("noop").mode("overwrite").save(); nDocs
+    }
+    val out = build().localCheckpoint(true)
+    val n = out.count()
+    val agg = out.agg(
+      sum(when(col("n_removed") > 0, 1L).otherwise(0L)),
+      sum(col("n_pii").cast("long")),
+      min(col("quality"))).head()
+    val windows = out.select(col("source"), col("seq_no")).distinct().count()
+    val rep = build(docs.repartition(17))
+    val drift = out.exceptAll(rep).count() + rep.exceptAll(out).count()
+    emit("corpus" -> label, "op" -> "cur2", "n_docs" -> nDocs,
+      "quota" -> quota, "wall" -> w, "out" -> n,
+      "docs_with_strips" -> agg.getLong(0), "pii_redactions" -> agg.getLong(1),
+      "min_quality" -> agg.getDouble(2), "windows" -> windows,
+      "repartition_drift" -> drift)
+  }
+
+  /** Per-stage spill/shuffle byte tally (aggregated task metrics per
+    * completed stage) — what turns the d13cand A/B from wall-clock
+    * anecdote into spill-edge evidence.
+    */
+  private class SpillTally extends org.apache.spark.scheduler.SparkListener {
+    @volatile var memSpill = 0L
+    @volatile var diskSpill = 0L
+    @volatile var shuffleWrite = 0L
+    def reset(): Unit = { memSpill = 0L; diskSpill = 0L; shuffleWrite = 0L }
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        memSpill += m.memoryBytesSpilled
+        diskSpill += m.diskBytesSpilled
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+      }
+    }
+  }
+
+  /** The d13 candidate stage in isolation — the ×500 wall (12.0 s →
+    * 116.4 s for 2.5× data at fixed 32 shuffle partitions) whose cure
+    * ("partitions ∝ bytes") round 10 asserted from linear output but
+    * never measured. Run ONE ARM PER JVM with SPARK_GRAFT_SHUFFLE=32 /
+    * 128; emits wall + spill/shuffle byte tallies so the attribution is
+    * data: if the superlinearity is the spill edge, the 128-partition
+    * arm's disk/mem spill collapses and the wall returns to ~linear.
+    * Single measured pass after one warmup (a tally must correspond to
+    * exactly one execution, so no min-of-2 here).
+    */
+  private def d13cand(s: SparkSession, dir: String, label: String): Unit = {
+    val parts = s.conf.get("spark.sql.shuffle.partitions")
+    val tally = new SpillTally
+    s.sparkContext.addSparkListener(tally)
+    Dedup.minhashLsh(s, dir, k = 32, rowsPerBand = 8).count() // warmup (JIT)
+    Thread.sleep(2000) // listener bus is async; settle before reset
+    tally.reset()
+    val t0 = System.nanoTime()
+    val n = Dedup.minhashLsh(s, dir, k = 32, rowsPerBand = 8).count()
+    val w = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(2000) // drain the bus before reading tallies
+    emit("corpus" -> label, "op" -> "d13cand", "shuffle_partitions" -> parts,
+      "wall" -> w, "out" -> n,
+      "mem_spill_mb" -> tally.memSpill / (1 << 20),
+      "disk_spill_mb" -> tally.diskSpill / (1 << 20),
+      "shuffle_write_mb" -> tally.shuffleWrite / (1 << 20))
+  }
+
   /** Cold-isolated A/B arm (the BenchCold discipline applied to the
     * materialization trades): ONE arm per JVM, an in-JVM warmup pass so
     * JIT/page-cache state is comparable across JVMs, then min-of-2. The
@@ -879,7 +961,11 @@ object ScaleBench {
     val Array(dir, label, mode) = args.take(3)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // overridable for the partitions-proportional-to-bytes A/B (the d13
+      // ×500 wall cure, VERDICT r10 #2) — every recorded row carries the
+      // effective setting so arms are attributable
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -904,6 +990,8 @@ object ScaleBench {
       case "mix" => mix(spark, dir, label)
       case "spans" => spansMode(spark, dir, label)
       case "cur" => cur(spark, dir, label)
+      case "cur2" => cur2(spark, dir, label)
+      case "d13cand" => d13cand(spark, dir, label)
       case ab if ab.startsWith("ab:") =>
         val Array(_, which, arm) = ab.split(":")
         abArm(spark, dir, label, which, arm)

@@ -215,6 +215,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d33: quota heap and packing window share ONE source exchange; no window re-shuffle") {
+    val p = planOf("d33_curate_v2")
+    // the quota -> packing tail must read Window <- Sort(local) <-
+    // TopKPerGroup(final) <- Exchange: TopKPerGroupExec propagates its
+    // clustered-by-source partitioning, so the window plans only a local
+    // sort on top of it — a second source exchange here means the
+    // propagation regressed (the round-9 advice item, composed)
+    val winIdx = p.indexOf("Window")
+    val topkIdx = p.indexOf("TopKPerGroup")
+    assert(winIdx >= 0 && topkIdx > winIdx, p)
+    assert(!p.substring(winIdx, topkIdx).contains("Exchange"),
+      s"window re-shuffled above the quota operator:\n$p")
+    // and the whole pipeline never goes Cartesian
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   private def countOccurrences(haystack: String, needle: String): Int =
     haystack.sliding(needle.length).count(_ == needle)
 
