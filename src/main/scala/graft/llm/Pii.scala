@@ -60,7 +60,7 @@ object Pii {
     * ~1/7 of docs get an email, ~1/11 a phone, ~1/13 an IPv4, all
     * deterministic functions of doc_id (integer % only).
     */
-  private[llm] def plantSql: String =
+  private[graft] def plantSql: String =
     """text
       |  || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
       |       || '@mail.example.com for details' ELSE '' END
@@ -72,7 +72,7 @@ object Pii {
       |       || CAST(doc_id * 3 % 256 AS VARCHAR) || '.'
       |       || CAST(doc_id * 7 % 256 AS VARCHAR) ELSE '' END""".stripMargin
 
-  private[llm] def plantCol: Column = concat(
+  private[graft] def plantCol: Column = concat(
     col("text"),
     when(col("doc_id") % 7 === 0,
       concat(lit(" contact user"), col("doc_id").cast("string"),

@@ -89,4 +89,34 @@ object DocStream {
     */
   def qualityGated(docs: DataFrame, giniFloor: Double = 0.5): DataFrame =
     ingested(docs).filter(col("char_gini") >= giniFloor)
+
+  /** The curation scrub in-stream — what a production ingest runs FIRST,
+    * before any stateful operator: PII redaction (t13's codegen regex
+    * chain, `llm.Pii`) and the t05 composite quality filter scored over
+    * the REDACTED text (zero-token docs drop). Pure per-row map/filter:
+    * no state, no watermark, and the expressions are the SAME Catalyst
+    * trees as batch, so batch ≡ stream parity is exact — the spec drives
+    * this very function over both a batch frame and a multi-batch stream
+    * and compares rows. `text` is REPLACED by its redacted form (the
+    * stream continues clean); `n_pii`/`quality` ride along as evidence.
+    */
+  def scrubbed(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val (ne, np, ni) = graft.llm.Pii.countPii(col("text"))
+    docs
+      .withColumn("n_pii", (ne + np + ni).cast("int"))
+      .withColumn("text", graft.llm.Pii.redactPii(col("text")))
+      .withColumn("st", graft.functions.TokenStats(col("text")))
+      .filter(col("st.n_tokens") > 0)
+      .withColumn("quality",
+        graft.llm.TextAnalysis.qualityScore(col("st"), col("text")))
+      .filter(col("quality") >= minQuality)
+      .drop("st")
+  }
+
+  /** Scrub, then lifetime exact-dedup — the streamed front half of the
+    * d33 curation chain (dedup keys on the hash of the SCRUBBED text, so
+    * re-deliveries that differ only in redacted PII still collapse).
+    */
+  def scrubbedIngested(docs: DataFrame): DataFrame =
+    ingested(scrubbed(docs))
 }

@@ -156,6 +156,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation scrub equals the batch scrub across micro-batches (planted PII)") {
+    // two links, one file per trigger -> TWO micro-batches of the same
+    // planted-PII corpus; scrubbed() is stateless, so the stream output
+    // must be exactly two copies of the batch scrub, value-identical
+    val d = java.nio.file.Files.createTempDirectory("graft-docs-scrub")
+    val src = java.nio.file.Paths.get(s"$sf/documents.parquet")
+    java.nio.file.Files.createSymbolicLink(d.resolve("a.parquet"), src)
+    java.nio.file.Files.createSymbolicLink(d.resolve("b.parquet"), src)
+    def planted(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("text", graft.llm.Pii.plantCol)
+    val stream = DocStream.scrubbed(planted(
+      spark.readStream.schema(DocStream.docsSchema)
+        .option("maxFilesPerTrigger", 1).parquet(d.toString)))
+    val q = stream.select($"doc_id", $"n_pii", $"quality", $"text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scrub_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("scrub_out")
+      val batch = DocStream.scrubbed(planted(graft.Tables.documents(spark, sf)))
+        .select($"doc_id", $"n_pii", $"quality", $"text")
+      assert(out.count() == 2 * batch.count(),
+        s"stream ${out.count()} vs 2x batch ${batch.count()}")
+      val streamedSet = out.distinct().as[(Long, Int, Double, String)].collect().toSet
+      val batchSet = batch.as[(Long, Int, Double, String)].collect().toSet
+      assert(streamedSet == batchSet, "scrubbed rows differ between stream and batch")
+      // the planted PII actually exercised the scrub in-stream
+      assert(batchSet.exists(_._2 > 0), "no PII redacted — planting broken")
+      assert(batchSet.forall(r => !r._4.contains("@mail.example.com")),
+        "redaction left a planted email in the stream")
+    } finally q.stop()
+  }
+
+  test("scrub composes with lifetime dedup in-stream (scrubbedIngested)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-docs-scrubdedup")
+    val src = java.nio.file.Paths.get(s"$sf/documents.parquet")
+    java.nio.file.Files.createSymbolicLink(d.resolve("a.parquet"), src)
+    java.nio.file.Files.createSymbolicLink(d.resolve("b.parquet"), src)
+    val stream = DocStream.scrubbedIngested(
+      spark.readStream.schema(DocStream.docsSchema)
+        .option("maxFilesPerTrigger", 1).parquet(d.toString)
+        .withColumn("text", graft.llm.Pii.plantCol))
+    val q = stream.select($"doc_id", $"n_pii", $"quality")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scrubdedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // the doubled deliveries collapse on the SCRUBBED content hash:
+      // one survivor per distinct redacted text that passed the gate
+      val expected = DocStream.scrubbed(
+        graft.Tables.documents(spark, sf).withColumn("text", graft.llm.Pii.plantCol))
+        .select(md5($"text".cast("binary"))).distinct().count()
+      assert(spark.table("scrubdedup_out").count() == expected)
+    } finally q.stop()
+  }
+
   test("streaming corpus ingestion dedups a doubled source; fused exprs run in-stream") {
     // two links to the same corpus file = every document delivered twice
     val d = java.nio.file.Files.createTempDirectory("graft-docs-dup")
