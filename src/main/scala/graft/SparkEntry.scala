@@ -130,6 +130,11 @@ object SparkEntry {
     // redact -> quality filter -> source quota -> seq-pack), one oracle
     // pinning every stage boundary
     "d33_curate_v2"      -> ((s, dir) => graft.llm.Curate.curateV2(s, dir)),
+    // d34: sq8 in the packed binary production layout; the oracle rebuilds
+    // each code's hex transcription, so the byte layout is gated
+    "d34_sq8_packed"     -> (graft.llm.Similarity.sq8KnnPacked _),
+    // d35: packed codes through the IVF candidate join (what shuffles)
+    "d35_ivf_sq8_packed" -> (graft.llm.Similarity.ivfSq8KnnPacked16 _),
     "t01_doc_stats"      -> (graft.llm.TextAnalysis.docStats _),
     "t02_lang_dist"      -> (graft.llm.TextAnalysis.langDistribution _),
     "t03_token_counts"   -> (graft.llm.TextAnalysis.tokenCounts _),
@@ -249,6 +254,8 @@ object SparkEntry {
     "d31_knn_ivf_sq8"    -> graft.llm.Similarity.ivfSq8KnnSql,
     "d32_ivf_sq8_64x4"   -> graft.llm.Similarity.ivfSq8Knn64Sql,
     "d33_curate_v2"      -> graft.llm.Curate.curateV2Sql,
+    "d34_sq8_packed"     -> graft.llm.Similarity.sq8KnnPackedSql,
+    "d35_ivf_sq8_packed" -> graft.llm.Similarity.ivfSq8KnnPackedSql,
     "t01_doc_stats"      -> graft.llm.TextAnalysis.docStatsSql,
     "t02_lang_dist"      -> graft.llm.TextAnalysis.langDistributionSql,
     "t03_token_counts"   -> graft.llm.TextAnalysis.tokenCountsSql,

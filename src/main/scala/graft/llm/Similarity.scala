@@ -162,6 +162,68 @@ object Similarity {
       |  FROM p)
       |WHERE rnk <= 5""".stripMargin
 
+  /** d34: [[sq8Knn]] with codes in the PRODUCTION layout — packed binary
+    * ([[graft.functions.PackInt8]], one signed byte per coordinate: 64
+    * bytes per 64-dim code, vs ~8× that for the `array<int>` modeling
+    * layout with its 4-byte slots + null words + header), ranked by the
+    * signed-byte integer dot ([[graft.functions.BinVecDot]]). The ranking
+    * result is identical to d30 by construction (packing is a bijection on
+    * [-127, 127]); what this gate ADDS is the byte-LAYOUT pin:
+    * `qcode_md5` is the md5 of the query code's uppercase-hex
+    * transcription, which the oracle rebuilds from the same quantization
+    * arithmetic with integer/bit ops (`(x + 256) % 256` → two hex chars,
+    * concatenated in coordinate order) — so element order, the
+    * signed-byte convention, and the one-byte width are all
+    * cross-engine-checked, not documented.
+    */
+  def sq8KnnPacked(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{BinVecDot, PackInt8}
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", greatest(normCol, lit(1e-12)))
+      .withColumn("code", PackInt8(transform(col("embedding"),
+        x => round(x.cast("double") / col("nrm") * 127).cast("int"))))
+      .select(col("vec_id"), col("code"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("code").as("qcode"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("qdot", BinVecDot(col("qcode"), col("code")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("qdot").desc, col("vec_id").asc)
+    pairs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rnk"), col("qdot"),
+        md5(hex(col("qcode"))).as("qcode_md5"))
+  }
+
+  /** DuckDB mirror of [[sq8KnnPacked]]: d30's quantize→integer-dot CTEs
+    * plus the hex-transcription md5 of each query's packed code.
+    */
+  val sq8KnnPackedSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12) AS nrm
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> CAST(round(x / nrm * 127) AS BIGINT)) AS qv
+      |  FROM n),
+      |hx AS (
+      |  SELECT vec_id, md5(list_aggregate(
+      |    list_transform(qv, x -> lpad(to_hex((x + 256) % 256), 2, '0')),
+      |    'string_agg', '')) AS qcode_md5
+      |  FROM q),
+      |p AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |    CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS qdot
+      |  FROM q a, q b WHERE a.vec_id < 50 AND b.vec_id <> a.vec_id)
+      |SELECT qid, nid, CAST(rnk AS INT) AS rnk, qdot, qcode_md5 FROM (
+      |  SELECT qid, nid, qdot,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qdot DESC, nid ASC) AS rnk
+      |  FROM p) r JOIN hx ON hx.vec_id = r.qid
+      |WHERE rnk <= 5""".stripMargin
+
   /** DuckDB mirror of [[lshKnn]], generated from the SAME (nTables, bits)
     * arguments: hyperplanes recomputed from the same md5 derivation,
     * buckets from dot-product signs, then the same candidate join + rank.
@@ -457,6 +519,47 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rnk"), col("qdot"))
   }
 
+  /** d35: [[ivfSq8Knn]] with the candidate-side codes in the packed
+    * binary layout — the join that matters at scale: probed candidates
+    * shuffle WITH their codes ([[ivfSq8Knn]]'s `candIds ⋈ qt`), so the
+    * code layout is exactly what the exchange carries per candidate row
+    * (64 bytes packed vs ~8× as `array<int>`). Ranking is unchanged
+    * (same integer dots through [[graft.functions.BinVecDot]]), so the
+    * oracle is d31's layout-independent SQL at the same grid point; the
+    * byte-traffic delta is measured by ScaleBench's `sq8pack` mode, not
+    * asserted from the schema.
+    */
+  def ivfSq8KnnPacked(
+      s: SparkSession,
+      dir: String,
+      nCells: Int = 16,
+      nProbe: Int = 2,
+      sampleN: Int = 200): DataFrame = {
+    import graft.functions.{BinVecDot, PackInt8}
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normCol)
+      .localCheckpoint(false)
+    val candIds = ivfCandidateIds(e, nCells, nProbe, sampleN)
+    // pack ONCE and materialize (the d31 lesson: the interpreted HOF
+    // lambda must not re-run per consumer) — and the stored form IS the
+    // production layout now, not a model of it
+    val qt = e
+      .withColumn("code", PackInt8(transform(col("embedding"),
+        x => round(x.cast("double") / greatest(col("nrm"), lit(1e-12)) * 127).cast("int"))))
+      .select(col("vec_id"), col("code"))
+      .localCheckpoint(false)
+    val cands = candIds
+      .join(qt.select(col("vec_id").as("nid"), col("code").as("ncode")), "nid")
+      .join(broadcast(qt.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("code").as("qcode"))), "qid")
+      .withColumn("qdot", BinVecDot(col("qcode"), col("ncode")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid").asc)
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("nid"), col("rnk"), col("qdot"))
+  }
+
   /** DuckDB mirror of [[ivfKnn]], generated from the SAME (nCells,
     * nProbe, sampleN) arguments — the d18-d21 grid-gate pattern applied
     * to the IVF knobs (the scale measurements showed 64 cells beating the
@@ -562,6 +665,14 @@ object Similarity {
     ivfSq8Knn(s, dir, nCells = 64, nProbe = 4, sampleN = 200)
 
   val ivfSq8Knn64Sql: String = ivfSq8KnnSqlFor(64, 4, 200)
+
+  /** The d35 gate posture: packed-code IVF-SQ8 at d31's grid point,
+    * against the same layout-independent oracle.
+    */
+  def ivfSq8KnnPacked16(s: SparkSession, dir: String): DataFrame =
+    ivfSq8KnnPacked(s, dir, nCells = 16, nProbe = 2, sampleN = 200)
+
+  val ivfSq8KnnPackedSql: String = ivfSq8KnnSqlFor(16, 2, 200)
 
   val ivfKnnSql: String = ivfKnnSqlFor(16, 2, 200)
 

@@ -932,6 +932,38 @@ object ScaleBench {
       "shuffle_write_mb" -> tally.shuffleWrite / (1 << 20))
   }
 
+  /** The packed-code byte-traffic measurement (d34/d35, VERDICT r10 #6):
+    * IVF-SQ8 at the production grid point with `array<int>` codes vs
+    * packed `binary` codes, tallying shuffle bytes written. Bytes are a
+    * deterministic property of the plan (unlike walls), so the two arms
+    * can share a JVM; the candidate-generation stages are identical in
+    * both, so the shuffle-byte DELTA is attributable to the code column
+    * riding the candidate join.
+    */
+  private def sq8pack(s: SparkSession, dir: String, label: String): Unit = {
+    val tally = new SpillTally
+    s.sparkContext.addSparkListener(tally)
+    val arms: Seq[(String, () => DataFrame)] = Seq(
+      ("array_int", () => Similarity.ivfSq8Knn(s, dir, nCells = 64, nProbe = 4)),
+      ("packed", () => Similarity.ivfSq8KnnPacked(s, dir, nCells = 64, nProbe = 4)))
+    for ((name, f) <- arms) {
+      f().count() // warmup (JIT + page cache)
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      Thread.sleep(2000)
+      tally.reset()
+      val t0 = System.nanoTime()
+      val n = f().count()
+      val w = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000)
+      emit("corpus" -> label, "op" -> "sq8pack", "arm" -> name,
+        "wall" -> w, "out" -> n,
+        "shuffle_write_mb" -> tally.shuffleWrite / (1 << 20),
+        "mem_spill_mb" -> tally.memSpill / (1 << 20),
+        "disk_spill_mb" -> tally.diskSpill / (1 << 20))
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+  }
+
   /** Cold-isolated A/B arm (the BenchCold discipline applied to the
     * materialization trades): ONE arm per JVM, an in-JVM warmup pass so
     * JIT/page-cache state is comparable across JVMs, then min-of-2. The
@@ -992,6 +1024,7 @@ object ScaleBench {
       case "cur" => cur(spark, dir, label)
       case "cur2" => cur2(spark, dir, label)
       case "d13cand" => d13cand(spark, dir, label)
+      case "sq8pack" => sq8pack(spark, dir, label)
       case ab if ab.startsWith("ab:") =>
         val Array(_, which, arm) = ab.split(":")
         abArm(spark, dir, label, which, arm)

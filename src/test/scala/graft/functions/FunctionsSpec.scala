@@ -294,6 +294,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.filter($"g" > 0).count() == 100)
   }
 
+  test("PackInt8/BinVecDot: packed dot == array dot; layout, range and length are enforced") {
+    // equivalence with IntVecDot on deterministic pseudo-random int8 vectors
+    val rnd = new scala.util.Random(42)
+    val vecs = Seq.fill(20)(Array.fill(64)(rnd.nextInt(255) - 127))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("id", "arr")
+      .withColumn("code", PackInt8($"arr"))
+    val both = df.alias("a").crossJoin(df.alias("b"))
+      .select(IntVecDot(col("a.arr"), col("b.arr")).as("ai"),
+        BinVecDot(col("a.code"), col("b.code")).as("bi"))
+    assert(both.filter($"ai" =!= $"bi").count() == 0)
+    // the byte layout: one signed byte per element, coordinate order
+    val hexed = Seq((1L, Seq(-127, 0, 5, 127))).toDF("id", "arr")
+      .select(hex(PackInt8($"arr")).as("h")).as[String].head()
+    assert(hexed == "8100057F", hexed)
+    // out-of-range values must throw, not wrap into a plausible code
+    // (surfaces raw when constant-folded driver-side, SparkException from
+    // an executor — either way it must not succeed)
+    intercept[Exception] {
+      Seq((1L, Seq(200))).toDF("id", "arr").select(PackInt8($"arr")).collect()
+    }
+    // unequal code lengths must throw, not truncate
+    intercept[Exception] {
+      Seq((Seq(1, 2), Seq(1, 2, 3))).toDF("a", "b")
+        .select(BinVecDot(PackInt8($"a"), PackInt8($"b"))).collect()
+    }
+    // codegen: the packed dot runs inside a whole-stage project
+    val plan = df.alias("a").crossJoin(df.alias("b"))
+      .select(BinVecDot(col("a.code"), col("b.code")).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("binvecdot"), plan)
+  }
+
   test("Md5Hash60 stays in whole-stage codegen") {
     val df = spark.range(100).select(Hashing.hash60(col("id").cast("string")).as("h"))
     val plan = df.queryExecution.executedPlan.toString
