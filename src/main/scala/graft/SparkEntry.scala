@@ -135,6 +135,10 @@ object SparkEntry {
     "d34_sq8_packed"     -> (graft.llm.Similarity.sq8KnnPacked _),
     // d35: packed codes through the IVF candidate join (what shuffles)
     "d35_ivf_sq8_packed" -> (graft.llm.Similarity.ivfSq8KnnPacked16 _),
+    // d36: d29's answer through the sketch-broadcast posture — Bloom
+    // prefilter + exact verify; same oracle as d29 BY DESIGN (the sketch
+    // must change the plan, never the answer)
+    "d36_contam_bloom"   -> (graft.llm.SpanDedup.contamSpansBloom8 _),
     "t01_doc_stats"      -> (graft.llm.TextAnalysis.docStats _),
     "t02_lang_dist"      -> (graft.llm.TextAnalysis.langDistribution _),
     "t03_token_counts"   -> (graft.llm.TextAnalysis.tokenCounts _),
@@ -154,6 +158,11 @@ object SparkEntry {
     "t15_seq_pack"       -> (graft.llm.Mixture.seqPack256 _),
     // t16: vocabulary concentration + log-free Zipf doubling ratio
     "t16_vocab_conc"     -> (graft.llm.TextAnalysis.vocabConcentration _),
+    // t17: within-doc duplicated-gram coverage (Gopher repetition rule),
+    // shuffle-free per-row HOFs; k=3 is where the corpus has real signal
+    "t17_dup_gram_cov"   -> ((s, dir) => graft.llm.TextAnalysis.dupGramCoverage(s, dir, k = 3)),
+    // t18: deterministic shard + training order (seed-keyed permutation)
+    "t18_shard_order"    -> (graft.llm.Mixture.shardOrder8 _),
     "m01_media_stats"    -> (graft.llm.Multimodal.mediaStats _),
     // m02 pins the FIXED-threshold plumbing (h=5); the shipped default is
     // AutoHamming, gated by m05 with the derivation replayed in the oracle
@@ -256,6 +265,7 @@ object SparkEntry {
     "d33_curate_v2"      -> graft.llm.Curate.curateV2Sql,
     "d34_sq8_packed"     -> graft.llm.Similarity.sq8KnnPackedSql,
     "d35_ivf_sq8_packed" -> graft.llm.Similarity.ivfSq8KnnPackedSql,
+    "d36_contam_bloom"   -> graft.llm.SpanDedup.contamSpansBloom8Sql,
     "t01_doc_stats"      -> graft.llm.TextAnalysis.docStatsSql,
     "t02_lang_dist"      -> graft.llm.TextAnalysis.langDistributionSql,
     "t03_token_counts"   -> graft.llm.TextAnalysis.tokenCountsSql,
@@ -272,6 +282,8 @@ object SparkEntry {
     "t14_lm_typicality"  -> graft.llm.TextAnalysis.lmTypicalitySql,
     "t15_seq_pack"       -> graft.llm.Mixture.seqPack256Sql,
     "t16_vocab_conc"     -> graft.llm.TextAnalysis.vocabConcentrationSql,
+    "t17_dup_gram_cov"   -> graft.llm.TextAnalysis.dupGramCoverageSql,
+    "t18_shard_order"    -> graft.llm.Mixture.shardOrder8Sql,
     "m01_media_stats"    -> graft.llm.Multimodal.mediaStatsSql,
     "m02_phash_neardup"  -> graft.llm.Multimodal.phashPairsSql,
     "m03_phash_grid_h3"  -> graft.llm.Multimodal.phashPairsH3Sql,

@@ -139,6 +139,55 @@ object Mixture {
        |        FROM documents))""".stripMargin
   }
 
+  /** Deterministic training-order assignment (t18): every document gets a
+    * shard (which data-loader rank reads it) and an order WITHIN the shard
+    * (the position the loader yields it) — both pure functions of
+    * (seed, doc_id):
+    *
+    *   shard = hash60(seed ‖ ':' ‖ doc_id) mod nShards
+    *   ord   = rank of that hash within the shard (doc_id tiebreak)
+    *
+    * This is the missing last step of corpus assembly: after dedup,
+    * curation, quota, and packing, the trainer needs the data in a
+    * shuffled, shardable order — and `rand()` or row-position orders
+    * break under retry, repartition, and incremental growth (the
+    * [[Mixture]] determinism contract). Changing `seed` re-deals the
+    * entire permutation: per-epoch reshuffles are a seed bump, zero
+    * extra state.
+    *
+    * Scale shape: the hash is a codegen'd scan pass; the only exchange is
+    * one hash partition on `shard` + an in-partition sort — EXACTLY the
+    * plan of Spark's own `repartition(nShards, shard)
+    * .sortWithinPartitions(h)` write path, so materializing the physical
+    * layout costs the same plan this logical form declares. nShards sets
+    * the parallelism grain; the per-shard sort is n/nShards·log(n/nShards)
+    * with uniform shard sizes by construction (the hash is uniform over
+    * the 60-bit space).
+    */
+  def shardOrder(s: SparkSession, dir: String, nShards: Int, seed: String): DataFrame =
+    shardOrderDf(Tables.documents(s, dir), nShards, seed)
+
+  /** [[shardOrder]] over any (doc_id, …) DataFrame. */
+  def shardOrderDf(docs: DataFrame, nShards: Int, seed: String): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        hash60(concat(lit(seed), lit(":"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("ord", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("ord"))
+  }
+
+  def shardOrderSql(nShards: Int, seed: String): String = {
+    val h = sqlHash60(s"'$seed:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, CAST(h % $nShards AS INT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY h % $nShards ORDER BY h, doc_id)
+       |    AS INT) AS ord
+       |FROM (SELECT doc_id, $h AS h FROM documents)""".stripMargin
+  }
+
   // ---- shipped gate postures (SparkEntry needs (SparkSession, dir) arity).
   // The corpus holds 25 docs/source at sf0.001/sf0.01 and 250 at sf0.1, so
   // quota 12 and target 18 down-sample for real at every verify SF (the
@@ -157,4 +206,11 @@ object Mixture {
   def seqPack256(s: SparkSession, dir: String): DataFrame =
     seqPack(s, dir, seqTokens = 256)
   val seqPack256Sql: String = seqPackSql(256)
+
+  // 8 shards ≈ 60–640 docs/shard across the verify SFs: enough rows that
+  // a broken rank or a wrong modulus shifts thousands of (shard, ord)
+  // values — the full mapping is the gated artifact
+  def shardOrder8(s: SparkSession, dir: String): DataFrame =
+    shardOrder(s, dir, nShards = 8, seed = "epoch0")
+  val shardOrder8Sql: String = shardOrderSql(8, "epoch0")
 }

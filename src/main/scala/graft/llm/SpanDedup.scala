@@ -258,6 +258,78 @@ object SpanDedup {
        |FROM hit GROUP BY doc_id, isl""".stripMargin
   }
 
+  /** [[contamSpansDf]] behind a Bloom-sketch prefilter — the posture for
+    * benchmark suites too big to broadcast EXACTLY. [[contamSpansDf]]
+    * broadcasts the full distinct gram set (8 bytes/gram + hash-set
+    * overhead); at a 10⁹-gram suite that broadcast is ~16 GB and stops
+    * fitting. The sketch replaces it with ~1.2 bytes/gram at 1% fpp
+    * (`BloomFilter.create` sizing) — an order of magnitude less resident
+    * memory per executor — at the price of false positives, which a
+    * downstream EXACT verify join removes:
+    *
+    *   1. build the sketch over the benchmark grams (one distributed
+    *      aggregation, `df.stat.bloomFilter` — Spark's mergeable sketch);
+    *   2. probe every corpus gram map-side ([[graft.functions.BloomMightContain]],
+    *      codegen'd, zero shuffle — this is where ~all of the corpus dies);
+    *   3. exact-verify ONLY the survivors against the true gram table
+    *      with a SHUFFLE join (`shuffle_hash` hint — the premise is that
+    *      the benchmark side must not broadcast): shuffle volume is
+    *      true hits + fpp·|corpus grams|, not the corpus;
+    *   4. the same islands merge as [[contamSpansDf]].
+    *
+    * The verify makes the output EXACT — bit-identical to
+    * [[contamSpansDf]] and gated against the same oracle (d36 vs d29: two
+    * plans, one answer). `expectedGrams` sizes the sketch; the default
+    * (-1) spends one count() on the benchmark gram table — the exact
+    * sizing a production run would cache alongside the suite.
+    */
+  def contamSpansBloomDf(train: DataFrame, bench: DataFrame, minTokens: Int,
+      fpp: Double = 0.01, expectedGrams: Long = -1L): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val k = minTokens
+    val bgrams = bench
+      .select(Hashing.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= k)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+        i => Hashing.hash60(concat_ws(" ", slice(col("t"), i, lit(k))))))
+        .as("gk"))
+      .distinct()
+    val expected = if (expectedGrams > 0) expectedGrams
+      else math.max(bgrams.count(), 1L)
+    val bloom = bgrams.stat.bloomFilter("gk", expected, fpp)
+    val hits = train
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => Hashing.hash60(concat_ws(" ", slice(col("t"), i, lit(k)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gk"))
+      .where(graft.functions.BloomMightContain(bloom, col("gk")))
+      .join(bgrams.hint("shuffle_hash"), "gk") // exact verify: kills the fp
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"),
+        col("span_start").cast("int").as("span_start"),
+        col("span_end").cast("int").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("int").as("span_tokens"))
+  }
+
+  /** [[contamSpansBloomDf]] under the d29 split (every 10th doc is the
+    * benchmark stand-in) — gated against the SAME oracle as
+    * [[contamSpans]]: the sketch path must reproduce the exact answer.
+    */
+  def contamSpansBloom(s: SparkSession, dir: String, minTokens: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    contamSpansBloomDf(docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0), minTokens)
+  }
+
   // ---- shipped gate postures: k=8 — long enough that word-salad
   // coincidences are rare (the hits are the planted twins' shared
   // regions), short enough that the gates exercise multi-gram islands
@@ -272,4 +344,11 @@ object SpanDedup {
   def contamSpans8(s: SparkSession, dir: String): DataFrame =
     contamSpans(s, dir, minTokens = 8)
   val contamSpans8Sql: String = contamSpansSqlFor(8)
+
+  def contamSpansBloom8(s: SparkSession, dir: String): DataFrame =
+    contamSpansBloom(s, dir, minTokens = 8)
+  /** Same oracle as d29 by design: the sketch is a volume optimization,
+    * never an answer change.
+    */
+  val contamSpansBloom8Sql: String = contamSpansSqlFor(8)
 }

@@ -571,6 +571,92 @@ object TextAnalysis {
        |FROM base b JOIN zr z ON z.source = b.source""".stripMargin
   }
 
+  /** Within-document duplicated n-gram coverage (t17) — the Gopher-rule
+    * companion to t10: where t10 reports the single most repeated bigram,
+    * this reports how much of the document is covered by ANY token
+    * k-gram that occurs twice or more WITHIN the document (the published
+    * repetition-rule band uses k ∈ 5..10; the shipped GATE runs k = 3
+    * because that is where the synthetic corpus has measurable within-doc
+    * repetition — at k = 5 every sf's answer is all-zeros, and a gate
+    * that cannot fail is not a gate). Degenerate
+    * generations, keyword stuffing, and copy-pasted boilerplate push the
+    * fraction toward 1; a curation pipeline thresholds it exactly like
+    * t05's quality score.
+    *
+    * Scale shape — deliberately SHUFFLE-FREE, the t10 argument one rule
+    * up: a per-document statistic must not shuffle one row per token of
+    * the corpus. The whole computation is per-row higher-order functions
+    * in one codegen stage (gram-hash → sort → adjacent-equal dup set →
+    * covered-position count), so the operator scans and never exchanges:
+    * per-row cost is O(n·d) with d = duplicated-start count (zero for
+    * clean docs — the common case does one sorted pass and exits).
+    * Contrast [[SpanDedup.dupSpansDf]], which answers the CROSS-document
+    * version and must shuffle the gram stream; within-doc is exactly the
+    * case where that exchange is avoidable.
+    *
+    * Docs with fewer than k tokens have no k-gram and are absent from
+    * both sides (the t10 absence contract). Grams compare by
+    * [[Hashing.hash60]] value (identical in the oracle), so the same
+    * ~1e-18/pair collision note as [[SpanDedup]] applies.
+    */
+  def dupGramCoverage(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    dupGramCoverageDf(Tables.documents(s, dir), k)
+
+  /** [[dupGramCoverage]] over any (doc_id, text) DataFrame. */
+  def dupGramCoverageDf(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val n = size(col("t"))
+    val ng = n - (k - 1)
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= k)
+      .withColumn("g", transform(sequence(lit(1), ng),
+        i => Hashing.hash60(concat_ws(" ", slice(col("t"), i, lit(k))))))
+      .withColumn("sg", array_sort(col("g")))
+      // values occurring >= 2: adjacent equality in the sorted stream,
+      // via zip(sg, tail(sg)) — total even for single-gram docs (the
+      // tail slice is empty, zip_with null-pads, the null-filter drops)
+      .withColumn("dv", array_distinct(
+        filter(zip_with(col("sg"),
+          slice(col("sg"), lit(2), greatest(size(col("sg")) - 1, lit(0))),
+          (a, b) => when(a === b, a)),
+          v => v.isNotNull)))
+      .withColumn("ds", filter(sequence(lit(1), ng),
+        p => array_contains(col("dv"), element_at(col("g"), p))))
+      .withColumn("cov", size(filter(sequence(lit(1), n),
+        j => exists(col("ds"), p => j >= p && j <= p + (k - 1)))))
+      .select(col("doc_id"), n.cast("int").as("n_toks"),
+        col("cov").cast("int").as("dup_covered"),
+        (col("cov").cast("double") / n.cast("double")).as("dup_gram_frac"))
+  }
+
+  /** DuckDB mirror of [[dupGramCoverage]] at the gate's k = 3. */
+  val dupGramCoverageSql: String = dupGramCoverageSqlFor(3)
+
+  def dupGramCoverageSqlFor(k: Int): String = {
+    val toks = sqlTokens("text")
+    val gk = Hashing.sqlHash60(s"array_to_string(t[i:i+${k - 1}], ' ')")
+    s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+       |gr AS (SELECT doc_id, t,
+       |         [$gk for i in range(1, len(t) - ${k - 2})] AS g
+       |       FROM tok WHERE len(t) >= $k),
+       |srt AS (SELECT doc_id, t, g, list_sort(g) AS sg FROM gr),
+       |dup AS (SELECT doc_id, t, g,
+       |          list_distinct(list_filter(sg, (x, i) -> i > 1 AND x = sg[i - 1])) AS dv
+       |        FROM srt),
+       |ds AS (SELECT doc_id, t,
+       |         list_filter(range(1, len(g) + 1), p -> list_contains(dv, g[p])) AS ds
+       |       FROM dup)
+       |SELECT doc_id, CAST(len(t) AS INT) AS n_toks,
+       |  CAST(len(list_filter(range(1, len(t) + 1),
+       |    j -> len(list_filter(ds, p -> j >= p AND j <= p + ${k - 1})) > 0)) AS INT)
+       |    AS dup_covered,
+       |  CAST(len(list_filter(range(1, len(t) + 1),
+       |    j -> len(list_filter(ds, p -> j >= p AND j <= p + ${k - 1})) > 0)) AS DOUBLE)
+       |    / CAST(len(t) AS DOUBLE) AS dup_gram_frac
+       |FROM ds""".stripMargin
+  }
+
   /** Heuristic language ID from character/stopword evidence — a Column
     * function usable in any pipeline (tested on hand-built samples in
     * TextAnalysisSpec; the synthetic corpus carries a `lang` label so the

@@ -119,4 +119,37 @@ object DocStream {
     */
   def scrubbedIngested(docs: DataFrame): DataFrame =
     ingested(scrubbed(docs))
+
+  /** Streaming benchmark-contamination gate — the d36 sketch posture made
+    * continuous: every arriving doc's k-grams probe the benchmark Bloom
+    * filter per ROW (the sketch rides the expression tree to every
+    * executor; no state, no watermark, no join), and `n_contam_cand`
+    * counts the candidate grams.
+    *
+    * Routing contract (why a sketch alone is enough in-stream): the
+    * filter has NO false negatives, so `n_contam_cand = 0` PROVES the
+    * doc shares no k-gram with the benchmark — the clean path (~all of
+    * the stream) is exact. Flagged docs are candidates, not verdicts
+    * (fpp applies); route them to the batch exact verifier
+    * ([[graft.llm.SpanDedup.contamSpansBloomDf]] runs the same sketch
+    * THEN an exact join) instead of dropping in-stream. Batch ≡ stream
+    * parity is exact because the per-row expression tree is identical —
+    * StreamingSpec drives both and checks every d29-flagged doc is
+    * flagged here.
+    */
+  def contamFlagged(docs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      minTokens: Int = 8): DataFrame = {
+    val k = minTokens
+    val t = graft.llm.Hashing.tokens(col("text"))
+    // the < k guard matters: CaseWhen evaluates lazily, so the descending
+    // sequence(1, size-k+1 <= 0) branch never runs for short docs
+    docs.withColumn("n_contam_cand",
+      when(size(t) < k, lit(0)).otherwise(
+        size(filter(
+          transform(sequence(lit(1), size(t) - (k - 1)),
+            i => graft.llm.Hashing.hash60(concat_ws(" ", slice(t, i, lit(k))))),
+          g => graft.functions.BloomMightContain(bloom, g))))
+        .cast("int"))
+  }
 }

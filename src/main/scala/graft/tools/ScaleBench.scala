@@ -932,6 +932,72 @@ object ScaleBench {
       "shuffle_write_mb" -> tally.shuffleWrite / (1 << 20))
   }
 
+  /** The round-11 second-half operators at corpus scale: t17's per-row
+    * HOF coverage (the claim: a per-doc stat costs a SCAN, not an
+    * exchange — the wall should track corpus size and the tally should
+    * show ~zero shuffle), t18's permutation (one exchange + in-partition
+    * sort — Spark's own write-path plan), and the d36 sketch-vs-exact
+    * decontamination A/B. For d36 the headline is RESIDENT BYTES vs
+    * SHUFFLE BYTES: the exact posture broadcasts the full gram set
+    * (8+ B/gram on every executor) and shuffles only islands; the sketch
+    * posture broadcasts ~1.2 B/gram and pays a candidate-gram verify
+    * shuffle. Byte tallies are deterministic properties of the plan, so
+    * the arms share a JVM (the sq8pack precedent); walls ride along as
+    * context, not verdicts.
+    */
+  private def newops(s: SparkSession, dir: String, label: String): Unit = {
+    import graft.llm.{Mixture, SpanDedup, TextAnalysis}
+    val docs = graft.Tables.documents(s, dir)
+    val tally = new SpillTally
+    s.sparkContext.addSparkListener(tally)
+
+    def run(op: String, extra: Seq[(String, Any)] = Nil)(f: => Long): Unit = {
+      f // warmup (JIT + page cache)
+      Thread.sleep(2000); tally.reset()
+      val t0 = System.nanoTime()
+      val n = f
+      val w = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000)
+      emit(Seq("corpus" -> label, "op" -> op, "wall" -> w, "out" -> n,
+        "shuffle_write_mb" -> tally.shuffleWrite / (1 << 20),
+        "mem_spill_mb" -> tally.memSpill / (1 << 20),
+        "disk_spill_mb" -> tally.diskSpill / (1 << 20)) ++ extra: _*)
+    }
+
+    run("t17") {
+      TextAnalysis.dupGramCoverageDf(docs, 3)
+        .agg(sum(col("dup_covered")), count(lit(1))).collect()(0).getLong(1)
+    }
+    run("t18") {
+      // 1024 shards — the grain a 1000-executor loader would ask for
+      Mixture.shardOrderDf(docs, 1024, "epoch0")
+        .groupBy(col("shard")).agg(max(col("ord")))
+        .count()
+    }
+
+    val train = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    run("d36", Seq("arm" -> "exact")) {
+      SpanDedup.contamSpansDf(train, bench, 8).count()
+    }
+    // sketch sizing context: exact set bytes vs bloom bits
+    val k = 8
+    val bgrams = bench
+      .select(graft.llm.Hashing.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= k)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+        i => graft.llm.Hashing.hash60(concat_ws(" ", slice(col("t"), i, lit(k))))))
+        .as("gk")).distinct()
+    val nGrams = bgrams.count()
+    val bloom = bgrams.stat.bloomFilter("gk", nGrams, 0.01)
+    run("d36", Seq("arm" -> "sketch", "bench_grams" -> nGrams,
+      "exact_set_mb" -> (nGrams * 8) / (1 << 20),
+      "sketch_mb" -> (bloom.bitSize() / 8) / (1 << 20))) {
+      SpanDedup.contamSpansBloomDf(train, bench, 8,
+        expectedGrams = nGrams).count()
+    }
+  }
+
   /** The packed-code byte-traffic measurement (d34/d35, VERDICT r10 #6):
     * IVF-SQ8 at the production grid point with `array<int>` codes vs
     * packed `binary` codes, tallying shuffle bytes written. Bytes are a
@@ -1025,6 +1091,7 @@ object ScaleBench {
       case "cur2" => cur2(spark, dir, label)
       case "d13cand" => d13cand(spark, dir, label)
       case "sq8pack" => sq8pack(spark, dir, label)
+      case "newops" => newops(spark, dir, label)
       case ab if ab.startsWith("ab:") =>
         val Array(_, which, arm) = ab.split(":")
         abArm(spark, dir, label, which, arm)

@@ -162,4 +162,41 @@ class CurationOpsSpec extends AnyFunSuite {
     // top-10 of 26 equal tokens carries exactly 10/26 of the mass
     assert(math.abs(row.getAs[Double]("top10_share") - 10.0 / 26.0) < 1e-15)
   }
+
+  // ---- t17 within-doc duplicated-gram coverage
+
+  private def cov(rows: (Long, String)*) =
+    TextAnalysis.dupGramCoverageDf(rows.toSeq.toDF("doc_id", "text"), 3)
+      .as[(Long, Int, Int, Double)].collect()
+      .map { case (id, n, c, f) => id -> ((n, c, f)) }.toMap
+
+  test("t17: fully periodic text is fully covered") {
+    // every 3-gram of "a b c a b c a b c" repeats → all 9 tokens covered
+    val m = cov(1L -> "a b c a b c a b c")
+    assert(m(1L) == ((9, 9, 1.0)))
+  }
+
+  test("t17: one repeated trigram covers exactly its two windows") {
+    // "x1 x2 x3" at positions 1-3 and 6-8; tokens 4,5 stay uncovered
+    val m = cov(1L -> "x1 x2 x3 u v x1 x2 x3")
+    assert(m(1L) == ((8, 6, 6.0 / 8.0)))
+  }
+
+  test("t17: distinct-token docs score zero; short docs are absent") {
+    val m = cov(1L -> "d1 d2 d3 d4 d5 d6", 2L -> "t1 t2")
+    assert(m(1L) == ((6, 0, 0.0)))
+    assert(!m.contains(2L), "docs with < k tokens have no k-gram")
+  }
+
+  test("t17: repetition must be within-doc — cross-doc twins score zero") {
+    // the same text in two docs: d27 territory, NOT t17's
+    val m = cov(1L -> "c1 c2 c3 c4 c5", 2L -> "c1 c2 c3 c4 c5")
+    assert(m(1L)._2 == 0 && m(2L)._2 == 0)
+  }
+
+  test("t17 plan is a shuffle-free single pass (per-doc stat never exchanges)") {
+    val plan = TextAnalysis.dupGramCoverage(spark, sf, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

@@ -97,4 +97,41 @@ class MixtureSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  // ---- t18 deterministic shard + training order
+
+  private def shardMap(docs: org.apache.spark.sql.DataFrame, seed: String) =
+    Mixture.shardOrderDf(docs, 8, seed)
+      .as[(Long, Int, Int)].collect()
+      .map { case (id, sh, o) => id -> ((sh, o)) }.toMap
+
+  test("t18: a permutation — every doc once, shards in range, ord contiguous") {
+    val docs = graft.Tables.documents(spark, sf)
+    val out = Mixture.shardOrder(spark, sf, 8, "epoch0")
+      .as[(Long, Int, Int)].collect()
+    assert(out.length == docs.count())
+    assert(out.map(_._1).distinct.length == out.length, "doc appears twice")
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    // within each shard, ord is exactly 1..count
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"shard $sh ord not contiguous")
+    }
+  }
+
+  test("t18: deterministic under repartition and input order") {
+    val docs = graft.Tables.documents(spark, sf)
+    val a = shardMap(docs, "epoch0")
+    val b = shardMap(docs.repartition(13).sortWithinPartitions($"text"), "epoch0")
+    assert(a == b, "assignment must not depend on physical layout")
+  }
+
+  test("t18: a seed bump re-deals the permutation") {
+    val docs = graft.Tables.documents(spark, sf)
+    val e0 = shardMap(docs, "epoch0")
+    val e1 = shardMap(docs, "epoch1")
+    val moved = e0.count { case (id, a) => e1(id) != a }
+    // a new 60-bit hash moves ~7/8 of docs to a different shard alone
+    assert(moved > e0.size / 2, s"only $moved of ${e0.size} moved")
+  }
 }

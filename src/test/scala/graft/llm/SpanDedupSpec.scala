@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.mr.TestSession
 
 /** Semantics of duplicated-span detection/removal (d27/d28) on corpora
@@ -116,6 +117,37 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(SpanDedup.stripSpansDf(d, 3).as[(Long, String, Int)].collect().toSet ==
       SpanDedup.stripSpansDf(d, 3, materializeGrams = false)
         .as[(Long, String, Int)].collect().toSet)
+  }
+
+  test("d36: the bloom posture reproduces d29's answer exactly") {
+    val bench = docs(100L -> "e1 e2 e3 e4 e5", 101L -> "f1 f2 f3 f4 f5 f6")
+    val train = docs(1L -> "p1 p2 e1 e2 e3 e4 e5 p3",
+      2L -> "q1 f2 f3 f4 f5 f6 q2 q3",
+      3L -> "r1 r2 r3 r4 r5 r6 r7 r8")
+    val exact = SpanDedup.contamSpansDf(train, bench, 5)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val sketch = SpanDedup.contamSpansBloomDf(train, bench, 5)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(exact.nonEmpty && sketch == exact)
+  }
+
+  test("d36: BloomMightContain is free of false negatives and actually filters") {
+    val inserted = spark.range(0, 2000)
+      .select((col("id") * 7919L + 13L).as("gk"))
+    val bloom = inserted.stat.bloomFilter("gk", 2000, 0.01)
+    // no false negatives: every inserted key probes true
+    val fn = inserted
+      .where(!graft.functions.BloomMightContain(bloom, col("gk")))
+      .count()
+    assert(fn == 0L, "bloom false negative")
+    // the prefilter must do real work: foreign keys (disjoint by residue
+    // mod 7919) mostly probe false — at fpp=0.01, ~100 of 10k pass
+    val foreign = spark.range(0, 10000)
+      .select((col("id") * 7919L + 17L).as("gk"))
+    val passed = foreign
+      .where(graft.functions.BloomMightContain(bloom, col("gk")))
+      .count()
+    assert(passed < 500, s"fp pass-through $passed of ~10000 — sketch inert?")
   }
 
   test("d27 plan: the gram stream shuffles 16-byte keys, never the text") {

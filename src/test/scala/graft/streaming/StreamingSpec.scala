@@ -214,6 +214,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming contamination gate: no false negatives vs d29, parity with batch") {
+    val docs = graft.Tables.documents(spark, sf)
+    val bench = docs.where($"doc_id" % 10 === 0)
+    val k = 8
+    // the sketch a production ingest would build once per benchmark drop
+    val bgrams = bench
+      .select(graft.llm.Hashing.tokens($"text").as("t"))
+      .where(size($"t") >= k)
+      .select(explode(transform(sequence(lit(1), size($"t") - (k - 1)),
+        i => graft.llm.Hashing.hash60(concat_ws(" ", slice($"t", i, lit(k))))))
+        .as("gk")).distinct()
+    val bloom = bgrams.stat.bloomFilter("gk", math.max(bgrams.count(), 1L), 0.01)
+
+    val d = java.nio.file.Files.createTempDirectory("graft-docs-contam")
+    val src = java.nio.file.Paths.get(s"$sf/documents.parquet")
+    java.nio.file.Files.createSymbolicLink(d.resolve("a.parquet"), src)
+    val stream = DocStream.contamFlagged(
+      spark.readStream.schema(DocStream.docsSchema).parquet(d.toString)
+        .where($"doc_id" % 10 =!= 0), bloom, k)
+    val q = stream.select($"doc_id", $"n_contam_cand")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contam_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("contam_out")
+        .as[(Long, Int)].collect().toMap
+      // parity: the same expression tree over the same rows in batch
+      val batch = DocStream.contamFlagged(docs.where($"doc_id" % 10 =!= 0), bloom, k)
+        .select($"doc_id", $"n_contam_cand").as[(Long, Int)].collect().toMap
+      assert(got == batch, "stream/batch contamination gate disagree")
+      // zero false negatives: every doc d29 finds spans in is flagged here
+      val flaggedTruth = graft.llm.SpanDedup.contamSpans(spark, sf, k)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(flaggedTruth.nonEmpty, "fixture has no contamination — gate untested")
+      flaggedTruth.foreach(id =>
+        assert(got(id) > 0, s"doc $id contaminated but not flagged"))
+      // and the clean path is the common path (the gate filters for real)
+      val flagged = got.count(_._2 > 0)
+      assert(flagged < got.size / 2, s"$flagged of ${got.size} flagged")
+    } finally q.stop()
+  }
+
   test("streaming corpus ingestion dedups a doubled source; fused exprs run in-stream") {
     // two links to the same corpus file = every document delivered twice
     val d = java.nio.file.Files.createTempDirectory("graft-docs-dup")
