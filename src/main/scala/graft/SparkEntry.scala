@@ -139,6 +139,9 @@ object SparkEntry {
     // prefilter + exact verify; same oracle as d29 BY DESIGN (the sketch
     // must change the plan, never the answer)
     "d36_contam_bloom"   -> (graft.llm.SpanDedup.contamSpansBloom8 _),
+    // d37: curation v3 — v2 plus the t17 repetition cut (over REDACTED
+    // text, pre-quota) and the t18 window-grain training layout
+    "d37_curate_v3"      -> ((s, dir) => graft.llm.Curate.curateV3(s, dir)),
     "t01_doc_stats"      -> (graft.llm.TextAnalysis.docStats _),
     "t02_lang_dist"      -> (graft.llm.TextAnalysis.langDistribution _),
     "t03_token_counts"   -> (graft.llm.TextAnalysis.tokenCounts _),
@@ -266,6 +269,7 @@ object SparkEntry {
     "d34_sq8_packed"     -> graft.llm.Similarity.sq8KnnPackedSql,
     "d35_ivf_sq8_packed" -> graft.llm.Similarity.ivfSq8KnnPackedSql,
     "d36_contam_bloom"   -> graft.llm.SpanDedup.contamSpansBloom8Sql,
+    "d37_curate_v3"      -> graft.llm.Curate.curateV3Sql,
     "t01_doc_stats"      -> graft.llm.TextAnalysis.docStatsSql,
     "t02_lang_dist"      -> graft.llm.TextAnalysis.langDistributionSql,
     "t03_token_counts"   -> graft.llm.TextAnalysis.tokenCountsSql,

@@ -78,9 +78,12 @@ object Curate {
       quota: Int = 12, seqTokens: Int = 256): DataFrame =
     curateV2Df(Tables.documents(s, dir), minTokens, quota, seqTokens)
 
-  /** [[curateV2]] over any (doc_id, source, text) DataFrame. */
-  def curateV2Df(docs: DataFrame, minTokens: Int = 8,
-      quota: Int = 12, seqTokens: Int = 256): DataFrame = {
+  /** Stages 0–3 of the v2/v3 chain (planted ingest → strip → redact →
+    * quality filter), still CARRYING the redacted text — per-row stages
+    * may consume it (the v3 repetition cut); callers drop it before the
+    * quota exchange so text never shuffles.
+    */
+  private def scrubScored(docs: DataFrame, minTokens: Int): DataFrame = {
     val planted = docs.select(col("doc_id"), col("source"), Pii.plantCol.as("text"))
     val stripped = SpanDedup.stripSpansDf(
       planted.select(col("doc_id"), col("text")), minTokens)
@@ -88,7 +91,7 @@ object Curate {
     val redacted = stripped.select(col("doc_id"), col("n_removed"),
       (ne + np + ni).cast("int").as("n_pii"),
       Pii.redactPii(col("clean_text")).as("rtext"))
-    val scored = redacted
+    redacted
       .join(planted.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("n_removed"), col("n_pii"),
         col("rtext"), graft.functions.TokenStats(col("rtext")).as("st"))
@@ -96,10 +99,16 @@ object Curate {
       // explode(array(...)) = the t05 pushdown barrier: the filter can't
       // substitute the score below the Generate, so TokenStats runs once
       .select(col("doc_id"), col("source"), col("n_removed"), col("n_pii"),
-        col("st.n_tokens").cast("int").as("n_tokens"),
+        col("rtext"), col("st.n_tokens").cast("int").as("n_tokens"),
         explode(array(TextAnalysis.qualityScore(col("st"), col("rtext"))))
           .as("quality"))
       .filter(col("quality") >= 0.5)
+  }
+
+  /** Stages 4–5: quota heap + packing window over ONE shared source
+    * exchange. `scored` must already be text-free.
+    */
+  private def quotaPack(scored: DataFrame, quota: Int, seqTokens: Int): DataFrame = {
     val keyed = scored.withColumn("h",
       Hashing.hash60(col("doc_id").cast("string")))
     val quotad = graft.plans.TopK.perGroup(
@@ -112,15 +121,71 @@ object Curate {
     quotad
       .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
       .withColumn("seq_no", expr(s"(cum - n_tokens) div $seqTokens"))
+  }
+
+  /** [[curateV2]] over any (doc_id, source, text) DataFrame. */
+  def curateV2Df(docs: DataFrame, minTokens: Int = 8,
+      quota: Int = 12, seqTokens: Int = 256): DataFrame =
+    quotaPack(scrubScored(docs, minTokens).drop("rtext"), quota, seqTokens)
       .select(col("source"), col("doc_id"), col("n_removed"), col("n_pii"),
         col("quality"), col("n_tokens"), col("seq_no"))
+
+  /** Curation v3 (d37) — v2 with the round-11 operators composed in, so
+    * THEIR stage-boundary contracts get a gate too:
+    *
+    *   3b. repetition cut ([[TextAnalysis.withDupCovered]] — the t17
+    *       kernel over the REDACTED text, k = 3): drop docs whose
+    *       within-doc duplicated-gram coverage exceeds `repMax`. Runs
+    *       BEFORE the quota exchange — a per-row stage, and the quota
+    *       must rank the post-cut population;
+    *   6.  training layout (the t18 posture at window grain): every
+    *       packed window (source, seq_no) gets a shard =
+    *       hash60("epoch0:" ‖ source ‖ '#' ‖ seq_no) mod `nShards`, and
+    *       each doc its position within the window — the (shard,
+    *       pos_in_seq) a data loader consumes. Keyed AFTER packing:
+    *       windows, not documents, are the unit a loader shards.
+    *
+    * Output: v2's columns + (dup_covered, shard, pos_in_seq). The layout
+    * window partitions by (source, seq_no), which the existing source
+    * hash exchange already clusters — one extra in-partition sort, zero
+    * extra exchanges.
+    */
+  def curateV3(s: SparkSession, dir: String, minTokens: Int = 8,
+      quota: Int = 12, seqTokens: Int = 256, repK: Int = 3,
+      repMax: Double = 0.1, nShards: Int = 4): DataFrame =
+    curateV3Df(Tables.documents(s, dir), minTokens, quota, seqTokens,
+      repK, repMax, nShards)
+
+  /** [[curateV3]] over any (doc_id, source, text) DataFrame. */
+  def curateV3Df(docs: DataFrame, minTokens: Int = 8,
+      quota: Int = 12, seqTokens: Int = 256, repK: Int = 3,
+      repMax: Double = 0.1, nShards: Int = 4): DataFrame = {
+    val rep = TextAnalysis
+      .withDupCovered(scrubScored(docs, minTokens), "rtext", repK)
+      .filter(col("dup_covered").cast("double")
+        / col("n_tokens").cast("double") <= repMax)
+      .drop("rtext")
+    quotaPack(rep, quota, seqTokens)
+      .withColumn("shard", pmod(Hashing.hash60(
+          concat(lit("epoch0:"), col("source"), lit("#"),
+            col("seq_no").cast("string"))),
+        lit(nShards.toLong)).cast("int"))
+      .withColumn("pos_in_seq", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("seq_no")).orderBy(col("doc_id"))))
+      .select(col("source"), col("doc_id"), col("n_removed"), col("n_pii"),
+        col("quality"), col("n_tokens"), col("dup_covered"), col("seq_no"),
+        col("shard"), col("pos_in_seq"))
   }
 
   /** DuckDB mirror of [[curateV2]]: the d28 strip CTEs over the planted
     * ingest, the t13 redaction chain, the t05 score, the t11 rank window,
     * the t15 running sum — one CTE per stage boundary.
     */
-  def curateV2SqlFor(k: Int, quota: Int, seqTokens: Int): String = {
+  /** Shared CTE prefix (stages 0–3, ending at `qf` which CARRIES rtext —
+    * the explicit final selects keep it out of both gated outputs).
+    */
+  private def scrubSqlPrefix(k: Int): String = {
     val toks = Hashing.sqlTokens("text")
     val rtoks = Hashing.sqlTokens("rtext")
     val gk = Hashing.sqlHash60(s"array_to_string(t[i:i+${k - 1}], ' ')")
@@ -150,26 +215,76 @@ object Curate {
        |      '${Pii.PhoneRe}', '<PHONE>', 'g'),
        |      '${Pii.IpRe}', '<IP>', 'g') AS rtext
        |  FROM stripped),
-       |q AS (SELECT r.doc_id, p.source, r.n_removed, r.n_pii,
+       |q AS (SELECT r.doc_id, p.source, r.n_removed, r.n_pii, r.rtext,
        |    CAST(len($rtoks) AS INT) AS n_tokens,
        |    ${TextAnalysis.qualityScoreSql("rtext")} AS quality
        |  FROM red r JOIN p USING (doc_id)
        |  WHERE len($rtoks) > 0),
-       |qf AS (SELECT * FROM q WHERE quality >= 0.5),
-       |qk AS (SELECT * FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY source
-       |      ORDER BY ${Hashing.sqlHash60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
-       |    FROM qf) WHERE rn <= $quota),
-       |packed AS (SELECT source, doc_id, n_removed, n_pii, quality, n_tokens,
-       |    SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source
-       |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-       |  FROM qk)
-       |SELECT source, doc_id, n_removed, n_pii, quality, n_tokens,
-       |  CAST((cum - n_tokens) // $seqTokens AS BIGINT) AS seq_no
-       |FROM packed""".stripMargin.replace("__PLANT__", Pii.plantSql)
+       |qf AS (SELECT * FROM q WHERE quality >= 0.5)"""
+      .stripMargin.replace("__PLANT__", Pii.plantSql)
   }
 
+  /** Stages 4–5 as CTE text: quota rank over `from`, then the packing
+    * running sum (carrying `extraCols` through both).
+    */
+  private def quotaPackSql(from: String, quota: Int, extraCols: String): String =
+    s"""qk AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source
+       |      ORDER BY ${Hashing.sqlHash60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+       |    FROM $from) WHERE rn <= $quota),
+       |packed AS (SELECT source, doc_id, n_removed, n_pii, quality, n_tokens,$extraCols
+       |    SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source
+       |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM qk)""".stripMargin
+
+  def curateV2SqlFor(k: Int, quota: Int, seqTokens: Int): String =
+    s"""${scrubSqlPrefix(k)},
+       |${quotaPackSql("qf", quota, "")}
+       |SELECT source, doc_id, n_removed, n_pii, quality, n_tokens,
+       |  CAST((cum - n_tokens) // $seqTokens AS BIGINT) AS seq_no
+       |FROM packed""".stripMargin
+
   val curateV2Sql: String = curateV2SqlFor(8, 12, 256)
+
+  /** DuckDB mirror of [[curateV3]]: the shared prefix, the t17 list-lambda
+    * stack over rtext, the v2 quota/pack, then the window-grain layout.
+    */
+  def curateV3SqlFor(k: Int, quota: Int, seqTokens: Int, repK: Int,
+      repMax: Double, nShards: Int): String = {
+    val rgk = Hashing.sqlHash60(s"array_to_string(rt[i:i+${repK - 1}], ' ')")
+    val shardKey = Hashing.sqlHash60(
+      "'epoch0:' || source || '#' || CAST(seq_no AS VARCHAR)")
+    s"""${scrubSqlPrefix(k)},
+       |rt1 AS (SELECT *, ${Hashing.sqlTokens("rtext")} AS rt FROM qf),
+       |rg AS (SELECT *, CASE WHEN len(rt) >= $repK THEN
+       |          [$rgk for i in range(1, len(rt) - ${repK - 2})] END AS g
+       |        FROM rt1),
+       |rs AS (SELECT *, list_sort(g) AS sg FROM rg),
+       |rd AS (SELECT *,
+       |         list_distinct(list_filter(sg, (x, i) -> i > 1 AND x = sg[i - 1])) AS dv
+       |       FROM rs),
+       |rds AS (SELECT *,
+       |          list_filter(range(1, len(g) + 1), p -> list_contains(dv, g[p])) AS ds
+       |        FROM rd),
+       |rc AS (SELECT source, doc_id, n_removed, n_pii, quality, n_tokens,
+       |         CASE WHEN g IS NULL THEN 0 ELSE
+       |           CAST(len(list_filter(range(1, len(rt) + 1),
+       |             j -> len(list_filter(ds, p -> j >= p AND j <= p + ${repK - 1})) > 0)) AS INT)
+       |         END AS dup_covered
+       |       FROM rds),
+       |repf AS (SELECT * FROM rc
+       |         WHERE CAST(dup_covered AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= $repMax),
+       |${quotaPackSql("repf", quota, " dup_covered,")},
+       |laid AS (SELECT source, doc_id, n_removed, n_pii, quality, n_tokens,
+       |    dup_covered, CAST((cum - n_tokens) // $seqTokens AS BIGINT) AS seq_no
+       |  FROM packed)
+       |SELECT *, CAST(($shardKey) % $nShards AS INT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY source, seq_no ORDER BY doc_id)
+       |    AS INT) AS pos_in_seq
+       |FROM laid""".stripMargin
+  }
+
+  val curateV3Sql: String = curateV3SqlFor(8, 12, 256, 3, 0.1, 4)
 
   val curateSql: String =
     s"""WITH RECURSIVE pairs AS (${Dedup.lshVerifiedPairsSql}),

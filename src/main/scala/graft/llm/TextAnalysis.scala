@@ -602,32 +602,49 @@ object TextAnalysis {
   def dupGramCoverage(s: SparkSession, dir: String, k: Int = 5): DataFrame =
     dupGramCoverageDf(Tables.documents(s, dir), k)
 
-  /** [[dupGramCoverage]] over any (doc_id, text) DataFrame. */
-  def dupGramCoverageDf(docs: DataFrame, k: Int): DataFrame = {
+  /** Append `dup_covered` (tokens of `textCol` covered by a within-doc
+    * duplicated k-gram; 0 for docs shorter than k) to any frame — the
+    * t17 kernel as a reusable per-row stage, so pipelines ([[Curate]] v3)
+    * apply the repetition cut without reshaping their frame. All
+    * temporaries stay inside the row; nothing exchanges.
+    */
+  private[llm] def withDupCovered(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val n = size(col("t"))
-    val ng = n - (k - 1)
-    docs
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .where(size(col("t")) >= k)
-      .withColumn("g", transform(sequence(lit(1), ng),
-        i => Hashing.hash60(concat_ws(" ", slice(col("t"), i, lit(k))))))
-      .withColumn("sg", array_sort(col("g")))
+    val t = tokens(col(textCol))
+    val n = size(t)
+    df
+      // the < k guard: sequence(1, n-k+1 <= 0) would generate DESCENDING;
+      // CaseWhen's lazy branches keep it unevaluated, nulls flow through
+      // the temporaries, and the final when() maps them to 0
+      .withColumn("__g", when(n >= k, transform(sequence(lit(1), n - (k - 1)),
+        i => Hashing.hash60(concat_ws(" ", slice(t, i, lit(k)))))))
+      .withColumn("__sg", array_sort(col("__g")))
       // values occurring >= 2: adjacent equality in the sorted stream,
       // via zip(sg, tail(sg)) — total even for single-gram docs (the
       // tail slice is empty, zip_with null-pads, the null-filter drops)
-      .withColumn("dv", array_distinct(
-        filter(zip_with(col("sg"),
-          slice(col("sg"), lit(2), greatest(size(col("sg")) - 1, lit(0))),
+      .withColumn("__dv", array_distinct(
+        filter(zip_with(col("__sg"),
+          slice(col("__sg"), lit(2), greatest(size(col("__sg")) - 1, lit(0))),
           (a, b) => when(a === b, a)),
           v => v.isNotNull)))
-      .withColumn("ds", filter(sequence(lit(1), ng),
-        p => array_contains(col("dv"), element_at(col("g"), p))))
-      .withColumn("cov", size(filter(sequence(lit(1), n),
-        j => exists(col("ds"), p => j >= p && j <= p + (k - 1)))))
+      .withColumn("__ds", filter(sequence(lit(1), size(col("__g"))),
+        p => array_contains(col("__dv"), element_at(col("__g"), p))))
+      .withColumn("dup_covered",
+        when(col("__g").isNull, lit(0)).otherwise(
+          size(filter(sequence(lit(1), n),
+            j => exists(col("__ds"), p => j >= p && j <= p + (k - 1)))))
+        .cast("int"))
+      .drop("__g", "__sg", "__dv", "__ds")
+  }
+
+  /** [[dupGramCoverage]] over any (doc_id, text) DataFrame. */
+  def dupGramCoverageDf(docs: DataFrame, k: Int): DataFrame = {
+    val n = size(tokens(col("text")))
+    withDupCovered(docs.select(col("doc_id"), col("text")), "text", k)
+      .where(n >= k)
       .select(col("doc_id"), n.cast("int").as("n_toks"),
-        col("cov").cast("int").as("dup_covered"),
-        (col("cov").cast("double") / n.cast("double")).as("dup_gram_frac"))
+        col("dup_covered"),
+        (col("dup_covered").cast("double") / n.cast("double")).as("dup_gram_frac"))
   }
 
   /** DuckDB mirror of [[dupGramCoverage]] at the gate's k = 3. */

@@ -918,11 +918,15 @@ object ScaleBench {
     val parts = s.conf.get("spark.sql.shuffle.partitions")
     val tally = new SpillTally
     s.sparkContext.addSparkListener(tally)
-    Dedup.minhashLsh(s, dir, k = 32, rowsPerBand = 8).count() // warmup (JIT)
+    // AutoCap: the EXACT expression behind r10's big-mode cand_wall row,
+    // so the isolated re-measure compares like with like
+    def cand() = Dedup.minhashLsh(s, dir, k = 32, rowsPerBand = 8,
+      bucketCap = Dedup.AutoCap)
+    cand().count() // warmup (JIT)
     Thread.sleep(2000) // listener bus is async; settle before reset
     tally.reset()
     val t0 = System.nanoTime()
-    val n = Dedup.minhashLsh(s, dir, k = 32, rowsPerBand = 8).count()
+    val n = cand().count()
     val w = (System.nanoTime() - t0) / 1e9
     Thread.sleep(2000) // drain the bus before reading tallies
     emit("corpus" -> label, "op" -> "d13cand", "shuffle_partitions" -> parts,
