@@ -160,11 +160,21 @@ object Curate {
   def curateV3Df(docs: DataFrame, minTokens: Int = 8,
       quota: Int = 12, seqTokens: Int = 256, repK: Int = 3,
       repMax: Double = 0.1, nShards: Int = 4): DataFrame = {
+    // explode(array(...)) = the same t05 pushdown barrier scrubScored
+    // installs for the quality score: the repetition-cut filter below
+    // references the GENERATED attribute, so PushDownPredicates cannot
+    // substitute the dup-covered kernel (and, transitively, the whole
+    // strip->redact chain feeding rtext) into a pre-strip Filter — the
+    // round-11 d37 hang was exactly that: a 12 KB inlined Filter
+    // re-running the scrub per candidate position. Behind the fence the
+    // kernel runs once per scrubbed row.
     val rep = TextAnalysis
       .withDupCovered(scrubScored(docs, minTokens), "rtext", repK)
+      .select(col("doc_id"), col("source"), col("n_removed"), col("n_pii"),
+        col("quality"), col("n_tokens"),
+        explode(array(col("dup_covered"))).as("dup_covered"))
       .filter(col("dup_covered").cast("double")
         / col("n_tokens").cast("double") <= repMax)
-      .drop("rtext")
     quotaPack(rep, quota, seqTokens)
       .withColumn("shard", pmod(Hashing.hash60(
           concat(lit("epoch0:"), col("source"), lit("#"),
@@ -221,8 +231,14 @@ object Curate {
        |  FROM red r JOIN p USING (doc_id)
        |  WHERE len($rtoks) > 0),
        |qf AS (SELECT * FROM q WHERE quality >= 0.5)"""
-      .stripMargin.replace("__PLANT__", Pii.plantSql)
   }
+  // scrubSqlPrefix deliberately KEEPS the __PLANT__ placeholder and its
+  // margin pipes: the composing SqlFor methods stripMargin the WHOLE
+  // query once and only THEN splice Pii.plantSql (whose continuation
+  // lines start with `||` — a second strip would eat their first pipe
+  // and hand DuckDB `| '...'`; exactly the round-11 d33/d37 breakage,
+  // and exactly what Pii.scala's own splice-after-strip comment warns
+  // about).
 
   /** Stages 4–5 as CTE text: quota rank over `from`, then the packing
     * running sum (carrying `extraCols` through both).
@@ -242,7 +258,7 @@ object Curate {
        |${quotaPackSql("qf", quota, "")}
        |SELECT source, doc_id, n_removed, n_pii, quality, n_tokens,
        |  CAST((cum - n_tokens) // $seqTokens AS BIGINT) AS seq_no
-       |FROM packed""".stripMargin
+       |FROM packed""".stripMargin.replace("__PLANT__", Pii.plantSql)
 
   val curateV2Sql: String = curateV2SqlFor(8, 12, 256)
 
@@ -281,7 +297,7 @@ object Curate {
        |SELECT *, CAST(($shardKey) % $nShards AS INT) AS shard,
        |  CAST(row_number() OVER (PARTITION BY source, seq_no ORDER BY doc_id)
        |    AS INT) AS pos_in_seq
-       |FROM laid""".stripMargin
+       |FROM laid""".stripMargin.replace("__PLANT__", Pii.plantSql)
   }
 
   val curateV3Sql: String = curateV3SqlFor(8, 12, 256, 3, 0.1, 4)

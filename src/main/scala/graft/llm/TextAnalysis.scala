@@ -599,16 +599,32 @@ object TextAnalysis {
     * [[Hashing.hash60]] value (identical in the oracle), so the same
     * ~1e-18/pair collision note as [[SpanDedup]] applies.
     */
-  def dupGramCoverage(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+  def dupGramCoverage(s: SparkSession, dir: String, k: Int = 3): DataFrame =
     dupGramCoverageDf(Tables.documents(s, dir), k)
 
   /** Append `dup_covered` (tokens of `textCol` covered by a within-doc
     * duplicated k-gram; 0 for docs shorter than k) to any frame — the
     * t17 kernel as a reusable per-row stage, so pipelines ([[Curate]] v3)
     * apply the repetition cut without reshaping their frame. All
-    * temporaries stay inside the row; nothing exchanges.
+    * temporaries stay inside the row; nothing exchanges. The kernel is
+    * the fused codegen expression [[graft.functions.DupGramCovered]]
+    * (the interpreted-HOF form below is kept as the property-test
+    * reference — the round-11 post-mortem: the HOF stack cost 110 s at
+    * sf0.1, ~50× the fused pass).
     */
   private[llm] def withDupCovered(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.withColumn("dup_covered",
+      graft.functions.DupGramCovered(col(textCol), k))
+  }
+
+  /** The composed higher-order-function form of the t17 kernel —
+    * semantically identical to [[withDupCovered]] and kept ONLY as the
+    * reference side of the equivalence property test (the
+    * [[Hashing.hash60Reference]] precedent): gram-hash transform →
+    * array_sort → adjacent-equal dup set → covered-position count.
+    */
+  private[graft] def withDupCoveredHof(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val t = tokens(col(textCol))
     val n = size(t)
