@@ -26,15 +26,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-query watchdog (round-11 lesson: one hanging plan, warmup query
+    // #37, timed out the whole main and voided every query's number —
+    // rc=124, parsed:null). A timed-out or failed query records -1 and
+    // the run continues: skip-bad-and-count, the reference's own protocol
+    // posture (reference mrproto/protocol.go:32-35) applied to the harness.
+    val measuredTimeout = Watchdog.secs("SPARK_GRAFT_QUERY_TIMEOUT", 150)
+    val warmupTimeout = Watchdog.secs("SPARK_GRAFT_WARMUP_TIMEOUT", 60)
+
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       val elapsed =
-        try {
+        Watchdog.run(spark, s"bench-$name", measuredTimeout) {
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
+        } match {
+          case Watchdog.Ok => (System.nanoTime() - t0) / 1e9
+          case Watchdog.TimedOut =>
+            System.err.println(s"[bench] $name timed out (${measuredTimeout}s)")
+            -1.0
+          case Watchdog.Failed(e) =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
         }
@@ -51,9 +62,15 @@ object Bench {
     // JVM/classloader warmup on the smallest SF so per-query numbers
     // reflect steady-state execution, not first-plan JIT + codegen cost.
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      Watchdog.run(spark, s"warmup-$n", warmupTimeout) {
+        SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+      } match {
+        case Watchdog.TimedOut =>
+          System.err.println(s"[bench] warmup $n timed out (${warmupTimeout}s)")
+        case _ => ()
+      }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
 
     // two measured runs, report the min — single-shot numbers on a shared

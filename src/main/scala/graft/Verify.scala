@@ -22,10 +22,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // per-query watchdog (the round-11 lesson: ONE hanging plan voided
+      // all 113 queries' attestation) — the reference's own posture is
+      // skip-bad-and-count (reference mrproto/protocol.go:32-35), applied
+      // here to the harness: on expiry, cancel the job group, log, move on
+      Watchdog.run(spark, s"verify-$name", Watchdog.secs("SPARK_GRAFT_QUERY_TIMEOUT", 300)) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } match {
+        case Watchdog.Ok => ()
+        case Watchdog.TimedOut =>
+          System.err.println(s"[verify] $name timed out")
+        case Watchdog.Failed(e) =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release checkpoint blocks so 78 queries' persisted RDDs don't
       // accumulate across the whole run

@@ -149,6 +149,16 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         arity("graft_topbigram(text)", exprs, 1)
         TopBigram(exprs.head)
+      }),
+    ("graft_dupgramcovered",
+      info(classOf[DupGramCovered].getName, "graft_dupgramcovered",
+        "_FUNC_(text, k) - Returns the number of token positions of text " +
+          "covered by a within-document duplicated token k-gram (the " +
+          "Gopher repetition-rule statistic; k integer literal >= 2)."),
+      (exprs: Seq[Expression]) => {
+        arity("graft_dupgramcovered(text, k)", exprs, 2)
+        DupGramCovered(exprs.head,
+          foldableInt("graft_dupgramcovered", "k", exprs(1)))
       }))
 
   /** The registered SQL surface, for doc/spec enumeration. */

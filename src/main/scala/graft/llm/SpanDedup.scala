@@ -295,6 +295,13 @@ object SpanDedup {
         i => Hashing.hash60(concat_ws(" ", slice(col("t"), i, lit(k))))))
         .as("gk"))
       .distinct()
+    // bgrams is consumed up to three times (sizing count, sketch
+    // aggregation, exact-verify join) — persist so the benchmark
+    // tokenize/explode/distinct computes once. Released the same way the
+    // checkpoint-using queries (d13–d15) are: by the caller / the
+    // harness's per-query getPersistentRDDs unpersist sweep, since the
+    // verify join executes after this function returns.
+    bgrams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expected = if (expectedGrams > 0) expectedGrams
       else math.max(bgrams.count(), 1L)
     val bloom = bgrams.stat.bloomFilter("gk", expected, fpp)

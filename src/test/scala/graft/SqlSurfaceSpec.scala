@@ -27,7 +27,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
   test("DESCRIBE FUNCTION documents every registered graft_* expression") {
     graft.functions.GraftFunctions.register(spark)
     val names = graft.functions.GraftFunctions.names
-    assert(names.size == 13 && names.forall(_.startsWith("graft_")))
+    assert(names.size == 14 && names.forall(_.startsWith("graft_")))
     names.foreach { fn =>
       val rows = spark.sql(s"DESCRIBE FUNCTION $fn").collect().map(_.getString(0))
       val usage = rows.find(_.startsWith("Usage:"))

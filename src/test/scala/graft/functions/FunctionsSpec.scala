@@ -334,4 +334,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [md5hash60"), plan)
     assert(df.distinct().count() == 100)
   }
+
+  test("DupGramCovered is identical to the interpreted HOF kernel") {
+    // adversarial: periodic, one-dup, clean, short, unicode, space runs,
+    // plus pseudo-random small-vocab docs (the repetitive regime where
+    // coverage intervals overlap and chain)
+    val rnd = new scala.util.Random(7)
+    val docs = (Seq("", " ", "a", "a a", "a a a", "a b a b a b",
+      "x y z x y z pad", "é中 文 é中 文 é中", "a  b a  b", "😀 y 😀 y",
+      "one two three four five") ++
+      (0 until 400).map { i =>
+        val vocab = 2 + i % 7
+        (0 until 3 + i % 50).map(_ => s"t${rnd.nextInt(vocab)}").mkString(" ")
+      }).toDF("text")
+    for (k <- Seq(2, 3, 5)) {
+      val both = graft.llm.TextAnalysis.withDupCoveredHof(docs, "text", k)
+        .withColumnRenamed("dup_covered", "ref")
+        .select($"ref", DupGramCovered($"text", k).as("fast"))
+      assert(both.filter($"fast" =!= $"ref").count() == 0, s"mismatch at k=$k")
+    }
+  }
+
+  test("DupGramCovered known values, codegen residency, and SQL surface") {
+    // "a b a b": grams(k=2) = [ab, ba, ab]; dup starts {1,3} cover
+    // [1,2] ∪ [3,4] = 4 of 4 positions
+    def cov(s: String, k: Int): Int =
+      Seq(s).toDF("text").select(DupGramCovered($"text", k).as("c")).as[Int].head()
+    assert(cov("a b a b", 2) == 4)
+    // overlap chaining: "x x x" grams(k=2) = [xx, xx], starts {1,2} →
+    // [1,2] ∪ [2,3] = 3
+    assert(cov("x x x", 2) == 3)
+    assert(cov("a b c d", 2) == 0)
+    assert(cov("a b", 3) == 0) // shorter than k → no gram
+    val df = spark.range(100)
+      .select(DupGramCovered(concat(lit("p q p q r"), col("id").cast("string")), 2).as("c"))
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project [dupgramcovered"),
+      df.queryExecution.executedPlan.toString)
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_dupgramcovered('a b a b', 2) AS c").as[Int].head() == 4)
+  }
 }

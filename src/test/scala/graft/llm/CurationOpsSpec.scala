@@ -199,4 +199,98 @@ class CurationOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  // ---- d33/d37 curation compositions (the round-11 gap: zero in-suite
+  // coverage is exactly how a hang and a broken oracle both shipped)
+
+  /** Hand-built corpus for the composed chains. Crafted so each boundary
+    * has a witness at strip k = 5, rep k = 2:
+    *  - docs 2 and 3 share exactly ONE 5-gram ("the old stone bridge
+    *    tower") → n_removed = 5 each, nothing else strips;
+    *  - doc 4 repeats the bigram "the fox" (no repeated 5-gram, so the
+    *    strip leaves it whole) → dup_covered = 4 of 16 → the v3
+    *    repetition cut drops it at repMax 0.1, v2 keeps it;
+    *  - doc 7 is the planted-PII id class (7 % 7 = 0 → email) → n_pii = 1;
+    *  - every kept doc is stopword-rich enough to clear quality ≥ 0.5.
+    */
+  private lazy val curationCorpus = Seq(
+    (1L, "s", "the red fox ran over a quiet hill and then dropped to this river bank"),
+    (2L, "s", "many birds gather near the old stone bridge tower in early spring and late autumn days"),
+    (3L, "s", "we walked up toward the old stone bridge tower and saw calm deep water below"),
+    (4L, "s", "the fox is near a stone wall and the fox runs to a big tree now"),
+    (7L, "s", "a small owl is in the barn and it hunts mice during cold night hours"))
+    .toDF("doc_id", "source", "text")
+
+  test("d33 curateV2Df: every stage boundary leaves its evidence column") {
+    val rows = Curate.curateV2Df(curationCorpus, minTokens = 5, quota = 10, seqTokens = 8)
+      .as[(String, Long, Int, Int, Double, Int, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 7L))
+    // span strip: exactly the shared 5-gram, symmetrically
+    assert(rows(2L)._3 == 5 && rows(3L)._3 == 5)
+    assert(rows(1L)._3 == 0 && rows(4L)._3 == 0 && rows(7L)._3 == 0)
+    // PII: only the planted id class
+    assert(rows(7L)._4 == 1)
+    assert(Seq(1L, 2L, 3L, 4L).forall(rows(_)._4 == 0))
+    // quality cascade: every surviving row cleared the filter
+    assert(rows.values.forall(_._5 >= 0.5))
+    assert(rows.values.forall(_._6 > 0))
+    // packing: seq_no is the running-sum formula over doc_id order
+    var cum = 0L
+    Seq(1L, 2L, 3L, 4L, 7L).foreach { id =>
+      assert(rows(id)._7 == cum / 8, s"doc $id seq_no")
+      cum += rows(id)._6
+    }
+  }
+
+  test("d37 curateV3Df: the repetition cut drops exactly the bigram-repeater") {
+    val v3 = Curate.curateV3Df(curationCorpus, minTokens = 5, quota = 10,
+        seqTokens = 8, repK = 2, repMax = 0.1, nShards = 4)
+      .as[(String, Long, Int, Int, Double, Int, Int, Long, Int, Int)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(v3.keySet == Set(1L, 2L, 3L, 7L), "doc 4 must fall to the repetition cut")
+    assert(v3.values.forall(_._7 == 0), "survivors carry dup_covered = 0")
+    assert(v3.values.forall(r => r._9 >= 0 && r._9 < 4), "shard in [0, nShards)")
+    assert(v3.values.forall(_._10 >= 1), "pos_in_seq is 1-based")
+    // repMax = 1 disables the cut: doc 4 comes back with its coverage
+    val loose = Curate.curateV3Df(curationCorpus, minTokens = 5, quota = 10,
+        seqTokens = 8, repK = 2, repMax = 1.0, nShards = 4)
+      .as[(String, Long, Int, Int, Double, Int, Int, Long, Int, Int)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(loose.keySet == Set(1L, 2L, 3L, 4L, 7L))
+    assert(loose(4L)._7 == 4, "the two 'the fox' windows cover 4 tokens")
+  }
+
+  test("d37 plan: the repetition cut stays behind the barrier and off the exchange") {
+    // the round-11 hang: PushDownPredicates inlined the dup-covered
+    // kernel (and the whole scrub chain under it) into a 12 KB Filter
+    // below the span-strip join. Behind the explode barrier no Filter
+    // may contain the kernel — and none may balloon.
+    val df = Curate.curateV3Df(curationCorpus, minTokens = 5, quota = 10,
+      seqTokens = 8, repK = 2, repMax = 0.1, nShards = 4)
+    val planStr = df.queryExecution.executedPlan.toString
+    // (scrubScored's n_tokens > 0 guard legitimately inlines ONE
+    // tokenstats call into a ~600-char Filter; the r11 pathology was the
+    // REPETITION kernel in a 12 KB Filter — pin exactly that)
+    planStr.linesIterator.filter(_.contains("Filter ")).foreach { line =>
+      assert(!line.contains("dupgramcovered"),
+        s"repetition kernel inlined into a Filter:\n$line")
+      assert(line.length < 2000, s"ballooned Filter (${line.length} chars)")
+    }
+    // and no exchange ever carries text: only ids/counts/scores shuffle
+    val root = df.queryExecution.executedPlan
+    val inner = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val exchanges = inner.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected the shared source exchange")
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.exists(n => n == "text" || n == "rtext" || n == "clean_text"),
+        s"text crossed an exchange: $names")
+    }
+  }
 }
