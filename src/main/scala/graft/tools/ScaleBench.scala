@@ -884,6 +884,43 @@ object ScaleBench {
       "repartition_drift" -> drift)
   }
 
+  /** Curation v3 (d37) at scale — cur2's gates plus the v3-specific
+    * ones: the REPETITION CUT must be ACTIVE (docs measurably dropped
+    * between repMax=1 and the shipped 0.1 — a barrier regression that
+    * silently re-ordered the cut around the quota would shift this),
+    * the SHARD layout must be balanced (a loader's parallel-read grain:
+    * max/min shard populations within 2× of each other at n ≫ shards),
+    * and the whole chain must be repartition-deterministic. Wall is the
+    * headline: round 11's d37 never survived ONE execution at any SF,
+    * so a measured ×-scale wall is itself the evidence the barrier fix
+    * holds where it matters.
+    */
+  private def cur3(s: SparkSession, dir: String, label: String): Unit = {
+    val docs = graft.Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val quota = math.max(12, (nDocs / 100).toInt)
+    val nShards = 64
+    def build(d: DataFrame = docs, repMax: Double = 0.1): DataFrame =
+      graft.llm.Curate.curateV3Df(d, quota = quota, seqTokens = 2048,
+        repK = 3, repMax = repMax, nShards = nShards)
+    val (w, _) = timed2 {
+      build().write.format("noop").mode("overwrite").save(); nDocs
+    }
+    val out = build().localCheckpoint(true)
+    val n = out.count()
+    val nLoose = build(repMax = 1.0).count()
+    val shardSizes = out.groupBy(col("shard")).count()
+      .agg(min(col("count")), max(col("count")), countDistinct(col("shard"))).head()
+    val rep = build(docs.repartition(17))
+    val drift = out.exceptAll(rep).count() + rep.exceptAll(out).count()
+    emit("corpus" -> label, "op" -> "cur3", "n_docs" -> nDocs,
+      "quota" -> quota, "wall" -> w, "out" -> n,
+      "rep_cut_dropped" -> (nLoose - n),
+      "shard_min" -> shardSizes.getLong(0), "shard_max" -> shardSizes.getLong(1),
+      "shards_hit" -> shardSizes.getLong(2),
+      "repartition_drift" -> drift)
+  }
+
   /** Per-stage spill/shuffle byte tally (aggregated task metrics per
     * completed stage) — what turns the d13cand A/B from wall-clock
     * anecdote into spill-edge evidence.
@@ -1093,6 +1130,7 @@ object ScaleBench {
       case "spans" => spansMode(spark, dir, label)
       case "cur" => cur(spark, dir, label)
       case "cur2" => cur2(spark, dir, label)
+      case "cur3" => cur3(spark, dir, label)
       case "d13cand" => d13cand(spark, dir, label)
       case "sq8pack" => sq8pack(spark, dir, label)
       case "newops" => newops(spark, dir, label)
