@@ -140,4 +140,26 @@ object ExpressionLawsSpec extends Properties("ExpressionLaws") {
       val got = (0 until arr.numElements()).map(arr.getLong)
       got == ref
     }
+
+  // small-vocab token streams so duplicated grams actually occur (the
+  // generic `text` gen almost never repeats a k-gram)
+  private val repetitiveText: Gen[String] =
+    Gen.listOf(Gen.oneOf("a", "b", "c", "aa", "x", "é中", "😀")).map(_.mkString(" "))
+
+  property("DupGramCovered.covered ≡ interval-union over duplicated sliding grams") =
+    Prop.forAll(Gen.oneOf(text, repetitiveText), Gen.choose(2, 5)) { (s, k) =>
+      val toks = s.split(" ", -1).filter(_.nonEmpty).toSeq
+      val ref =
+        if (toks.length < k) 0
+        else {
+          val hashes = toks.sliding(k).map(g => refHash60(g.mkString(" "))).toVector
+          val counts = hashes.groupBy(identity).view.mapValues(_.size).toMap
+          val dupStarts = hashes.zipWithIndex.collect {
+            case (h, p) if counts(h) >= 2 => p + 1 // 1-based
+          }
+          // union of [p, p+k-1] as a position-set size
+          dupStarts.flatMap(p => p until (p + k)).distinct.size
+        }
+      DupGramCovered.covered(UTF8String.fromString(s), k) == ref
+    }
 }
