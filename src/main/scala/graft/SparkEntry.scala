@@ -166,6 +166,10 @@ object SparkEntry {
     "t17_dup_gram_cov"   -> ((s, dir) => graft.llm.TextAnalysis.dupGramCoverage(s, dir, k = 3)),
     // t18: deterministic shard + training order (seed-keyed permutation)
     "t18_shard_order"    -> (graft.llm.Mixture.shardOrder8 _),
+    // t19: language-ID heuristic over PLANTED doc_id-derived language
+    // markers (the corpus lang column is a label only — raw text would
+    // gate a constant); every branch exercised per run
+    "t19_lang_guess"     -> (graft.llm.TextAnalysis.langGuessPlanted _),
     "m01_media_stats"    -> (graft.llm.Multimodal.mediaStats _),
     // m02 pins the FIXED-threshold plumbing (h=5); the shipped default is
     // AutoHamming, gated by m05 with the derivation replayed in the oracle
@@ -288,6 +292,7 @@ object SparkEntry {
     "t16_vocab_conc"     -> graft.llm.TextAnalysis.vocabConcentrationSql,
     "t17_dup_gram_cov"   -> graft.llm.TextAnalysis.dupGramCoverageSql,
     "t18_shard_order"    -> graft.llm.Mixture.shardOrder8Sql,
+    "t19_lang_guess"     -> graft.llm.TextAnalysis.langGuessPlantedSql,
     "m01_media_stats"    -> graft.llm.Multimodal.mediaStatsSql,
     "m02_phash_neardup"  -> graft.llm.Multimodal.phashPairsSql,
     "m03_phash_grid_h3"  -> graft.llm.Multimodal.phashPairsH3Sql,

@@ -692,8 +692,9 @@ object TextAnalysis {
 
   /** Heuristic language ID from character/stopword evidence — a Column
     * function usable in any pipeline (tested on hand-built samples in
-    * TextAnalysisSpec; the synthetic corpus carries a `lang` label so the
-    * heuristic is not oracle-gated).
+    * TextAnalysisSpec; oracle-gated by [[langGuessPlanted]] over planted
+    * doc_id-derived language markers — the corpus `lang` column is a
+    * label only, its text carries no language signal).
     */
   def langGuess(text: Column): Column = {
     val t = lower(text)
@@ -702,5 +703,72 @@ object TextAnalysis {
       .when(size(filter(tokens(t), w => w.isin("el", "la", "de", "que", "y", "los"))) >
         size(filter(tokens(t), w => w.isin("the", "and", "of", "is"))), "es")
       .otherwise("en")
+  }
+
+  /** The t19 gate for [[langGuess]]: the synthetic corpus's `lang`
+    * column is a LABEL ONLY (every doc's text is the same English-ish
+    * word salad), so gating the heuristic on raw text would emit a
+    * constant — a gate that cannot fail. Instead this PLANTS
+    * deterministic language markers derived from `doc_id` (the t13/m02
+    * planted-evidence pattern): docs with doc_id ≡ 1 (mod 5) get a CJK
+    * block repeated ∝ text length (CJK fraction 0.4 > the 0.3
+    * threshold by construction, length-independent), ≡ 2 a Cyrillic
+    * block (same ratio argument), ≡ 3 a Spanish-stopword block whose
+    * token count dominates any organic `the/and/of/is` population, and
+    * the rest stay unplanted English. The oracle replays the planting
+    * arithmetic AND the full heuristic (unicode-class regexes via RE2
+    * `\x{...}` ≡ java `\u...`, code-point `length`, token stopword
+    * counts), so the gate pins cross-engine parity of every branch on
+    * all four outcomes per run.
+    *
+    * Scale shape: pure per-row scan — no shuffle, no join; language-ID
+    * at 100 TB is a map pass whose cost is the read.
+    */
+  def langGuessPlanted(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), plantLangCol.as("ptext"))
+      .select(col("doc_id"), langGuess(col("ptext")).as("lang_guess"))
+
+  /** Marker planting for [[langGuessPlanted]] — block repeat counts are
+    * `floor(length(text)/k)` so the planted fraction is a constant
+    * ratio of the doc, whatever its size (both engines compute int/int
+    * division as double, floor to bigint, cast to int identically).
+    */
+  private[graft] def plantLangCol: Column = {
+    def block(s: String, divisor: Int): Column =
+      concat(col("text"), lit(" "),
+        call_function("repeat", lit(s),
+          floor(length(col("text")) / lit(divisor)).cast("int")))
+    when(col("doc_id") % 5 === 1, block("中文处理 ", 5))
+      .when(col("doc_id") % 5 === 2, block("данные системы ", 5))
+      .when(col("doc_id") % 5 === 3, block("el la de que y los ", 20))
+      .otherwise(col("text"))
+  }
+
+  /** DuckDB mirror of [[langGuessPlanted]] — planting and heuristic
+    * replayed branch-for-branch (RE2 spells the CJK class `\x{4e00}`
+    * where java spells it `一`; `'g'` makes regexp_replace global
+    * to match Spark's replace-all).
+    */
+  val langGuessPlantedSql: String = {
+    def blockSql(s: String, divisor: Int): String =
+      s"text || ' ' || repeat('$s', CAST(floor(length(text)/$divisor) AS INT))"
+    val toks = "list_filter(string_split(t, ' '), x -> x <> '')"
+    s"""WITH p AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 1 THEN ${blockSql("中文处理 ", 5)}
+       |         WHEN doc_id % 5 = 2 THEN ${blockSql("данные системы ", 5)}
+       |         WHEN doc_id % 5 = 3 THEN ${blockSql("el la de que y los ", 20)}
+       |         ELSE text END AS ptext
+       |  FROM documents),
+       |lt AS (SELECT doc_id, lower(ptext) AS t FROM p)
+       |SELECT doc_id,
+       |  CASE
+       |    WHEN length(regexp_replace(t, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > length(t)*0.3 THEN 'zh'
+       |    WHEN length(regexp_replace(t, '[^а-яё]', '', 'g')) > length(t)*0.3 THEN 'ru'
+       |    WHEN len(list_filter($toks, x -> x IN ('el','la','de','que','y','los')))
+       |       > len(list_filter($toks, x -> x IN ('the','and','of','is'))) THEN 'es'
+       |    ELSE 'en'
+       |  END AS lang_guess
+       |FROM lt""".stripMargin
   }
 }

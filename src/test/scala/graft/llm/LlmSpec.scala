@@ -345,4 +345,32 @@ class LlmSpec extends AnyFunSuite {
       .collect()
     got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
+
+  test("t19: the planted-marker gate CAN fail — every branch fires, per id class") {
+    // the planting ratios are length-independent, so the heuristic must
+    // recover the planted class for EVERY doc, not just on average; a
+    // threshold/regex/tokenize regression in any branch breaks exact
+    // recovery and (because the oracle replays the same planting) the
+    // driver gate too
+    val rows = TextAnalysis.langGuessPlanted(spark, sf)
+      .as[(Long, String)].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (id, guess) =>
+      val want = (id % 5) match {
+        case 1 => "zh"
+        case 2 => "ru"
+        case 3 => "es"
+        case _ => "en"
+      }
+      assert(guess == want, s"doc $id: got $guess want $want")
+    }
+    // and all four branches fired this run
+    assert(rows.map(_._2).toSet == Set("zh", "ru", "es", "en"))
+  }
+
+  test("t19 plan is a shuffle-free single pass") {
+    val plan = TextAnalysis.langGuessPlanted(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
