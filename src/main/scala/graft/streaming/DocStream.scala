@@ -120,6 +120,26 @@ object DocStream {
   def scrubbedIngested(docs: DataFrame): DataFrame =
     ingested(scrubbed(docs))
 
+  /** The curation-v3 repetition cut in-stream — [[scrubbed]] plus the
+    * t17 kernel over the redacted text: drop docs whose within-doc
+    * duplicated-`repK`-gram coverage exceeds `repMax`. Stateless per-row
+    * like the scrub itself (the kernel is ONE codegen'd
+    * [[graft.functions.DupGramCovered]] call), so batch ≡ stream parity
+    * is exact and the stage adds no state or watermark. `dup_covered`
+    * rides along as evidence. The kernel sits behind the same
+    * explode(array(...)) pushdown fence as the batch chain
+    * ([[graft.llm.Curate.curateV3Df]]) so the cut's filter can never
+    * re-inline the scrub upstream of it.
+    */
+  def repetitionGated(docs: DataFrame, repK: Int = 3, repMax: Double = 0.1,
+      minQuality: Double = 0.5): DataFrame = {
+    val n = size(graft.llm.Hashing.tokens(col("text")))
+    scrubbed(docs, minQuality)
+      .select(col("*"), explode(array(
+        graft.functions.DupGramCovered(col("text"), repK))).as("dup_covered"))
+      .filter(col("dup_covered").cast("double") / n.cast("double") <= repMax)
+  }
+
   /** Streaming benchmark-contamination gate — the d36 sketch posture made
     * continuous: every arriving doc's k-grams probe the benchmark Bloom
     * filter per ROW (the sketch rides the expression tree to every

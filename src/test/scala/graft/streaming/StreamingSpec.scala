@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 import graft.mr.TestSession
 import graft.queries.Relational
 
@@ -187,6 +188,50 @@ class StreamingSpec extends AnyFunSuite {
       assert(batchSet.exists(_._2 > 0), "no PII redacted — planting broken")
       assert(batchSet.forall(r => !r._4.contains("@mail.example.com")),
         "redaction left a planted email in the stream")
+    } finally q.stop()
+  }
+
+  test("streaming repetition cut equals batch and drops an injected repeater") {
+    // corpus file + one crafted file: a quality-passing doc whose bigram
+    // repetition trips the cut, and a clean control that must survive
+    val d = java.nio.file.Files.createTempDirectory("graft-docs-repgate")
+    val src = java.nio.file.Paths.get(s"$sf/documents.parquet")
+    java.nio.file.Files.createSymbolicLink(d.resolve("a.parquet"), src)
+    // the landing dir holds PLAIN parquet files (documents.parquet is a
+    // single file, not a Spark output dir), so stage the injected docs'
+    // part file as a sibling plain file
+    val stage = java.nio.file.Files.createTempDirectory("graft-docs-repgate-stage")
+    Seq(
+      (900001L, "the fox is near a stone wall and the fox runs to a big tree now", "en", "inj", 64L),
+      (900002L, "the red owl sat on a tall oak and then flew to this far barn", "en", "inj", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = java.nio.file.Files.list(stage).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(fail("no part file written"))
+    java.nio.file.Files.copy(part, d.resolve("b.parquet"))
+    val stream = DocStream.repetitionGated(
+      spark.readStream.schema(DocStream.docsSchema)
+        .option("maxFilesPerTrigger", 1).parquet(d.toString),
+      repK = 2, repMax = 0.1)
+    val q = stream.select($"doc_id", $"dup_covered", $"quality")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("repgate_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("repgate_out").as[(Long, Int, Double)].collect()
+      val batch = DocStream.repetitionGated(
+          graft.Tables.documents(spark, sf), repK = 2, repMax = 0.1)
+        .select($"doc_id", $"dup_covered", $"quality")
+        .as[(Long, Int, Double)].collect()
+      // parity on the corpus part (stateless stage: same rows, any batching)
+      assert(out.filterNot(_._1 >= 900000L).toSet == batch.toSet,
+        "repetition-gated rows differ between stream and batch")
+      // the repeater ("the fox" x2 = 4 of 16 tokens > 0.1) died in-stream;
+      // the control survived with zero coverage
+      assert(!out.exists(_._1 == 900001L), "repetitive doc passed the cut")
+      assert(out.exists(r => r._1 == 900002L && r._2 == 0), "control doc lost")
     } finally q.stop()
   }
 
