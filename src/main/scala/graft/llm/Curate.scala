@@ -156,26 +156,36 @@ object Curate {
     curateV3Df(Tables.documents(s, dir), minTokens, quota, seqTokens,
       repK, repMax, nShards)
 
-  /** [[curateV3]] over any (doc_id, source, text) DataFrame. */
-  def curateV3Df(docs: DataFrame, minTokens: Int = 8,
-      quota: Int = 12, seqTokens: Int = 256, repK: Int = 3,
-      repMax: Double = 0.1, nShards: Int = 4): DataFrame = {
-    // explode(array(...)) = the same t05 pushdown barrier scrubScored
-    // installs for the quality score: the repetition-cut filter below
-    // references the GENERATED attribute, so PushDownPredicates cannot
-    // substitute the dup-covered kernel (and, transitively, the whole
-    // strip->redact chain feeding rtext) into a pre-strip Filter — the
-    // round-11 d37 hang was exactly that: a 12 KB inlined Filter
-    // re-running the scrub per candidate position. Behind the fence the
-    // kernel runs once per scrubbed row.
-    val rep = TextAnalysis
+  /** Stages 0–3b of the v3 chain: scrub, then the repetition cut —
+    * text-free and PRE-quota. Exposed (package-private) because the
+    * post-quota pipeline output MASKS this stage's effect: per-source
+    * quota refill replaces cut docs with lower-ranked survivors, so a
+    * harness that wants the true cut count must measure here.
+    *
+    * explode(array(...)) = the same t05 pushdown barrier scrubScored
+    * installs for the quality score: the repetition-cut filter below
+    * references the GENERATED attribute, so PushDownPredicates cannot
+    * substitute the dup-covered kernel (and, transitively, the whole
+    * strip->redact chain feeding rtext) into a pre-strip Filter — the
+    * round-11 d37 hang was exactly that: a 12 KB inlined Filter
+    * re-running the scrub per candidate position. Behind the fence the
+    * kernel runs once per scrubbed row.
+    */
+  private[graft] def repCutStage(docs: DataFrame, minTokens: Int,
+      repK: Int, repMax: Double): DataFrame =
+    TextAnalysis
       .withDupCovered(scrubScored(docs, minTokens), "rtext", repK)
       .select(col("doc_id"), col("source"), col("n_removed"), col("n_pii"),
         col("quality"), col("n_tokens"),
         explode(array(col("dup_covered"))).as("dup_covered"))
       .filter(col("dup_covered").cast("double")
         / col("n_tokens").cast("double") <= repMax)
-    quotaPack(rep, quota, seqTokens)
+
+  /** [[curateV3]] over any (doc_id, source, text) DataFrame. */
+  def curateV3Df(docs: DataFrame, minTokens: Int = 8,
+      quota: Int = 12, seqTokens: Int = 256, repK: Int = 3,
+      repMax: Double = 0.1, nShards: Int = 4): DataFrame = {
+    quotaPack(repCutStage(docs, minTokens, repK, repMax), quota, seqTokens)
       .withColumn("shard", pmod(Hashing.hash60(
           concat(lit("epoch0:"), col("source"), lit("#"),
             col("seq_no").cast("string"))),

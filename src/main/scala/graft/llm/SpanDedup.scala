@@ -295,16 +295,21 @@ object SpanDedup {
         i => Hashing.hash60(concat_ws(" ", slice(col("t"), i, lit(k))))))
         .as("gk"))
       .distinct()
-    // bgrams is consumed up to three times (sizing count, sketch
-    // aggregation, exact-verify join) — persist so the benchmark
-    // tokenize/explode/distinct computes once. Released the same way the
-    // checkpoint-using queries (d13–d15) are: by the caller / the
-    // harness's per-query getPersistentRDDs unpersist sweep, since the
-    // verify join executes after this function returns.
+    // bgrams has three consumers: the sizing count and the sketch
+    // aggregation run EAGERLY here, the exact-verify join lazily after
+    // return. Persist across the two eager ones (one tokenize/explode/
+    // distinct instead of two), then unpersist BEFORE returning so no
+    // corpus-scale cache entry outlives the call — the lazy join
+    // recomputes from lineage, which costs one scan and leaks nothing
+    // (a function that returns no handle to its cache must not require
+    // its caller to run a global unpersist sweep).
     bgrams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val expected = if (expectedGrams > 0) expectedGrams
-      else math.max(bgrams.count(), 1L)
-    val bloom = bgrams.stat.bloomFilter("gk", expected, fpp)
+    val bloom =
+      try {
+        val expected = if (expectedGrams > 0) expectedGrams
+          else math.max(bgrams.count(), 1L)
+        bgrams.stat.bloomFilter("gk", expected, fpp)
+      } finally bgrams.unpersist(false)
     val hits = train
       .select(col("doc_id"), Hashing.tokens(col("text")).as("t"))
       .where(size(col("t")) >= k)

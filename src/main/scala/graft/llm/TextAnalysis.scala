@@ -711,9 +711,10 @@ object TextAnalysis {
     * constant — a gate that cannot fail. Instead this PLANTS
     * deterministic language markers derived from `doc_id` (the t13/m02
     * planted-evidence pattern): docs with doc_id ≡ 1 (mod 5) get a CJK
-    * block repeated ∝ text length (CJK fraction 0.4 > the 0.3
-    * threshold by construction, length-independent), ≡ 2 a Cyrillic
-    * block (same ratio argument), ≡ 3 a Spanish-stopword block whose
+    * block repeated ∝ text length with a floor of 3 repeats (CJK
+    * fraction ≥ 0.4 > the 0.3 threshold at EVERY doc length — see
+    * [[plantLangCol]]), ≡ 2 a Cyrillic block (same argument), ≡ 3 a
+    * Spanish-stopword block whose
     * token count dominates any organic `the/and/of/is` population, and
     * the rest stay unplanted English. The oracle replays the planting
     * arithmetic AND the full heuristic (unicode-class regexes via RE2
@@ -730,15 +731,21 @@ object TextAnalysis {
       .select(col("doc_id"), langGuess(col("ptext")).as("lang_guess"))
 
   /** Marker planting for [[langGuessPlanted]] — block repeat counts are
-    * `floor(length(text)/k)` so the planted fraction is a constant
-    * ratio of the doc, whatever its size (both engines compute int/int
-    * division as double, floor to bigint, cast to int identically).
+    * `greatest(floor(length(text)/k), 3)` so the planted fraction clears
+    * the 0.3 threshold whatever the doc's size: the proportional term
+    * keeps the ratio constant for long docs, and the floor of 3 repeats
+    * covers short ones (worst case for the CJK block is the longest doc
+    * still taking the floor, length 14: 12 CJK of ≤ 30 chars = 0.4; a
+    * plain `floor(len/5)` plants NOTHING for docs under 5 chars — the
+    * gate's per-doc exact-recovery contract would silently depend on the
+    * corpus's minimum doc length). Both engines compute int/int division
+    * as double, floor to bigint, cast to int identically.
     */
   private[graft] def plantLangCol: Column = {
     def block(s: String, divisor: Int): Column =
       concat(col("text"), lit(" "),
         call_function("repeat", lit(s),
-          floor(length(col("text")) / lit(divisor)).cast("int")))
+          greatest(floor(length(col("text")) / lit(divisor)), lit(3)).cast("int")))
     when(col("doc_id") % 5 === 1, block("中文处理 ", 5))
       .when(col("doc_id") % 5 === 2, block("данные системы ", 5))
       .when(col("doc_id") % 5 === 3, block("el la de que y los ", 20))
@@ -752,7 +759,7 @@ object TextAnalysis {
     */
   val langGuessPlantedSql: String = {
     def blockSql(s: String, divisor: Int): String =
-      s"text || ' ' || repeat('$s', CAST(floor(length(text)/$divisor) AS INT))"
+      s"text || ' ' || repeat('$s', CAST(greatest(floor(length(text)/$divisor), 3) AS INT))"
     val toks = "list_filter(string_split(t, ' '), x -> x <> '')"
     s"""WITH p AS (SELECT doc_id,
        |    CASE WHEN doc_id % 5 = 1 THEN ${blockSql("中文处理 ", 5)}

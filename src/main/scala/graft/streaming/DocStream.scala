@@ -110,6 +110,10 @@ object DocStream {
       .withColumn("quality",
         graft.llm.TextAnalysis.qualityScore(col("st"), col("text")))
       .filter(col("quality") >= minQuality)
+      // keep the token count the stats pass already paid for — the batch
+      // chain carries it as evidence and downstream per-row stages
+      // ([[repetitionGated]]) ratio against it rather than re-tokenizing
+      .withColumn("n_tokens", col("st.n_tokens").cast("int"))
       .drop("st")
   }
 
@@ -132,13 +136,12 @@ object DocStream {
     * re-inline the scrub upstream of it.
     */
   def repetitionGated(docs: DataFrame, repK: Int = 3, repMax: Double = 0.1,
-      minQuality: Double = 0.5): DataFrame = {
-    val n = size(graft.llm.Hashing.tokens(col("text")))
+      minQuality: Double = 0.5): DataFrame =
     scrubbed(docs, minQuality)
       .select(col("*"), explode(array(
         graft.functions.DupGramCovered(col("text"), repK))).as("dup_covered"))
-      .filter(col("dup_covered").cast("double") / n.cast("double") <= repMax)
-  }
+      .filter(col("dup_covered").cast("double")
+        / col("n_tokens").cast("double") <= repMax)
 
   /** Streaming benchmark-contamination gate — the d36 sketch posture made
     * continuous: every arriving doc's k-grams probe the benchmark Bloom

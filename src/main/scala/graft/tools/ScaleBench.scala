@@ -885,9 +885,9 @@ object ScaleBench {
   }
 
   /** Curation v3 (d37) at scale — cur2's gates plus the v3-specific
-    * ones: the REPETITION CUT must be ACTIVE (docs measurably dropped
-    * between repMax=1 and the shipped 0.1 — a barrier regression that
-    * silently re-ordered the cut around the quota would shift this),
+    * ones: the REPETITION CUT must be ACTIVE, measured at its own stage
+    * (pre-quota, via [[graft.llm.Curate.repCutStage]] — the pipeline
+    * output masks the cut behind quota refill),
     * the SHARD layout must be balanced (a loader's parallel-read grain:
     * max/min shard populations within 2× of each other at n ≫ shards),
     * and the whole chain must be repartition-deterministic. Wall is the
@@ -908,14 +908,20 @@ object ScaleBench {
     }
     val out = build().localCheckpoint(true)
     val n = out.count()
-    val nLoose = build(repMax = 1.0).count()
+    // the cut's activity must be measured PRE-quota: the pipeline output
+    // masks it (quota refill replaces cut docs with lower-ranked
+    // survivors — a post-quota count delta under-reads, to zero when
+    // every source has >= quota survivors either way)
+    val preCutAll = graft.llm.Curate.repCutStage(docs, 8, 3, 1.0).count()
+    val preCutKept = graft.llm.Curate.repCutStage(docs, 8, 3, 0.1).count()
     val shardSizes = out.groupBy(col("shard")).count()
       .agg(min(col("count")), max(col("count")), countDistinct(col("shard"))).head()
     val rep = build(docs.repartition(17))
     val drift = out.exceptAll(rep).count() + rep.exceptAll(out).count()
     emit("corpus" -> label, "op" -> "cur3", "n_docs" -> nDocs,
       "quota" -> quota, "wall" -> w, "out" -> n,
-      "rep_cut_dropped" -> (nLoose - n),
+      "scrub_survivors" -> preCutAll,
+      "rep_cut_dropped" -> (preCutAll - preCutKept),
       "shard_min" -> shardSizes.getLong(0), "shard_max" -> shardSizes.getLong(1),
       "shards_hit" -> shardSizes.getLong(2),
       "repartition_drift" -> drift)

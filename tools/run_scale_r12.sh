@@ -18,7 +18,12 @@ $JAVA graft.tools.ScaleBench scale/x500 x500 ab:spans:pin   > /tmp/r12_spans_pin
 echo "spans/pin done $(date +%T)"
 $JAVA graft.tools.ScaleBench scale/x500 x500 ab:spans:regen > /tmp/r12_spans_regen.log 2>&1
 echo "spans/regen done $(date +%T)"
-grep -h '\[scale\]' /tmp/r12_d13_32.log /tmp/r12_d13_128.log /tmp/r12_spans_pin.log /tmp/r12_spans_regen.log \
-  | sed 's/^\[scale\] //' >> SCALE_RESULTS_r12.jsonl
+# `|| true`: with zero [scale] rows (all arms died) grep exits 1 and
+# set -e would kill the script before reporting; the dedup-append keeps
+# re-runs from double-counting rows already in the committed jsonl
+grep -h '\[scale\]' /tmp/r12_d13_32.log /tmp/r12_d13_128.log /tmp/r12_spans_pin.log /tmp/r12_spans_regen.log 2>/dev/null \
+  | sed 's/^\[scale\] //' >> SCALE_RESULTS_r12.jsonl || true
+awk '!seen[$0]++' SCALE_RESULTS_r12.jsonl > SCALE_RESULTS_r12.jsonl.tmp \
+  && mv SCALE_RESULTS_r12.jsonl.tmp SCALE_RESULTS_r12.jsonl
 echo "campaign done; rows:"
 cat SCALE_RESULTS_r12.jsonl
