@@ -231,6 +231,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("EVERY registered query plans without a ballooned Filter or a Cartesian product") {
+    // the round-11 lesson generalized: d37 shipped with a 12 KB Filter
+    // (PushDownPredicates re-inlining an expensive derived column below a
+    // join) and hung at every SF. This sweep pins the CLASS for the whole
+    // inventory, present and future: any Filter whose condition text
+    // balloons past 4k chars is that bug's signature, and a
+    // CartesianProduct (the non-broadcast kind) is never acceptable —
+    // brute-force gates go through BroadcastNestedLoopJoin.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val fat = plan.linesIterator.filter(_.contains("Filter "))
+        .filter(_.length > 4000).map(l => s"$name: ${l.length}-char Filter")
+      val cart = if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+      fat ++ cart
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   private def countOccurrences(haystack: String, needle: String): Int =
     haystack.sliding(needle.length).count(_ == needle)
 
