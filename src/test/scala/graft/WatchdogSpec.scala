@@ -57,4 +57,23 @@ class WatchdogSpec extends AnyFunSuite {
   test("timeout env override parses and falls back") {
     assert(Watchdog.secs("GRAFT_NO_SUCH_ENV_VAR", 42) == 42)
   }
+
+  test("Verify's loop ships a COMPLETE artifact around a hung query (the r11 done-criterion)") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    val out = java.nio.file.Files.createTempDirectory("graft-verify-wd").toString
+    val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "a_ok" -> ((s, _) => s.range(5).toDF("v")),
+      "b_hangs" -> ((s, _) => {
+        Thread.sleep(600000) // driver-side hang before any plan exists
+        s.range(1).toDF("v")
+      }),
+      "c_ok" -> ((s, _) => s.range(7).toDF("v")))
+    Verify.runAll(spark, "unused", out, queries, timeoutSec = 2)
+    def rows(name: String): Long = spark.read.parquet(s"$out/$name").count()
+    assert(rows("a_ok") == 5, "query before the hang must be dumped")
+    assert(rows("c_ok") == 7, "query after the hang must be dumped — the artifact survives")
+    assert(!new java.io.File(s"$out/b_hangs").exists()
+      || spark.read.parquet(s"$out/b_hangs").count() == 0,
+      "the hung query contributes no (or empty) output, never a partial artifact")
+  }
 }
