@@ -261,6 +261,40 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(loose(4L)._7 == 4, "the two 'the fox' windows cover 4 tokens")
   }
 
+  test("d37/d33 algebra: v3 with the cut disabled IS v2, on randomized corpora") {
+    // repMax = 1 keeps every scrub survivor (dup_covered <= n_tokens),
+    // so v3's population, quota draw, and packing must coincide with
+    // v2's exactly — v3 projected to v2's columns equals v2, row for
+    // row. A quota/packing stage that consumed dup_covered, or a cut
+    // that moved across the quota exchange, breaks the identity. Also:
+    // both chains must be invariant under input repartition (seeded
+    // random corpora — the hand-built case can't hit rank ties the way
+    // random token soups do).
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 3) {
+      val docs = (0 until 30).map { i =>
+        val vocab = 3 + rnd.nextInt(6)
+        val n = 6 + rnd.nextInt(30)
+        val text = (0 until n).map(_ => s"w${rnd.nextInt(vocab)}").mkString(" ") +
+          " the and of is in a to" // stopword tail keeps quality above the cut
+        (i.toLong * 3 + trial, if (i % 2 == 0) "s1" else "s2", text)
+      }.toDF("doc_id", "source", "text")
+      val v2 = Curate.curateV2Df(docs, minTokens = 4, quota = 8, seqTokens = 16)
+        .collect().toSet
+      val v3AsV2 = Curate.curateV3Df(docs, minTokens = 4, quota = 8,
+          seqTokens = 16, repK = 2, repMax = 1.0, nShards = 4)
+        .select(col("source"), col("doc_id"), col("n_removed"), col("n_pii"),
+          col("quality"), col("n_tokens"), col("seq_no"))
+        .collect().toSet
+      assert(v3AsV2 == v2, s"trial $trial: v3(repMax=1) != v2")
+      val v3a = Curate.curateV3Df(docs, minTokens = 4, quota = 8,
+        seqTokens = 16, repK = 2, repMax = 0.3, nShards = 4).collect().toSet
+      val v3b = Curate.curateV3Df(docs.repartition(7), minTokens = 4, quota = 8,
+        seqTokens = 16, repK = 2, repMax = 0.3, nShards = 4).collect().toSet
+      assert(v3a == v3b, s"trial $trial: v3 drifted under repartition")
+    }
+  }
+
   test("d37 plan: the repetition cut stays behind the barrier and off the exchange") {
     // the round-11 hang: PushDownPredicates inlined the dup-covered
     // kernel (and the whole scrub chain under it) into a 12 KB Filter
