@@ -409,7 +409,7 @@ object ScaleBench {
         while (parts.hasNext) {
           val p = parts.next()
           if (p.toString.endsWith(".parquet")) {
-            Files.createSymbolicLink(d.resolve(f"part-$i%05d.parquet"), p)
+            Files.createSymbolicLink(d.resolve(f"part-$i%05d.parquet"), p.toAbsolutePath)
             i += 1
           }
         }
@@ -442,6 +442,51 @@ object ScaleBench {
               .getOrElse(-1L))
       }
     }
+  }
+
+  /** In-stream curation throughput: the stateless scrub + repetition-cut
+    * chain ([[graft.streaming.DocStream.repetitionGated]]) driven over
+    * the corpus in micro-batches. Stateless per-row stages have no
+    * state-size story — the scale claim is THROUGHPUT (rows/s through
+    * redact + TokenStats + quality + DupGramCovered, all codegen) and
+    * that the survivor rate matches the batch chain on the same corpus
+    * (the parity spec's assertion, re-checked at scale).
+    */
+  private def streamCur(s: SparkSession, dir: String, label: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val d = Files.createTempDirectory("scale-streamcur")
+    d.toFile.deleteOnExit()
+    val listing = Files.list(Paths.get(s"$dir/documents.parquet"))
+    try {
+      val parts = listing.iterator()
+      var i = 0
+      while (parts.hasNext) {
+        val p = parts.next()
+        if (p.toString.endsWith(".parquet")) {
+          Files.createSymbolicLink(d.resolve(f"part-$i%05d.parquet"), p.toAbsolutePath)
+          i += 1
+        }
+      }
+    } finally listing.close()
+    val src = s.readStream.schema(graft.streaming.DocStream.docsSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(d.toString)
+    val t0 = System.nanoTime()
+    val q = graft.streaming.DocStream.repetitionGated(src)
+      .writeStream.format("noop")
+      .option("checkpointLocation",
+        Files.createTempDirectory("scale-streamcur-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = (System.nanoTime() - t0) / 1e9
+    val inRows = q.recentProgress.map(_.numInputRows).sum
+    val batchRows = graft.streaming.DocStream
+      .repetitionGated(graft.Tables.documents(s, dir)).count()
+    emit("corpus" -> label, "op" -> "streamcur", "wall" -> w,
+      "input_rows" -> inRows, "batches" -> q.recentProgress.count(_.numInputRows > 0),
+      "rows_per_sec" -> (inRows / w).toLong,
+      "batch_chain_out" -> batchRows)
   }
 
   /** The ×200-decade ladder (r8 verdict #4): capped/retuned variants only
@@ -1124,6 +1169,7 @@ object ScaleBench {
       case "chain" => chain(spark, dir, label)
       case "k48" => k48(spark, dir, label)
       case "stream" => stream(spark, dir, label)
+      case "streamcur" => streamCur(spark, dir, label)
       case "ann" => ann(spark, dir, label)
       case "ivf" => ivf(spark, dir, label)
       case "sq8" => sq8(spark, dir, label)
