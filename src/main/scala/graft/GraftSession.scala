@@ -18,13 +18,26 @@ object GraftSession {
     */
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** Default shuffle partitions = 2 × cores. Measured, not folklore: the
+    * round-12 d13cand A/B at ×500 (SCALE_RESULTS_r12.jsonl) found an
+    * interior minimum at exactly 2 tasks/core — 54.5 s vs 79.7 s at
+    * 1×/32 and 64.8 s at 4×/128, identical outputs, zero spill — the
+    * granularity that rides out stragglers without paying 4× the
+    * per-partition fixed costs. AQE coalescing trims the small-stage
+    * excess at runtime, so the cost of the higher default on tiny
+    * queries is already handled. (The driver-contract mains pin their
+    * own value and are unaffected.)
+    */
+  def shufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (cpus.toInt * 2).toString)
+
   def build(master: String = s"local[$cpus]", appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
       .master(master)
       .appName(appName)
       .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
