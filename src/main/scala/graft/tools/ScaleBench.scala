@@ -432,6 +432,9 @@ object ScaleBench {
         .start()
       q.awaitTermination()
       val progress = q.recentProgress.filter(_.numInputRows > 0)
+      // zero batches = broken staging (round 12: relative symlink
+      // targets), never a valid measurement — fail loudly
+      require(progress.nonEmpty, s"stream/$mode read 0 rows from $dir — staging broken")
       progress.zipWithIndex.foreach { case (p, i) =>
         val state = p.stateOperators.headOption
         emit("corpus" -> label, "op" -> "stream", "mode" -> mode, "batch" -> i,
@@ -481,6 +484,9 @@ object ScaleBench {
     q.awaitTermination()
     val w = (System.nanoTime() - t0) / 1e9
     val inRows = q.recentProgress.map(_.numInputRows).sum
+    // a staging bug (round 12: relative symlink targets) reads zero
+    // files and would otherwise emit a plausible-looking all-zero row
+    require(inRows > 0, s"streamcur read 0 rows from $dir — staging broken")
     val batchRows = graft.streaming.DocStream
       .repetitionGated(graft.Tables.documents(s, dir)).count()
     emit("corpus" -> label, "op" -> "streamcur", "wall" -> w,
