@@ -18,6 +18,19 @@ object GraftSession {
     */
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** Parsed core count with the [[Watchdog.secs]] posture: a malformed
+    * SPARK_GRAFT_CPUS warns and falls back instead of throwing — a crash
+    * at session build (before any query runs) voids the whole artifact,
+    * the exact failure class the watchdog exists to prevent.
+    */
+  private def cpusInt: Int = cpus.trim.toIntOption match {
+    case Some(n) if n > 0 => n
+    case _ =>
+      System.err.println(
+        s"[graft] ignoring malformed SPARK_GRAFT_CPUS='$cpus' (want positive int); using 32")
+      32
+  }
+
   /** Default shuffle partitions = 2 × cores. Measured, not folklore: the
     * round-12 d13cand A/B at ×500 (SCALE_RESULTS_r12.jsonl) found an
     * interior minimum at exactly 2 tasks/core — 54.5 s vs 79.7 s at
@@ -29,9 +42,9 @@ object GraftSession {
     * own value and are unaffected.)
     */
   def shufflePartitions: String =
-    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (cpus.toInt * 2).toString)
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (cpusInt * 2).toString)
 
-  def build(master: String = s"local[$cpus]", appName: String = "graft"): SparkSession = {
+  def build(master: String = s"local[$cpusInt]", appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
       .master(master)

@@ -53,8 +53,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // distinct env var from Bench's SPARK_GRAFT_QUERY_TIMEOUT (150 s
+    // noop-sink default): Verify's coalesce(1) parquet dumps cost more
+    // than a noop materialization, and sharing one knob between harnesses
+    // with different defaults meant tuning one silently retuned the other
     runAll(spark, sfDir, outDir, SparkEntry.queries.filter(q => keep(q._1)),
-      Watchdog.secs("SPARK_GRAFT_QUERY_TIMEOUT", 300))
+      Watchdog.secs("SPARK_GRAFT_VERIFY_TIMEOUT", 300))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -397,6 +397,28 @@ object ScaleBench {
     * stream history. Timing-dependent (watermark advances in processing
     * time here), so this reports metrics rather than gating them.
     */
+  /** Collects EVERY progress event for one streaming query — unlike
+    * `q.recentProgress`, which is a ring buffer capped at
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100): with
+    * maxFilesPerTrigger=4 a corpus staged into >400 part files would
+    * silently drop the earliest batches and deflate every derived rate
+    * (the r12 ADVICE finding). Register before `start()`, remove after
+    * `awaitTermination()`.
+    */
+  private final class ProgressTap
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = events.add(e.progress)
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    def all: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+      import scala.jdk.CollectionConverters._
+      events.asScala.toSeq
+    }
+  }
+
   private def stream(s: SparkSession, dir: String, label: String): Unit = {
     import java.nio.file.{Files, Paths}
     def stage(): String = {
@@ -425,13 +447,16 @@ object ScaleBench {
         case Some(h) => graft.streaming.DocStream.ingestedBounded(src, "ingest_ts", h)
         case None => graft.streaming.DocStream.ingested(src)
       }
+      val tap = new ProgressTap
+      s.streams.addListener(tap)
       val q = out.writeStream.format("noop")
         .option("checkpointLocation",
           Files.createTempDirectory("scale-stream-ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      s.streams.removeListener(tap)
+      val progress = tap.all.filter(_.numInputRows > 0)
       // zero batches = broken staging (round 12: relative symlink
       // targets), never a valid measurement — fail loudly
       require(progress.nonEmpty, s"stream/$mode read 0 rows from $dir — staging broken")
@@ -474,24 +499,38 @@ object ScaleBench {
     val src = s.readStream.schema(graft.streaming.DocStream.docsSchema)
       .option("maxFilesPerTrigger", "4")
       .parquet(d.toString)
+    // stream-side SURVIVOR count via foreachBatch (the r12 ADVICE gap: a
+    // noop sink measured input rows only, so the emitted record couldn't
+    // actually support the "survivor rate matches the batch chain" claim)
+    // — the per-batch count() is a narrow job over the already-computed
+    // chain output, small against the codegen chain itself, and it makes
+    // stream_chain_out vs batch_chain_out a measured parity, not a citation
+    val survivors = new java.util.concurrent.atomic.AtomicLong(0)
+    val tap = new ProgressTap
+    s.streams.addListener(tap)
     val t0 = System.nanoTime()
     val q = graft.streaming.DocStream.repetitionGated(src)
-      .writeStream.format("noop")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        survivors.addAndGet(df.count()): Unit
+      }
       .option("checkpointLocation",
         Files.createTempDirectory("scale-streamcur-ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     val w = (System.nanoTime() - t0) / 1e9
-    val inRows = q.recentProgress.map(_.numInputRows).sum
+    s.streams.removeListener(tap)
+    val inRows = tap.all.map(_.numInputRows).sum
     // a staging bug (round 12: relative symlink targets) reads zero
     // files and would otherwise emit a plausible-looking all-zero row
     require(inRows > 0, s"streamcur read 0 rows from $dir — staging broken")
     val batchRows = graft.streaming.DocStream
       .repetitionGated(graft.Tables.documents(s, dir)).count()
     emit("corpus" -> label, "op" -> "streamcur", "wall" -> w,
-      "input_rows" -> inRows, "batches" -> q.recentProgress.count(_.numInputRows > 0),
+      "input_rows" -> inRows, "batches" -> tap.all.count(_.numInputRows > 0),
       "rows_per_sec" -> (inRows / w).toLong,
+      "stream_chain_out" -> survivors.get(),
       "batch_chain_out" -> batchRows)
   }
 
