@@ -170,6 +170,10 @@ object SparkEntry {
     // markers (the corpus lang column is a label only — raw text would
     // gate a constant); every branch exercised per run
     "t19_lang_guess"     -> (graft.llm.TextAnalysis.langGuessPlanted _),
+    // t20/t21: BPE vocabulary induction — learning over the word-frequency
+    // table (never the corpus), merge-by-merge oracle replay
+    "t20_bpe_merges"     -> (graft.llm.Bpe.merges _),
+    "t21_bpe_vocab"      -> (graft.llm.Bpe.vocab _),
     "m01_media_stats"    -> (graft.llm.Multimodal.mediaStats _),
     // m02 pins the FIXED-threshold plumbing (h=5); the shipped default is
     // AutoHamming, gated by m05 with the derivation replayed in the oracle
@@ -293,6 +297,8 @@ object SparkEntry {
     "t17_dup_gram_cov"   -> graft.llm.TextAnalysis.dupGramCoverageSql,
     "t18_shard_order"    -> graft.llm.Mixture.shardOrder8Sql,
     "t19_lang_guess"     -> graft.llm.TextAnalysis.langGuessPlantedSql,
+    "t20_bpe_merges"     -> graft.llm.Bpe.mergesSql,
+    "t21_bpe_vocab"      -> graft.llm.Bpe.vocabSql,
     "m01_media_stats"    -> graft.llm.Multimodal.mediaStatsSql,
     "m02_phash_neardup"  -> graft.llm.Multimodal.phashPairsSql,
     "m03_phash_grid_h3"  -> graft.llm.Multimodal.phashPairsH3Sql,

@@ -1,0 +1,174 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Byte-pair-encoding vocabulary induction — the first step of every
+  * training-data pipeline (token-budget decisions need a LEARNED
+  * subword vocabulary, not a whitespace guess), and the one the
+  * reference's multi-step agg-of-agg machinery is shaped for
+  * (reference runner.go:352-356: chained steps where one stage's
+  * aggregate feeds the next stage's map).
+  *
+  * Distributed shape (the published Sennrich 2016 optimization): learning
+  * runs over the WORD-FREQUENCY table, never the corpus. One corpus pass
+  * builds `(word, cnt)` — at 100 TB that table is vocabulary-sized
+  * (~10⁷–10⁸ rows), 5–6 orders smaller than the corpus — then every merge
+  * round is a narrow per-word map + a small pair aggregation over it. The
+  * per-round argmax is a `limit(1)` collect: BPE's merge decision is
+  * globally sequential BY DEFINITION (merge k+1 depends on the corpus
+  * state after merge k), so one driver-side row per round is the
+  * irreducible coordination cost, not a scale smell.
+  *
+  * Deterministic spec (both engines implement THIS, independently):
+  *   - tokens = whitespace split ([[Hashing.tokens]]), empties dropped;
+  *   - a word's symbol sequence is encoded as `~s1~s2~…~sn~` — every
+  *     symbol carries a leading `~` marker and the string ends with one
+  *     (`~` never occurs in corpus tokens, asserted by construction of
+  *     the pattern below);
+  *   - pair counts weight each word's adjacent symbol pairs by word
+  *     frequency; SELF-pairs (x,x) are ineligible for merging — a
+  *     documented variant choice that removes the overlapping-occurrence
+  *     ambiguity of run merging (BPE variants already differ here);
+  *   - the winning pair is argmax by (count DESC, sym_a ASC, sym_b ASC)
+  *     — a total order, so ties are deterministic;
+  *   - applying merge (a,b) rewrites `~a~b~` → `~ab~` with [[Passes]]
+  *     chained left-to-right non-overlapping `replace` calls. One
+  *     replace pass can miss an occurrence whose leading `~` was
+  *     consumed as the trailing `~` of the immediately-preceding match;
+  *     each pass merges at least every other occurrence of a contiguous
+  *     run, so ⌈log₂ maxWordLen⌉ passes reach the fixpoint — 8 covers
+  *     words to 256 chars. For x≠y (guaranteed by self-pair exclusion)
+  *     occurrences never overlap, so the fixpoint equals the standard
+  *     simultaneous merge.
+  *
+  * The DuckDB oracle replays the identical algorithm as a chain of
+  * MATERIALIZED CTEs, one (pairs → best → rewritten-words) stage per
+  * merge round — materialization is load-bearing: DuckDB inlines plain
+  * CTEs, which re-evaluates every prior round per round (exponential).
+  */
+object Bpe {
+
+  /** Shipped merge-round count. 12 is enough for the corpus to
+    * reconstruct whole high-frequency words (round 12 learns `join`
+    * at sf0.01) while keeping the oracle's CTE chain readable.
+    */
+  val Merges = 12
+
+  /** Chained-replace passes per merge application (see the fixpoint
+    * argument above: ⌈log₂ maxWordLen⌉ suffices; 8 ⇒ words ≤ 256 chars).
+    */
+  val Passes = 8
+
+  /** `(word, cnt, seq)` — the word-frequency table with the initial
+    * character-level symbol encoding. The ONE corpus-scale pass.
+    */
+  private def wordSeqs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(Hashing.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      // '~c1~c2~…~cn~': $1-backreference inserts a trailing ~ per char
+      .select(col("word"), col("cnt"),
+        concat(lit("~"), regexp_replace(col("word"), "(.)", "$1~")).as("seq"))
+
+  private def symsOf(seq: Column): Column =
+    filter(split(seq, "~"), x => x =!= "")
+
+  private final case class Learned(round: Int, a: String, b: String, cnt: Long)
+
+  /** The merge loop. Returns the learned merges and the word table in its
+    * final segmentation. Each round localCheckpoints the (vocab-sized)
+    * word table: truncating lineage so the plan doesn't accumulate
+    * `Merges × Passes` nested replace expressions, and materializing the
+    * state each subsequent round's pair count reads.
+    */
+  private def learn(s: SparkSession, dir: String): (Seq[Learned], DataFrame) = {
+    var seqDf = wordSeqs(s, dir).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Learned]
+    var k = 1
+    var exhausted = false
+    while (k <= Merges && !exhausted) {
+      val syms = symsOf(col("seq"))
+      val best = seqDf
+        .select(col("cnt"), explode(arrays_zip(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1))).as("pr"))
+        .select(col("cnt"), col("pr.0").as("a"), col("pr.1").as("b"))
+        .where(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        require(!a.contains("~") && !b.contains("~"),
+          s"marker char leaked into a symbol: '$a','$b'")
+        merges += Learned(k, a, b, c)
+        var sq: Column = col("seq")
+        for (_ <- 1 to Passes)
+          sq = replace(sq, lit(s"~$a~$b~"), lit(s"~$a$b~"))
+        seqDf = seqDf.select(col("word"), col("cnt"), sq.as("seq"))
+          .localCheckpoint(true)
+      }
+      k += 1
+    }
+    (merges.toSeq, seqDf)
+  }
+
+  /** t20: the learned merge table — `(merge_round, sym_a, sym_b, merged,
+    * pair_freq)`, one row per round in learning order. The output is
+    * driver-assembled because each row IS a global decision (see the
+    * class doc); the distributed work is the per-round pair aggregation.
+    */
+  def merges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    learn(s, dir)._1
+      .map(m => (m.round, m.a, m.b, m.a + m.b, m.cnt))
+      .toDF("merge_round", "sym_a", "sym_b", "merged", "pair_freq")
+  }
+
+  /** t21: the corpus token histogram under the LEARNED segmentation —
+    * the apply path (what a token-budget or packing decision consumes).
+    */
+  def vocab(s: SparkSession, dir: String): DataFrame = {
+    val (_, finalSeqs) = learn(s, dir)
+    finalSeqs
+      .select(col("cnt"), explode(symsOf(col("seq"))).as("token"))
+      .groupBy("token").agg(sum("cnt").as("freq"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** One (pairs → best → rewrite) CTE stage per round; all MATERIALIZED. */
+  private def oracleChain(n: Int): String = {
+    val toks = Hashing.sqlTokens("text")
+    val stages = new StringBuilder
+    stages ++= s"WITH w0 AS MATERIALIZED (SELECT w AS word, COUNT(*) AS cnt FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w), "
+    // \1-backreference: DuckDB's regexp_replace spelling of Spark's $1
+    stages ++= raw"s0 AS MATERIALIZED (SELECT word, cnt, '~' || regexp_replace(word, '(.)', '\1~', 'g') AS seq FROM w0)"
+    for (k <- 1 to n) {
+      val prev = s"s${k - 1}"
+      stages ++= s", p$k AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(cnt) AS BIGINT) AS pc FROM (" +
+        s"SELECT cnt, unnest([[y[i], y[i+1]] for i in range(1, greatest(len(y),1))]) AS pr " +
+        s"FROM (SELECT cnt, list_filter(string_split(seq,'~'), x -> x <> '') AS y FROM $prev)" +
+        s") WHERE pr[1] <> pr[2] GROUP BY 1, 2)"
+      stages ++= s", b$k AS MATERIALIZED (SELECT $k AS merge_round, a, b, pc FROM p$k ORDER BY pc DESC, a ASC, b ASC LIMIT 1)"
+      val rewritten = (1 to Passes).foldLeft("seq") { (e, _) =>
+        s"replace($e, '~'||m.a||'~'||m.b||'~', '~'||m.a||m.b||'~')"
+      }
+      stages ++= s", s$k AS MATERIALIZED (SELECT s.word, s.cnt, $rewritten AS seq FROM $prev s CROSS JOIN b$k m)"
+    }
+    stages.toString
+  }
+
+  val mergesSql: String = {
+    val union = (1 to Merges).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
+    oracleChain(Merges) +
+      s" SELECT CAST(merge_round AS INT) AS merge_round, a AS sym_a, b AS sym_b, a||b AS merged, pc AS pair_freq FROM ($union)"
+  }
+
+  val vocabSql: String =
+    oracleChain(Merges) +
+      s" SELECT y AS token, CAST(SUM(cnt) AS BIGINT) AS freq FROM (SELECT cnt, unnest(list_filter(string_split(seq,'~'), x -> x <> '')) AS y FROM s$Merges) GROUP BY y"
+}

@@ -1,0 +1,59 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.mr.TestSession
+
+/** Semantics of the BPE vocabulary-induction operator (t20/t21). */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  test("t20: merges are sequential, well-formed, and frequency-ordered per round") {
+    val m = Bpe.merges(spark, sf)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(m.length == Bpe.Merges)
+    assert(m.map(_._1).toSeq == (1 to Bpe.Merges))
+    m.foreach { case (_, a, b, merged, cnt) =>
+      assert(merged == a + b)
+      assert(a != b, "self-pairs are ineligible by spec")
+      assert(cnt > 0)
+      assert(!a.contains("~") && !b.contains("~"))
+    }
+    // a learned symbol is reusable: at least one later merge consumes an
+    // earlier round's product (the corpus reconstructs real words — the
+    // whole point of learning)
+    val products = m.map(_._4).toSet
+    assert(m.exists(x => products.contains(x._2) || products.contains(x._3)),
+      "no merge ever consumed a learned symbol — not actually iterating")
+  }
+
+  test("t20: deterministic across runs") {
+    val a = Bpe.merges(spark, sf).collect().map(_.toString).sorted.toSeq
+    val b = Bpe.merges(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("t21: segmentation preserves total character mass") {
+    // every corpus character ends up in exactly one vocab token:
+    // Σ freq·len(token) over the vocab == Σ len(word) over all word
+    // occurrences — merging only ever concatenates, never drops
+    val vocabMass = Bpe.vocab(spark, sf)
+      .as[(String, Long)].collect().map { case (t, f) => t.length * f }.sum
+    val corpusMass = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        Hashing.tokens(org.apache.spark.sql.functions.col("text"))).as("w"))
+      .selectExpr("CAST(SUM(length(w)) AS LONG)").as[Long].head()
+    assert(vocabMass == corpusMass)
+  }
+
+  test("t21: every learned merged symbol that survives segmentation is in the vocab domain") {
+    val vocab = Bpe.vocab(spark, sf).as[(String, Long)].collect().toMap
+    // single chars + learned products cover the whole vocab
+    val merged = Bpe.merges(spark, sf).select("merged").as[String].collect().toSet
+    vocab.keys.foreach { t =>
+      assert(t.length == 1 || merged.contains(t),
+        s"vocab token '$t' is neither a base char nor a learned merge")
+    }
+  }
+}
