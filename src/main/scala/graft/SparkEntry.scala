@@ -185,6 +185,9 @@ object SparkEntry {
     // m05: AutoHamming — threshold derived from the corpus count, the
     // HUGEINT CTE re-derives it oracle-side (h=4 at sf0.01 vs m02's 5)
     "m05_phash_auto"     -> (graft.llm.Multimodal.phashPairsAuto _),
+    // m06: REAL codec behind the decoder seam — genuine P6 PPM byte
+    // streams parsed by PpmCodec; oracle replays the generative formula
+    "m06_ppm_decode"     -> (graft.llm.Multimodal.ppmDecodeStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -304,5 +307,6 @@ object SparkEntry {
     "m03_phash_grid_h3"  -> graft.llm.Multimodal.phashPairsH3Sql,
     "m04_phash_minbands" -> graft.llm.Multimodal.phashPairsMin2Sql,
     "m05_phash_auto"     -> graft.llm.Multimodal.phashPairsAutoSql,
+    "m06_ppm_decode"     -> graft.llm.Multimodal.ppmDecodeStatsSql,
   )
 }

@@ -475,4 +475,63 @@ object Multimodal {
   }
 
   val phashPairsAutoSql: String = phashPairsAutoSqlFor(autoGateBudgetLog2)
+
+  // ------------------------------------------------------- m06: real codec
+
+  /** The media table as REAL image payloads: deterministic P6 PPM byte
+    * streams from [[PpmCodec.synth]] (header + `#` comment + RGB raster),
+    * built per partition in the same batch shape as [[mediaTable]].
+    */
+  def ppmTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = PpmCodec.synth(id)
+        MediaRow(id, payload, "image/x-portable-pixmap", payload.length.toLong)
+      })
+  }
+
+  /** m06: decode statistics through the REAL codec — each payload is a
+    * genuine P6 file that must survive [[PpmCodec.decode]] (magic,
+    * comment skip, dims, maxval, the one-whitespace rule, raster bounds)
+    * before its per-channel integer pixel sums are computed. The oracle
+    * never sees the bytes: it re-derives width/height/sums/payload size
+    * from the generative formula, so any drift in the encoder, the
+    * parser, or the raster indexing breaks the hash match. Shuffle-free:
+    * one codegen scan feeding one mapPartitions pass.
+    */
+  def ppmDecodeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ppmTable(s, dir)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = PpmCodec.decode(r.payload)
+          var rSum = 0L; var gSum = 0L; var bSum = 0L
+          var k = 0
+          val px = img.raster
+          while (k + 2 < px.length) {
+            rSum += px(k) & 0xff
+            gSum += px(k + 1) & 0xff
+            bSum += px(k + 2) & 0xff
+            k += 3
+          }
+          (r.doc_id, img.width, img.height, img.maxval, rSum, gSum, bSum, r.n_bytes)
+        }
+      }
+      .toDF("doc_id", "width", "height", "maxval", "r_sum", "g_sum", "b_sum", "n_bytes")
+  }
+
+  /** DuckDB mirror of [[ppmDecodeStats]]: the [[PpmCodec.synth]] formula
+    * replayed in integer arithmetic — dims from the id moduli, channel
+    * sums as list comprehensions over the raster index space, and
+    * n_bytes as the exact header transcription length plus the raster.
+    */
+  val ppmDecodeStatsSql: String =
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, 255 AS maxval,
+      |CAST(list_sum([(doc_id*31 + (3*x)*7) % 256 for x in range(w*h)]) AS BIGINT) AS r_sum,
+      |CAST(list_sum([(doc_id*31 + (3*x+1)*7) % 256 for x in range(w*h)]) AS BIGINT) AS g_sum,
+      |CAST(list_sum([(doc_id*31 + (3*x+2)*7) % 256 for x in range(w*h)]) AS BIGINT) AS b_sum,
+      |CAST(length('P6' || chr(10) || '#synthetic ppm ' || doc_id || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10)) + w*h*3 AS BIGINT) AS n_bytes
+      |FROM d""".stripMargin
 }
