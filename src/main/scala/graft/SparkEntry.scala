@@ -174,6 +174,9 @@ object SparkEntry {
     // table (never the corpus), merge-by-merge oracle replay
     "t20_bpe_merges"     -> (graft.llm.Bpe.merges _),
     "t21_bpe_vocab"      -> (graft.llm.Bpe.vocab _),
+    // t22: learned quality — integer-count NB-style scorer distilled from
+    // the t05 heuristic, gated on the held-out split, broadcast model join
+    "t22_nb_quality"     -> (graft.llm.LearnedQuality.nbQuality _),
     "m01_media_stats"    -> (graft.llm.Multimodal.mediaStats _),
     // m02 pins the FIXED-threshold plumbing (h=5); the shipped default is
     // AutoHamming, gated by m05 with the derivation replayed in the oracle
@@ -302,6 +305,7 @@ object SparkEntry {
     "t19_lang_guess"     -> graft.llm.TextAnalysis.langGuessPlantedSql,
     "t20_bpe_merges"     -> graft.llm.Bpe.mergesSql,
     "t21_bpe_vocab"      -> graft.llm.Bpe.vocabSql,
+    "t22_nb_quality"     -> graft.llm.LearnedQuality.nbQualitySql,
     "m01_media_stats"    -> graft.llm.Multimodal.mediaStatsSql,
     "m02_phash_neardup"  -> graft.llm.Multimodal.phashPairsSql,
     "m03_phash_grid_h3"  -> graft.llm.Multimodal.phashPairsH3Sql,
