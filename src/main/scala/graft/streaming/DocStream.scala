@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -175,4 +175,66 @@ object DocStream {
           g => graft.functions.BloomMightContain(bloom, g))))
         .cast("int"))
   }
+
+  /** One admitted document (the quota stream's output row). */
+  case class AdmittedDoc(doc_id: Long, source: String)
+
+  /** Per-source quota IN-STREAM — the streaming twin of the t11 batch
+    * quota (`llm.Mixture.sourceQuota`), and with [[mixtureThrottled]]
+    * the last curation stages that still forced a batch boundary.
+    *
+    * Semantics differ from batch BY DESIGN, the standard stream/batch
+    * split for capping: batch quota is a deterministic uniform DRAW (the
+    * quota smallest doc_id hashes per source — re-runnable over the full
+    * corpus), while a stream cannot know today whether a better-hashed
+    * doc arrives tomorrow without retracting emitted rows, which append
+    * mode cannot do. So the stream cap is ADMISSION CONTROL: first
+    * `quota` docs per source in arrival order (doc_id order within one
+    * micro-batch, to pin iterator nondeterminism), then the gate closes.
+    * Both emit EXACTLY min(quota, n_source) rows per source — the parity
+    * the spec gates — they just choose different representatives.
+    *
+    * State is one counter per source ([[org.apache.spark.sql.streaming
+    * .GroupState]][Long]) — O(sources), the smallest state of any
+    * operator in this file; admission stops reading a group's iterator
+    * the moment the quota fills, so a hot source costs its quota, not
+    * its batch volume. (The per-batch sort buffers one group of one
+    * micro-batch, bounded by trigger size, not stream history.)
+    */
+  def quotaAdmitted(docs: DataFrame, quota: Int): Dataset[AdmittedDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs.select(col("doc_id").cast("long"), col("source"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, AdmittedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source, rows, state) =>
+          var used = state.getOption.getOrElse(0L)
+          val admitted =
+            if (used >= quota) Iterator.empty
+            else rows.toArray.sortBy(_._1).iterator
+              .take(quota - used.toInt)
+              .map { case (id, _) => used += 1; AdmittedDoc(id, source) }
+              .toArray.iterator // force now so `used` is final before update
+          state.update(used)
+          admitted
+      }
+  }
+
+  /** Mixture rebalance IN-STREAM — the streaming twin of the t12 batch
+    * sampler (`llm.Mixture.mixtureSample`), as a stateless stream-static
+    * broadcast join: `thresholds` is the tiny per-source keep-rate table
+    * calibrated BATCH-side ([[graft.llm.Mixture.sampleThresholds]], the
+    * production control loop: counts from the last compaction, filter on
+    * today's stream), and the keep decision is the SAME row-local
+    * integer arithmetic as batch. Because the decision is a pure
+    * function of (doc_id, threshold), stream output equals the batch
+    * sample over the same corpus EXACTLY — not a count parity, a
+    * same-documents parity (spec-gated).
+    */
+  def mixtureThrottled(docs: DataFrame, thresholds: DataFrame): DataFrame =
+    docs.join(broadcast(thresholds), Seq("source"))
+      .filter(graft.llm.Mixture.sampleKeep)
+      .select(col("doc_id"), col("source"))
 }

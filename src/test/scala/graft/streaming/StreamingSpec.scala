@@ -330,4 +330,72 @@ class StreamingSpec extends AnyFunSuite {
       assert(joined.filter($"minhash_sig" =!= $"sig" || $"char_gini" =!= $"g").count() == 0)
     } finally q.stop()
   }
+
+  test("streaming quota admits exactly the batch quota's per-source counts") {
+    val q = DocStream.quotaAdmitted(DocStream.readDocs(spark, sf), quota = 12)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quota_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("quota_out")
+        .groupBy($"source").count().as[(String, Long)].collect().toMap
+      val batch = graft.llm.Mixture.sourceQuota(spark, sf, quota = 12)
+        .groupBy($"source").count().as[(String, Long)].collect().toMap
+      // different representatives BY DESIGN (draw vs admission) — the
+      // parity is the per-source cardinality: both emit min(quota, n)
+      assert(streamed == batch, s"per-source counts differ: $streamed vs $batch")
+      // and the admitted rows are real corpus rows of the right source
+      val corpus = graft.Tables.documents(spark, sf)
+        .select($"doc_id", $"source").as[(Long, String)].collect().toSet
+      spark.table("quota_out").as[DocStream.AdmittedDoc].collect()
+        .foreach(a => assert(corpus.contains((a.doc_id, a.source))))
+    } finally q.stop()
+  }
+
+  test("streaming quota state persists across micro-batches (gate stays closed)") {
+    // doubled at-least-once source, one file per trigger ⇒ two
+    // micro-batches of 500 rows each; the second batch must admit ZERO
+    // rows into already-full sources (25 docs/source ≥ quota 12 fills
+    // every gate in batch one)
+    val d = java.nio.file.Files.createTempDirectory("graft-quota-stream")
+    val src = java.nio.file.Paths.get(s"$sf/documents.parquet")
+    java.nio.file.Files.createSymbolicLink(d.resolve("a.parquet"), src)
+    java.nio.file.Files.createSymbolicLink(d.resolve("b.parquet"), src)
+    val doubled = spark.readStream.schema(DocStream.docsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(d.toString)
+    val q = DocStream.quotaAdmitted(doubled, quota = 12)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quota2_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "staging did not produce multiple micro-batches")
+      val perSource = spark.table("quota2_out")
+        .groupBy($"source").count().as[(String, Long)].collect().toMap
+      assert(perSource.values.forall(_ == 12),
+        s"a source exceeded its quota across batches: $perSource")
+    } finally q.stop()
+  }
+
+  test("streaming mixture throttle equals the batch sample document-for-document") {
+    val thresholds = graft.llm.Mixture.sampleThresholds(
+      graft.Tables.documents(spark, sf), targetPerSource = 18L)
+      .localCheckpoint(true) // calibrated once, static for the stream
+    val q = DocStream.mixtureThrottled(DocStream.readDocs(spark, sf), thresholds)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mix_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("mix_out")
+        .as[(Long, String)].collect().toSet
+      val batch = graft.llm.Mixture.mixtureSample(spark, sf, targetPerSource = 18L)
+        .as[(Long, String)].collect().toSet
+      // stateless row-local decision ⇒ EXACT same kept documents
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
