@@ -1135,6 +1135,103 @@ object ScaleBench {
     }
   }
 
+  /** Round-13 learning/codec operators at scale (×500): BPE induction
+    * (t20/t21 — the corpus pass is the scale axis; the word-frequency
+    * table is VOCAB-sized regardless of corpus rows, so every merge
+    * round's cost is constant in n and only the one word-count pass
+    * grows), the NB quality scorer (t22 — two corpus passes + a
+    * broadcast-model join; held-out accuracy re-measured at scale), the
+    * real PPM decode pass (m06 — shuffle-free mapPartitions, rows/s is
+    * the number), and the streaming quota twin (state rows must equal
+    * the SOURCE count, not the stream length — the O(sources) claim,
+    * measured from the state-operator progress metrics).
+    */
+  private def learn(s: SparkSession, dir: String, label: String): Unit = {
+    val docs = graft.Tables.documents(s, dir)
+    val tally = new SpillTally
+    s.sparkContext.addSparkListener(tally)
+    def run(op: String, extra: Seq[(String, Any)] = Nil)(f: => Long): Unit = {
+      f // warmup (JIT + page cache)
+      Thread.sleep(2000); tally.reset()
+      val t0 = System.nanoTime()
+      val n = f
+      val w = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000)
+      emit(Seq("corpus" -> label, "op" -> op, "wall" -> w, "out" -> n,
+        "shuffle_write_mb" -> tally.shuffleWrite / (1 << 20),
+        "mem_spill_mb" -> tally.memSpill / (1 << 20),
+        "disk_spill_mb" -> tally.diskSpill / (1 << 20)) ++ extra: _*)
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+
+    val nDocs = docs.count()
+    val nWords = docs
+      .select(explode(graft.llm.Hashing.tokens(col("text"))).as("w"))
+      .select(countDistinct(col("w"))).head().getLong(0)
+    emit("corpus" -> label, "op" -> "corpus", "n_docs" -> nDocs,
+      "distinct_words" -> nWords)
+
+    run("bpe_learn", Seq("merges" -> graft.llm.Bpe.Merges)) {
+      graft.llm.Bpe.merges(s, dir).count()
+    }
+    run("bpe_vocab") { graft.llm.Bpe.vocab(s, dir).count() }
+    run("t22_nb") { graft.llm.LearnedQuality.nbQuality(s, dir).count() }
+    val acc = graft.llm.LearnedQuality.nbQuality(s, dir)
+      .agg(sum(when(col("label") === col("predicted"), 1L).otherwise(0L)),
+        count(lit(1))).head()
+    emit("corpus" -> label, "op" -> "t22_acc",
+      "correct" -> acc.getLong(0), "n_test" -> acc.getLong(1))
+    run("m06_ppm") { graft.llm.Multimodal.ppmDecodeStats(s, dir).count() }
+
+    // streaming quota: AvailableNow over the staged corpus; state rows
+    // from the LAST batch's state-operator metrics, survivor count via
+    // the foreachBatch counter (the r12-ADVICE streamcur pattern)
+    import java.nio.file.{Files, Paths}
+    val d = Files.createTempDirectory("scale-quota")
+    d.toFile.deleteOnExit()
+    val listing = Files.list(Paths.get(s"$dir/documents.parquet"))
+    try {
+      val parts = listing.iterator()
+      var i = 0
+      while (parts.hasNext) {
+        val p = parts.next()
+        if (p.toString.endsWith(".parquet")) {
+          Files.createSymbolicLink(d.resolve(f"part-$i%05d.parquet"), p.toAbsolutePath)
+          i += 1
+        }
+      }
+    } finally listing.close()
+    val admitted = new java.util.concurrent.atomic.AtomicLong(0)
+    val tap = new ProgressTap
+    s.streams.addListener(tap)
+    val quota = 1000
+    val t0 = System.nanoTime()
+    val q = graft.streaming.DocStream.quotaAdmitted(
+        s.readStream.schema(graft.streaming.DocStream.docsSchema)
+          .option("maxFilesPerTrigger", "4").parquet(d.toString), quota)
+      .writeStream
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[graft.streaming.DocStream.AdmittedDoc], _: Long) =>
+          admitted.addAndGet(ds.count()): Unit
+      }
+      .option("checkpointLocation", Files.createTempDirectory("scale-quota-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = (System.nanoTime() - t0) / 1e9
+    s.streams.removeListener(tap)
+    val progress = tap.all.filter(_.numInputRows > 0)
+    require(progress.nonEmpty, s"quota stream read 0 rows from $dir — staging broken")
+    val lastState = progress.flatMap(_.stateOperators.headOption)
+      .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    val nSources = docs.select(countDistinct(col("source"))).head().getLong(0)
+    emit("corpus" -> label, "op" -> "quota_stream", "wall" -> w,
+      "input_rows" -> progress.map(_.numInputRows).sum,
+      "batches" -> progress.length, "quota" -> quota,
+      "admitted" -> admitted.get(), "state_rows" -> lastState,
+      "n_sources" -> nSources)
+  }
+
   /** The packed-code byte-traffic measurement (d34/d35, VERDICT r10 #6):
     * IVF-SQ8 at the production grid point with `array<int>` codes vs
     * packed `binary` codes, tallying shuffle bytes written. Bytes are a
@@ -1231,6 +1328,7 @@ object ScaleBench {
       case "d13cand" => d13cand(spark, dir, label)
       case "sq8pack" => sq8pack(spark, dir, label)
       case "newops" => newops(spark, dir, label)
+      case "learn" => learn(spark, dir, label)
       case ab if ab.startsWith("ab:") =>
         val Array(_, which, arm) = ab.split(":")
         abArm(spark, dir, label, which, arm)
