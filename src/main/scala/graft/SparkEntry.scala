@@ -177,6 +177,9 @@ object SparkEntry {
     // t22: learned quality — integer-count NB-style scorer distilled from
     // the t05 heuristic, gated on the held-out split, broadcast model join
     "t22_nb_quality"     -> (graft.llm.LearnedQuality.nbQuality _),
+    // t23: per-doc token counts under the LEARNED vocabulary (the apply
+    // surface packing/token-budget stages consume)
+    "t23_bpe_doc_tokens" -> (graft.llm.Bpe.docTokens _),
     "m01_media_stats"    -> (graft.llm.Multimodal.mediaStats _),
     // m02 pins the FIXED-threshold plumbing (h=5); the shipped default is
     // AutoHamming, gated by m05 with the derivation replayed in the oracle
@@ -306,6 +309,7 @@ object SparkEntry {
     "t20_bpe_merges"     -> graft.llm.Bpe.mergesSql,
     "t21_bpe_vocab"      -> graft.llm.Bpe.vocabSql,
     "t22_nb_quality"     -> graft.llm.LearnedQuality.nbQualitySql,
+    "t23_bpe_doc_tokens" -> graft.llm.Bpe.docTokensSql,
     "m01_media_stats"    -> graft.llm.Multimodal.mediaStatsSql,
     "m02_phash_neardup"  -> graft.llm.Multimodal.phashPairsSql,
     "m03_phash_grid_h3"  -> graft.llm.Multimodal.phashPairsH3Sql,

@@ -138,6 +138,23 @@ object Bpe {
       .groupBy("token").agg(sum("cnt").as("freq"))
   }
 
+  /** t23: per-document token counts under the LEARNED vocabulary — the
+    * apply surface a token-budget or packing decision (t15) actually
+    * consumes. The word→symbol-count map is vocabulary-sized, so the
+    * join is left UNHINTED (the t14 posture): AQE broadcasts while the
+    * vocab fits and degrades to a shuffle join instead of OOM on a
+    * heavy-tailed web vocabulary.
+    */
+  def docTokens(s: SparkSession, dir: String): DataFrame = {
+    val (_, finalSeqs) = learn(s, dir)
+    val counts = finalSeqs.select(col("word"), size(symsOf(col("seq"))).as("n_syms"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Hashing.tokens(col("text"))).as("word"))
+      .join(counts, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_syms")).as("n_bpe_tokens"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** One (pairs → best → rewrite) CTE stage per round; all MATERIALIZED. */
@@ -171,4 +188,10 @@ object Bpe {
   val vocabSql: String =
     oracleChain(Merges) +
       s" SELECT y AS token, CAST(SUM(cnt) AS BIGINT) AS freq FROM (SELECT cnt, unnest(list_filter(string_split(seq,'~'), x -> x <> '')) AS y FROM s$Merges) GROUP BY y"
+
+  val docTokensSql: String =
+    oracleChain(Merges) +
+      s" SELECT doc_id, CAST(SUM(len(list_filter(string_split(m.seq,'~'), x -> x <> ''))) AS BIGINT) AS n_bpe_tokens" +
+      s" FROM (SELECT doc_id, unnest(${Hashing.sqlTokens("text")}) AS word FROM documents) t" +
+      s" JOIN s$Merges m ON t.word = m.word GROUP BY doc_id"
 }

@@ -47,6 +47,27 @@ class BpeSpec extends AnyFunSuite {
     assert(vocabMass == corpusMass)
   }
 
+  test("t23: per-doc learned-token counts sum to the t21 vocab mass") {
+    // the same segmentation viewed doc-wise and vocab-wise: totals agree
+    val docTotal = Bpe.docTokens(spark, sf)
+      .selectExpr("CAST(SUM(n_bpe_tokens) AS LONG)").as[Long].head()
+    val vocabTotal = Bpe.vocab(spark, sf)
+      .selectExpr("CAST(SUM(freq) AS LONG)").as[Long].head()
+    assert(docTotal == vocabTotal)
+    // bounds: every word is at least one symbol (merges never cross word
+    // boundaries), so a doc's learned-token count ≥ its word count
+    val over = Bpe.docTokens(spark, sf).as[(Long, Long)].collect().toMap
+    val words = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          Hashing.tokens(org.apache.spark.sql.functions.col("text"))).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    over.foreach { case (id, nBpe) =>
+      assert(nBpe >= words(id),
+        s"doc $id: $nBpe symbols < ${words(id)} words — a merge crossed a word boundary")
+    }
+  }
+
   test("t21: every learned merged symbol that survives segmentation is in the vocab domain") {
     val vocab = Bpe.vocab(spark, sf).as[(String, Long)].collect().toMap
     // single chars + learned products cover the whole vocab

@@ -38,6 +38,18 @@ class PpmCodecSpec extends AnyFunSuite {
     assert(d.raster.toSeq == raster.toSeq)
   }
 
+  test("maxval >= 256 switches to 2-byte big-endian samples") {
+    // 1x1 RGB at maxval 65535: raster is 6 bytes, not 3
+    val raster = Array[Byte](0x12, 0x34, 0x56, 0x78, (0x9a).toByte, (0xbc).toByte)
+    val bytes = "P6\n1 1\n65535\n".getBytes("US-ASCII") ++ raster
+    val d = PpmCodec.decode(bytes)
+    assert((d.width, d.height, d.maxval, d.bytesPerSample) == ((1, 1, 65535, 2)))
+    assert(d.raster.toSeq == raster.toSeq)
+    // the same raster truncated by one byte must be rejected
+    assertThrows[IllegalArgumentException](
+      PpmCodec.decode("P6\n1 1\n65535\n".getBytes("US-ASCII") ++ raster.dropRight(1)))
+  }
+
   test("malformed inputs are rejected, not mis-decoded") {
     val ok = PpmCodec.encode(2, 2, 255, img(2, 2)(identity))
     assertThrows[IllegalArgumentException](PpmCodec.decode("P5\n2 2\n255\n".getBytes ++ img(2, 2)(identity)))
