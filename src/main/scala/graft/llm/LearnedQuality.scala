@@ -56,13 +56,52 @@ object LearnedQuality {
       .select(col("doc_id"),
         when(TextAnalysis.qualityScore(col("st"), col("text")) >= LabelThreshold, 1)
           .otherwise(0).as("label"),
-        explode(array(
-          expr("concat('L:', least(st.n_tokens DIV 20, 9))"),
-          expr("concat('D:', (st.n_distinct_tokens * 10) DIV st.n_tokens)"),
-          expr("concat('S:', least((st.n_stopwords * 20) DIV st.n_tokens, 9))"),
-          expr("concat('A:', (st.n_alpha * 10) DIV length(text))"))).as("f"))
+        explode(array(featureExprs: _*)).as("f"))
 
   private def isTrain(c: org.apache.spark.sql.Column) = c % 5 < 4
+
+  /** The four bucket-feature expressions over an in-scope `st`
+    * (TokenStats struct) and `text` column — shared by the exploded
+    * batch path and the literal-map streaming path, so the two scoring
+    * forms cannot drift.
+    */
+  private def featureExprs: Seq[org.apache.spark.sql.Column] = Seq(
+    expr("concat('L:', least(st.n_tokens DIV 20, 9))"),
+    expr("concat('D:', (st.n_distinct_tokens * 10) DIV st.n_tokens)"),
+    expr("concat('S:', least((st.n_stopwords * 20) DIV st.n_tokens, 9))"),
+    expr("concat('A:', (st.n_alpha * 10) DIV length(text))"))
+
+  /** Train on the 80% split and COLLECT the model — legitimate here and
+    * only here: the model is bucket-count-sized (~40 rows; ≤ a few
+    * thousand with richer feature sets), and collecting it is what lets
+    * inference run with NO join at all (see [[scoreColumns]]). This is
+    * the train-batch/score-stream production shape.
+    */
+  def trainModel(s: SparkSession, dir: String): Map[String, Long] =
+    featureRows(s, dir).where(isTrain(col("doc_id")))
+      .groupBy("f")
+      .agg(sum(col("label")).as("cp"), count(lit(1)).as("n"))
+      .select(col("f"),
+        expr(s"CAST((cp + 1) * $Scale DIV (n + 2) AS BIGINT)").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** `(score_sum, predicted)` columns scoring a row against a literal
+    * model: the map rides the expression tree to every executor (the
+    * d36 bloom-sketch posture applied to a model) — four map lookups
+    * and a sum, zero joins, zero state, so it drops into a streaming
+    * micro-batch plan as-is. Caller provides `st` =
+    * `TokenStats(text)` in scope. Bit-identical to the join path of
+    * [[nbQuality]] by construction (same [[featureExprs]], same
+    * backoff, same decision rule) — spec-pinned.
+    */
+  def scoreColumns(model: Map[String, Long]):
+      (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val m = typedLit(model)
+    val score = featureExprs
+      .map(f => coalesce(element_at(m, f), lit(Scale / 2)))
+      .reduce(_ + _)
+    (score, when(score * 2 >= lit(4L * Scale), 1).otherwise(0).cast("int"))
+  }
 
   /** t22: held-out per-doc scores — `(doc_id, label, score_sum,
     * predicted)`, every gated column integer-exact.

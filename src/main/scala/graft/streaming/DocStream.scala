@@ -222,6 +222,25 @@ object DocStream {
       }
   }
 
+  /** Learned quality scoring IN-STREAM — the t22 model applied to a
+    * continuous corpus, the train-batch/score-stream production shape:
+    * the (tiny, bucket-count-sized) model is collected batch-side
+    * ([[graft.llm.LearnedQuality.trainModel]]) and rides the expression
+    * tree as a LITERAL map (the d36 bloom-sketch posture applied to a
+    * model) — four map lookups + a sum per row, no join, no state, no
+    * watermark, so batch ≡ stream parity is exact (spec-gated).
+    * `nb_score`/`nb_keep` ride along as evidence; routing/dropping is
+    * the caller's composition choice, as with [[contamFlagged]].
+    */
+  def learnedQualityScored(docs: DataFrame, model: Map[String, Long]): DataFrame = {
+    val (score, keep) = graft.llm.LearnedQuality.scoreColumns(model)
+    docs
+      .withColumn("st", graft.functions.TokenStats(col("text")))
+      .withColumn("nb_score", score)
+      .withColumn("nb_keep", keep)
+      .drop("st")
+  }
+
   /** Mixture rebalance IN-STREAM — the streaming twin of the t12 batch
     * sampler (`llm.Mixture.mixtureSample`), as a stateless stream-static
     * broadcast join: `thresholds` is the tiny per-source keep-rate table

@@ -38,6 +38,21 @@ class LearnedQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("t22: literal-map scoring reproduces the join path bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val model = LearnedQuality.trainModel(spark, sf)
+    assert(model.nonEmpty && model.keys.forall(k => "LDSA".contains(k.head)))
+    val (score, pred) = LearnedQuality.scoreColumns(model)
+    val viaMap = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") % 5 >= 4)
+      .withColumn("st", graft.functions.TokenStats(col("text")))
+      .select(col("doc_id"), score.as("s"), pred.as("p"))
+      .as[(Long, Long, Int)].collect()
+      .map { case (id, s, p) => id -> ((s, p)) }.toMap
+    val viaJoin = heldOut.map { case (id, _, ss, p) => id -> ((ss, p)) }.toMap
+    assert(viaMap == viaJoin)
+  }
+
   test("t22: the model side of the scoring join is broadcast") {
     val plan = LearnedQuality.nbQuality(spark, sf)
       .queryExecution.executedPlan.toString

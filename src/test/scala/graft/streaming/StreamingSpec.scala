@@ -380,6 +380,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming learned-quality scoring equals batch document-for-document") {
+    // train batch-side, score the stream with the literal-map model
+    val model = graft.llm.LearnedQuality.trainModel(spark, sf)
+    val q = DocStream.learnedQualityScored(DocStream.readDocs(spark, sf), model)
+      .select($"doc_id", $"nb_score", $"nb_keep")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("nb_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("nb_out")
+        .as[(Long, Long, Int)].collect().toSet
+      val batch = DocStream.learnedQualityScored(
+          graft.Tables.documents(spark, sf), model)
+        .select($"doc_id", $"nb_score", $"nb_keep")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(streamed == batch)
+      // the model discriminates in-stream too: both keep decisions occur
+      assert(streamed.exists(_._3 == 0) && streamed.exists(_._3 == 1))
+    } finally q.stop()
+  }
+
   test("streaming mixture throttle equals the batch sample document-for-document") {
     val thresholds = graft.llm.Mixture.sampleThresholds(
       graft.Tables.documents(spark, sf), targetPerSource = 18L)
