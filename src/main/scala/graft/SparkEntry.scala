@@ -142,6 +142,10 @@ object SparkEntry {
     // d37: curation v3 — v2 plus the t17 repetition cut (over REDACTED
     // text, pre-quota) and the t18 window-grain training layout
     "d37_curate_v3"      -> ((s, dir) => graft.llm.Curate.curateV3(s, dir)),
+    // d38: curation v4 — v3 plus the t22 LEARNED quality gate as stage
+    // 3' (model trained on the chain's own survivors, applied as a
+    // literal map — row-local, no join-back, text still never shuffles)
+    "d38_curate_v4"      -> ((s, dir) => graft.llm.Curate.curateV4(s, dir)),
     "t01_doc_stats"      -> (graft.llm.TextAnalysis.docStats _),
     "t02_lang_dist"      -> (graft.llm.TextAnalysis.langDistribution _),
     "t03_token_counts"   -> (graft.llm.TextAnalysis.tokenCounts _),
@@ -287,6 +291,7 @@ object SparkEntry {
     "d35_ivf_sq8_packed" -> graft.llm.Similarity.ivfSq8KnnPackedSql,
     "d36_contam_bloom"   -> graft.llm.SpanDedup.contamSpansBloom8Sql,
     "d37_curate_v3"      -> graft.llm.Curate.curateV3Sql,
+    "d38_curate_v4"      -> graft.llm.Curate.curateV4Sql,
     "t01_doc_stats"      -> graft.llm.TextAnalysis.docStatsSql,
     "t02_lang_dist"      -> graft.llm.TextAnalysis.langDistributionSql,
     "t03_token_counts"   -> graft.llm.TextAnalysis.tokenCountsSql,

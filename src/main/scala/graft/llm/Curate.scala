@@ -173,11 +173,19 @@ object Curate {
     */
   private[graft] def repCutStage(docs: DataFrame, minTokens: Int,
       repK: Int, repMax: Double): DataFrame =
+    repCutFrom(scrubScored(docs, minTokens), repK, repMax)
+
+  /** The repetition cut over an ALREADY-scrubbed frame (v4 inserts the
+    * learned gate between scrub and this stage). `extraCols` carries
+    * v4's evidence columns through the text-dropping select.
+    */
+  private def repCutFrom(scrubbed: DataFrame, repK: Int, repMax: Double,
+      extraCols: Seq[String] = Nil): DataFrame =
     TextAnalysis
-      .withDupCovered(scrubScored(docs, minTokens), "rtext", repK)
-      .select(col("doc_id"), col("source"), col("n_removed"), col("n_pii"),
-        col("quality"), col("n_tokens"),
-        explode(array(col("dup_covered"))).as("dup_covered"))
+      .withDupCovered(scrubbed, "rtext", repK)
+      .select((Seq(col("doc_id"), col("source"), col("n_removed"), col("n_pii"),
+        col("quality")) ++ extraCols.map(col) ++ Seq(col("n_tokens"),
+        explode(array(col("dup_covered"))).as("dup_covered"))): _*)
       .filter(col("dup_covered").cast("double")
         / col("n_tokens").cast("double") <= repMax)
 
@@ -196,6 +204,76 @@ object Curate {
       .select(col("source"), col("doc_id"), col("n_removed"), col("n_pii"),
         col("quality"), col("n_tokens"), col("dup_covered"), col("seq_no"),
         col("shard"), col("pos_in_seq"))
+  }
+
+  /** Curation v4 (d38) — v3 with the LEARNED quality gate (t22) slotted
+    * in as stage 3′, between the heuristic quality floor and the
+    * repetition cut — the full train-in-the-pipeline posture:
+    *
+    *   3′. the NB model trains on the chain's OWN survivors (the
+    *       post-scrub population, 80% doc_id split), with the chain's
+    *       already-computed heuristic `quality` as the teacher at the
+    *       corpus-median 0.55 threshold, features over the REDACTED
+    *       text; the (bucket-count-sized) model is collected and scores
+    *       every survivor ROW-LOCALLY as a literal map (the t22-stream
+    *       posture — no join-back, no exchange, redacted text still
+    *       never shuffles). Docs the learned gate rejects drop;
+    *       `nb_score` rides along as evidence.
+    *
+    *   The scrub output is localCheckpointed: the training aggregate and
+    *   the main chain both read it, and the checkpoint makes the second
+    *   read a block-manager scan instead of a re-run of the strip join
+    *   (the §3d pin-vs-regen trade, pinned side). The checkpoint is also
+    *   the pushdown fence for the gate's filter — nothing below a
+    *   LogicalRDD to inline into (the round-11 hang class is
+    *   structurally impossible here).
+    */
+  def curateV4(s: SparkSession, dir: String, minTokens: Int = 8,
+      quota: Int = 12, seqTokens: Int = 256, repK: Int = 3,
+      repMax: Double = 0.1, nShards: Int = 4): DataFrame =
+    curateV4Df(Tables.documents(s, dir), minTokens, quota, seqTokens,
+      repK, repMax, nShards)
+
+  /** Teacher threshold of the v4 learned gate (the t22 median choice). */
+  private val NbLabelThreshold = 0.55
+
+  private def nbGateModel(scrubbed: DataFrame): Map[String, Long] =
+    scrubbed
+      .withColumn("nbst", graft.functions.TokenStats(col("rtext")))
+      .where(col("doc_id") % 5 < 4)
+      .select(
+        when(col("quality") >= NbLabelThreshold, 1).otherwise(0).as("nblabel"),
+        explode(array(
+          LearnedQuality.featureExprsFor("nbst", "rtext"): _*)).as("f"))
+      .groupBy("f")
+      .agg(sum(col("nblabel")).as("cp"), count(lit(1)).as("n"))
+      .select(col("f"), expr("CAST((cp + 1) * 1000000 DIV (n + 2) AS BIGINT)").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** [[curateV4]] over any (doc_id, source, text) DataFrame. */
+  def curateV4Df(docs: DataFrame, minTokens: Int = 8,
+      quota: Int = 12, seqTokens: Int = 256, repK: Int = 3,
+      repMax: Double = 0.1, nShards: Int = 4): DataFrame = {
+    val scrubbed = scrubScored(docs, minTokens).localCheckpoint(true)
+    val model = nbGateModel(scrubbed)
+    val (nbScore, nbKeep) =
+      LearnedQuality.scoreColumnsFor(model, "nbst", "rtext")
+    val gated = scrubbed
+      .withColumn("nbst", graft.functions.TokenStats(col("rtext")))
+      .withColumn("nb_score", nbScore)
+      .where(nbKeep === 1)
+      .drop("nbst")
+    quotaPack(repCutFrom(gated, repK, repMax, Seq("nb_score")), quota, seqTokens)
+      .withColumn("shard", pmod(Hashing.hash60(
+          concat(lit("epoch0:"), col("source"), lit("#"),
+            col("seq_no").cast("string"))),
+        lit(nShards.toLong)).cast("int"))
+      .withColumn("pos_in_seq", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("seq_no")).orderBy(col("doc_id"))))
+      .select(col("source"), col("doc_id"), col("n_removed"), col("n_pii"),
+        col("quality"), col("nb_score"), col("n_tokens"), col("dup_covered"),
+        col("seq_no"), col("shard"), col("pos_in_seq"))
   }
 
   /** DuckDB mirror of [[curateV2]]: the d28 strip CTEs over the planted
@@ -276,12 +354,32 @@ object Curate {
     * stack over rtext, the v2 quota/pack, then the window-grain layout.
     */
   def curateV3SqlFor(k: Int, quota: Int, seqTokens: Int, repK: Int,
-      repMax: Double, nShards: Int): String = {
+      repMax: Double, nShards: Int): String =
+    curateChainSql(k, quota, seqTokens, repK, repMax, nShards, nbGate = false)
+
+  /** The shared v3/v4 chain mirror; `nbGate = true` inserts the stage-3′
+    * CTEs (nbf features → nbm model over the 80% split → nbs scores →
+    * qf2 keep) between the heuristic floor and the repetition cut,
+    * replaying [[nbGateModel]] + [[LearnedQuality.scoreColumnsFor]] in
+    * exact integer arithmetic.
+    */
+  private def curateChainSql(k: Int, quota: Int, seqTokens: Int, repK: Int,
+      repMax: Double, nShards: Int, nbGate: Boolean): String = {
     val rgk = Hashing.sqlHash60(s"array_to_string(rt[i:i+${repK - 1}], ' ')")
     val shardKey = Hashing.sqlHash60(
       "'epoch0:' || source || '#' || CAST(seq_no AS VARCHAR)")
+    val feats = LearnedQuality
+      .featureSqlFor(Hashing.sqlTokens("rtext"), "rtext").mkString(", ")
+    val nbCtes = if (!nbGate) "" else
+      s"""nbf AS (SELECT doc_id, CASE WHEN quality >= $NbLabelThreshold THEN 1 ELSE 0 END AS nblabel, unnest([$feats]) AS f FROM qf),
+         |nbm AS (SELECT f, CAST((SUM(nblabel) + 1) * 1000000 // (COUNT(*) + 2) AS BIGINT) AS s FROM nbf WHERE doc_id % 5 < 4 GROUP BY f),
+         |nbs AS (SELECT doc_id, CAST(SUM(COALESCE(m.s, 500000)) AS BIGINT) AS nb_score, COUNT(*) AS nf FROM nbf t LEFT JOIN nbm m ON t.f = m.f GROUP BY doc_id),
+         |qf2 AS (SELECT q.*, nbs.nb_score FROM qf q JOIN nbs USING (doc_id) WHERE 2 * nbs.nb_score >= 1000000 * nbs.nf),
+         |""".stripMargin
+    val rtFrom = if (nbGate) "qf2" else "qf"
+    val nbCol = if (nbGate) " nb_score," else ""
     s"""${scrubSqlPrefix(k)},
-       |rt1 AS (SELECT *, ${Hashing.sqlTokens("rtext")} AS rt FROM qf),
+       |__NBCTES__rt1 AS (SELECT *, ${Hashing.sqlTokens("rtext")} AS rt FROM $rtFrom),
        |rg AS (SELECT *, CASE WHEN len(rt) >= $repK THEN
        |          [$rgk for i in range(1, len(rt) - ${repK - 2})] END AS g
        |        FROM rt1),
@@ -292,7 +390,7 @@ object Curate {
        |rds AS (SELECT *,
        |          list_filter(range(1, len(g) + 1), p -> list_contains(dv, g[p])) AS ds
        |        FROM rd),
-       |rc AS (SELECT source, doc_id, n_removed, n_pii, quality, n_tokens,
+       |rc AS (SELECT source, doc_id, n_removed, n_pii, quality,$nbCol n_tokens,
        |         CASE WHEN g IS NULL THEN 0 ELSE
        |           CAST(len(list_filter(range(1, len(rt) + 1),
        |             j -> len(list_filter(ds, p -> j >= p AND j <= p + ${repK - 1})) > 0)) AS INT)
@@ -300,17 +398,25 @@ object Curate {
        |       FROM rds),
        |repf AS (SELECT * FROM rc
        |         WHERE CAST(dup_covered AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= $repMax),
-       |${quotaPackSql("repf", quota, " dup_covered,")},
-       |laid AS (SELECT source, doc_id, n_removed, n_pii, quality, n_tokens,
+       |${quotaPackSql("repf", quota, s" dup_covered,$nbCol")},
+       |laid AS (SELECT source, doc_id, n_removed, n_pii, quality,$nbCol n_tokens,
        |    dup_covered, CAST((cum - n_tokens) // $seqTokens AS BIGINT) AS seq_no
        |  FROM packed)
        |SELECT *, CAST(($shardKey) % $nShards AS INT) AS shard,
        |  CAST(row_number() OVER (PARTITION BY source, seq_no ORDER BY doc_id)
        |    AS INT) AS pos_in_seq
-       |FROM laid""".stripMargin.replace("__PLANT__", Pii.plantSql)
+       |FROM laid""".stripMargin
+      .replace("__NBCTES__", nbCtes)
+      .replace("__PLANT__", Pii.plantSql)
   }
 
   val curateV3Sql: String = curateV3SqlFor(8, 12, 256, 3, 0.1, 4)
+
+  def curateV4SqlFor(k: Int, quota: Int, seqTokens: Int, repK: Int,
+      repMax: Double, nShards: Int): String =
+    curateChainSql(k, quota, seqTokens, repK, repMax, nShards, nbGate = true)
+
+  val curateV4Sql: String = curateV4SqlFor(8, 12, 256, 3, 0.1, 4)
 
   val curateSql: String =
     s"""WITH RECURSIVE pairs AS (${Dedup.lshVerifiedPairsSql}),

@@ -60,16 +60,34 @@ object LearnedQuality {
 
   private def isTrain(c: org.apache.spark.sql.Column) = c % 5 < 4
 
-  /** The four bucket-feature expressions over an in-scope `st`
-    * (TokenStats struct) and `text` column — shared by the exploded
-    * batch path and the literal-map streaming path, so the two scoring
-    * forms cannot drift.
+  /** The four bucket-feature expressions over an in-scope TokenStats
+    * struct and text column — shared by the exploded batch path, the
+    * literal-map streaming path, AND the curation-v4 gate (which scores
+    * REDACTED text under different column names), so the scoring forms
+    * cannot drift.
     */
-  private def featureExprs: Seq[org.apache.spark.sql.Column] = Seq(
-    expr("concat('L:', least(st.n_tokens DIV 20, 9))"),
-    expr("concat('D:', (st.n_distinct_tokens * 10) DIV st.n_tokens)"),
-    expr("concat('S:', least((st.n_stopwords * 20) DIV st.n_tokens, 9))"),
-    expr("concat('A:', (st.n_alpha * 10) DIV length(text))"))
+  private[llm] def featureExprsFor(st: String, text: String): Seq[org.apache.spark.sql.Column] = Seq(
+    expr(s"concat('L:', least($st.n_tokens DIV 20, 9))"),
+    expr(s"concat('D:', ($st.n_distinct_tokens * 10) DIV $st.n_tokens)"),
+    expr(s"concat('S:', least(($st.n_stopwords * 20) DIV $st.n_tokens, 9))"),
+    expr(s"concat('A:', ($st.n_alpha * 10) DIV length($text))"))
+
+  private def featureExprs: Seq[org.apache.spark.sql.Column] =
+    featureExprsFor("st", "text")
+
+  /** DuckDB spellings of [[featureExprsFor]] over a token-list column,
+    * a text column, and an in-scope integer `n_tokens` (the list's
+    * length, already carried by every caller).
+    */
+  private[llm] def featureSqlFor(toks: String, text: String): Seq[String] = {
+    val stopList = graft.functions.TokenStats.DefaultStopwords
+      .map(w => s"'$w'").mkString(", ")
+    Seq(
+      s"'L:' || least(n_tokens // 20, 9)",
+      s"'D:' || (len(list_distinct($toks)) * 10 // n_tokens)",
+      s"'S:' || least(len(list_filter($toks, t -> t IN ($stopList))) * 20 // n_tokens, 9)",
+      s"'A:' || (length(regexp_replace($text, '[^a-zA-Z]', '', 'g')) * 10 // length($text))")
+  }
 
   /** Train on the 80% split and COLLECT the model — legitimate here and
     * only here: the model is bucket-count-sized (~40 rows; ≤ a few
@@ -95,9 +113,16 @@ object LearnedQuality {
     * backoff, same decision rule) — spec-pinned.
     */
   def scoreColumns(model: Map[String, Long]):
+      (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+    scoreColumnsFor(model, "st", "text")
+
+  /** [[scoreColumns]] over caller-named TokenStats/text columns (the
+    * curation-v4 gate scores redacted text as `nbst`/`rtext`).
+    */
+  def scoreColumnsFor(model: Map[String, Long], st: String, text: String):
       (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val m = typedLit(model)
-    val score = featureExprs
+    val score = featureExprsFor(st, text)
       .map(f => coalesce(element_at(m, f), lit(Scale / 2)))
       .reduce(_ + _)
     (score, when(score * 2 >= lit(4L * Scale), 1).otherwise(0).cast("int"))

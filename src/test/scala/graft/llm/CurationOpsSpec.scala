@@ -295,6 +295,29 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d38 curateV4: the learned gate is active, bounded, and text-free") {
+    val sfDir = "/root/testdata/sf0.001"
+    val v4 = Curate.curateV4(spark, sfDir).collect()
+    assert(v4.nonEmpty)
+    val nbIdx = Curate.curateV4(spark, sfDir).columns.indexOf("nb_score")
+    v4.foreach { r =>
+      val s = r.getLong(nbIdx)
+      // a surviving doc's evidence: mean posterior ≥ ½ over 4 features
+      assert(s >= 2L * 1000000L && s <= 4L * 1000000L, s"nb_score $s")
+    }
+    // quota still binds per source
+    val perSource = v4.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perSource.values.forall(_ <= 12))
+    // the gate actually changes the draw vs v3 (41 scrub-survivors are
+    // cut pre-quota at sf0.001 — if the kept sets ever coincide, the
+    // gate has gone inert and this must fail)
+    val v3Ids = Curate.curateV3(spark, sfDir).select("doc_id")
+      .as[Long].collect().toSet
+    val v4Ids = Curate.curateV4(spark, sfDir).select("doc_id")
+      .as[Long].collect().toSet
+    assert(v4Ids != v3Ids, "learned gate dropped nothing from the draw")
+  }
+
   test("d37 plan: the repetition cut stays behind the barrier and off the exchange") {
     // the round-11 hang: PushDownPredicates inlined the dup-covered
     // kernel (and the whole scrub chain under it) into a 12 KB Filter
