@@ -234,15 +234,34 @@ object Curate {
     curateV4Df(Tables.documents(s, dir), minTokens, quota, seqTokens,
       repK, repMax, nShards)
 
-  /** Teacher threshold of the v4 learned gate (the t22 median choice). */
-  private val NbLabelThreshold = 0.55
+  /** Teacher threshold of the v4 learned gate: the EXACT median quality
+    * of the train split — DERIVED from the corpus, not fixed (the
+    * d24/m05 auto-calibration pattern, and the ×500 lesson that forced
+    * it: a threshold frozen at the verify-SF median sat in the ×500
+    * population's tail, the teacher labeled ~everything one class, and
+    * the gate nuked 549k of 550k scrub survivors; a median-centered
+    * teacher keeps the classes balanced at ANY corpus). Exact k-th
+    * value, not an approximate quantile, so the oracle replays it
+    * bit-for-bit (rank-k of a sorted multiset is tiebreak-independent);
+    * a 100 TB deployment would swap in approx_percentile and accept the
+    * gate drifting from its oracle — the calibration, not the gate
+    * arithmetic, is what changes.
+    */
+  private def nbTeacherThreshold(scrubbed: DataFrame): Double = {
+    val train = scrubbed.where(col("doc_id") % 5 < 4)
+    val n = train.count()
+    require(n > 0, "v4 gate: empty train split")
+    val k = ((n + 1) / 2).toInt
+    train.select(col("quality")).orderBy(col("quality")).limit(k)
+      .agg(max(col("quality"))).head().getDouble(0)
+  }
 
-  private def nbGateModel(scrubbed: DataFrame): Map[String, Long] =
+  private def nbGateModel(scrubbed: DataFrame, thr: Double): Map[String, Long] =
     scrubbed
       .withColumn("nbst", graft.functions.TokenStats(col("rtext")))
       .where(col("doc_id") % 5 < 4)
       .select(
-        when(col("quality") >= NbLabelThreshold, 1).otherwise(0).as("nblabel"),
+        when(col("quality") >= thr, 1).otherwise(0).as("nblabel"),
         explode(array(
           LearnedQuality.featureExprsFor("nbst", "rtext"): _*)).as("f"))
       .groupBy("f")
@@ -250,19 +269,28 @@ object Curate {
       .select(col("f"), expr("CAST((cp + 1) * 1000000 DIV (n + 2) AS BIGINT)").as("s"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-  /** [[curateV4]] over any (doc_id, source, text) DataFrame. */
-  def curateV4Df(docs: DataFrame, minTokens: Int = 8,
-      quota: Int = 12, seqTokens: Int = 256, repK: Int = 3,
-      repMax: Double = 0.1, nShards: Int = 4): DataFrame = {
+  /** Stages 0–3′ (scrub → learned gate), text still carried — exposed
+    * package-private for the same reason as [[repCutStage]]: the
+    * post-quota output MASKS the gate's activity (quota refill), so a
+    * measurement harness reads the cut at its own stage.
+    */
+  private[graft] def nbGatedStage(docs: DataFrame, minTokens: Int): DataFrame = {
     val scrubbed = scrubScored(docs, minTokens).localCheckpoint(true)
-    val model = nbGateModel(scrubbed)
+    val model = nbGateModel(scrubbed, nbTeacherThreshold(scrubbed))
     val (nbScore, nbKeep) =
       LearnedQuality.scoreColumnsFor(model, "nbst", "rtext")
-    val gated = scrubbed
+    scrubbed
       .withColumn("nbst", graft.functions.TokenStats(col("rtext")))
       .withColumn("nb_score", nbScore)
       .where(nbKeep === 1)
       .drop("nbst")
+  }
+
+  /** [[curateV4]] over any (doc_id, source, text) DataFrame. */
+  def curateV4Df(docs: DataFrame, minTokens: Int = 8,
+      quota: Int = 12, seqTokens: Int = 256, repK: Int = 3,
+      repMax: Double = 0.1, nShards: Int = 4): DataFrame = {
+    val gated = nbGatedStage(docs, minTokens)
     quotaPack(repCutFrom(gated, repK, repMax, Seq("nb_score")), quota, seqTokens)
       .withColumn("shard", pmod(Hashing.hash60(
           concat(lit("epoch0:"), col("source"), lit("#"),
@@ -371,7 +399,8 @@ object Curate {
     val feats = LearnedQuality
       .featureSqlFor(Hashing.sqlTokens("rtext"), "rtext").mkString(", ")
     val nbCtes = if (!nbGate) "" else
-      s"""nbf AS (SELECT doc_id, CASE WHEN quality >= $NbLabelThreshold THEN 1 ELSE 0 END AS nblabel, unnest([$feats]) AS f FROM qf),
+      s"""nbthr AS (SELECT quality AS thr FROM (SELECT quality, row_number() OVER (ORDER BY quality) AS rn, COUNT(*) OVER () AS nn FROM qf WHERE doc_id % 5 < 4) WHERE rn = (nn + 1) // 2),
+         |nbf AS (SELECT doc_id, CASE WHEN quality >= (SELECT thr FROM nbthr) THEN 1 ELSE 0 END AS nblabel, unnest([$feats]) AS f FROM qf),
          |nbm AS (SELECT f, CAST((SUM(nblabel) + 1) * 1000000 // (COUNT(*) + 2) AS BIGINT) AS s FROM nbf WHERE doc_id % 5 < 4 GROUP BY f),
          |nbs AS (SELECT doc_id, CAST(SUM(COALESCE(m.s, 500000)) AS BIGINT) AS nb_score, COUNT(*) AS nf FROM nbf t LEFT JOIN nbm m ON t.f = m.f GROUP BY doc_id),
          |qf2 AS (SELECT q.*, nbs.nb_score FROM qf q JOIN nbs USING (doc_id) WHERE 2 * nbs.nb_score >= 1000000 * nbs.nf),

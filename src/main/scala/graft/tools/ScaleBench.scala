@@ -1017,6 +1017,43 @@ object ScaleBench {
       "repartition_drift" -> drift)
   }
 
+  /** Curation v4 at scale: the learned-gate chain's wall vs v3's, the
+    * gate's PRE-quota activity (the cur3 masking lesson applies
+    * identically — quota refill hides the cut), and
+    * repartition-determinism of the full chain including the
+    * trained-model stage (the model is an aggregate over a checkpointed
+    * frame, so it must not drift under input partitioning).
+    */
+  private def cur4(s: SparkSession, dir: String, label: String): Unit = {
+    val docs = graft.Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val quota = math.max(12, (nDocs / 100).toInt)
+    def build(d: DataFrame = docs): DataFrame =
+      graft.llm.Curate.curateV4Df(d, quota = quota, seqTokens = 2048,
+        repK = 3, repMax = 0.1, nShards = 64)
+    val (w3, _) = timed2 {
+      graft.llm.Curate.curateV3Df(docs, quota = quota, seqTokens = 2048,
+        repK = 3, repMax = 0.1, nShards = 64)
+        .write.format("noop").mode("overwrite").save(); nDocs
+    }
+    val (w4, _) = timed2 {
+      build().write.format("noop").mode("overwrite").save(); nDocs
+    }
+    val out = build().localCheckpoint(true)
+    val n = out.count()
+    // gate activity PRE-quota, at its own stage (the cur3 masking
+    // lesson): scrub survivors vs the nb-gated population
+    val scrubAll = graft.llm.Curate.repCutStage(docs, 8, 3, 1.0).count()
+    val gateKept = graft.llm.Curate.nbGatedStage(docs, 8).count()
+    val rep = build(docs.repartition(17))
+    val drift = out.exceptAll(rep).count() + rep.exceptAll(out).count()
+    emit("corpus" -> label, "op" -> "cur4", "n_docs" -> nDocs,
+      "quota" -> quota, "wall_v3" -> w3, "wall_v4" -> w4, "out" -> n,
+      "scrub_survivors" -> scrubAll,
+      "nb_gate_cut" -> (scrubAll - gateKept),
+      "repartition_drift" -> drift)
+  }
+
   /** Per-stage spill/shuffle byte tally (aggregated task metrics per
     * completed stage) — what turns the d13cand A/B from wall-clock
     * anecdote into spill-edge evidence.
@@ -1329,6 +1366,7 @@ object ScaleBench {
       case "sq8pack" => sq8pack(spark, dir, label)
       case "newops" => newops(spark, dir, label)
       case "learn" => learn(spark, dir, label)
+      case "cur4" => cur4(spark, dir, label)
       case ab if ab.startsWith("ab:") =>
         val Array(_, which, arm) = ab.split(":")
         abArm(spark, dir, label, which, arm)
