@@ -24,9 +24,11 @@ import graft.Tables
   * Deterministic spec (both engines implement THIS, independently):
   *   - tokens = whitespace split ([[Hashing.tokens]]), empties dropped;
   *   - a word's symbol sequence is encoded as `~s1~s2~…~sn~` — every
-  *     symbol carries a leading `~` marker and the string ends with one
-  *     (`~` never occurs in corpus tokens, asserted by construction of
-  *     the pattern below);
+  *     symbol carries a leading `~` marker and the string ends with one.
+  *     A `~` inside a corpus token degrades GRACEFULLY: both engines
+  *     split symbols on `~` and drop empties identically, so it acts as
+  *     one more separator, never a cross-engine divergence (learned
+  *     symbols are additionally require()-checked marker-free);
   *   - pair counts weight each word's adjacent symbol pairs by word
   *     frequency; SELF-pairs (x,x) are ineligible for merging — a
   *     documented variant choice that removes the overlapping-occurrence
@@ -68,9 +70,13 @@ object Bpe {
     Tables.documents(s, dir)
       .select(explode(Hashing.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      // '~c1~c2~…~cn~': $1-backreference inserts a trailing ~ per char
+      // '~c1~c2~…~cn~': $1-backreference inserts a trailing ~ per char.
+      // (?s) DOTALL is load-bearing for cross-engine parity: without it,
+      // Java's '.' skips \r, U+0085, U+2028, U+2029 while RE2's skips only
+      // \n — a token containing \r would be marker-encoded differently
+      // by the two engines. With DOTALL both mark EVERY codepoint.
       .select(col("word"), col("cnt"),
-        concat(lit("~"), regexp_replace(col("word"), "(.)", "$1~")).as("seq"))
+        concat(lit("~"), regexp_replace(col("word"), "(?s)(.)", "$1~")).as("seq"))
 
   private def symsOf(seq: Column): Column =
     filter(split(seq, "~"), x => x =!= "")
@@ -84,7 +90,23 @@ object Bpe {
     * state each subsequent round's pair count reads.
     */
   private def learn(s: SparkSession, dir: String): (Seq[Learned], DataFrame) = {
-    var seqDf = wordSeqs(s, dir).localCheckpoint(true)
+    val sc = s.sparkContext
+    // checkpoint ROTATION: each round's localCheckpoint supersedes the
+    // previous round's — without unpersisting it, one learn() call
+    // retains Merges+1 copies of the word table in the block manager
+    // (at a web-scale 10⁷–10⁸-row vocabulary that is real memory), and
+    // t20/t21/t23 each run learn(). Track the RDD ids each checkpoint
+    // creates and release the superseded generation.
+    var prevIds: Set[Int] = Set.empty
+    def rotate(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(true)
+      val created = sc.getPersistentRDDs.keySet.toSet -- before
+      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      prevIds = created
+      out
+    }
+    var seqDf = rotate(wordSeqs(s, dir))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Learned]
     var k = 1
     var exhausted = false
@@ -108,8 +130,7 @@ object Bpe {
         var sq: Column = col("seq")
         for (_ <- 1 to Passes)
           sq = replace(sq, lit(s"~$a~$b~"), lit(s"~$a$b~"))
-        seqDf = seqDf.select(col("word"), col("cnt"), sq.as("seq"))
-          .localCheckpoint(true)
+        seqDf = rotate(seqDf.select(col("word"), col("cnt"), sq.as("seq")))
       }
       k += 1
     }
@@ -162,8 +183,9 @@ object Bpe {
     val toks = Hashing.sqlTokens("text")
     val stages = new StringBuilder
     stages ++= s"WITH w0 AS MATERIALIZED (SELECT w AS word, COUNT(*) AS cnt FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w), "
-    // \1-backreference: DuckDB's regexp_replace spelling of Spark's $1
-    stages ++= raw"s0 AS MATERIALIZED (SELECT word, cnt, '~' || regexp_replace(word, '(.)', '\1~', 'g') AS seq FROM w0)"
+    // \1-backreference: DuckDB's regexp_replace spelling of Spark's $1;
+    // 's' flag = the DOTALL of the Spark side's (?s) (see wordSeqs)
+    stages ++= raw"s0 AS MATERIALIZED (SELECT word, cnt, '~' || regexp_replace(word, '(.)', '\1~', 'gs') AS seq FROM w0)"
     for (k <- 1 to n) {
       val prev = s"s${k - 1}"
       stages ++= s", p$k AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(cnt) AS BIGINT) AS pc FROM (" +
@@ -174,7 +196,12 @@ object Bpe {
       val rewritten = (1 to Passes).foldLeft("seq") { (e, _) =>
         s"replace($e, '~'||m.a||'~'||m.b||'~', '~'||m.a||m.b||'~')"
       }
-      stages ++= s", s$k AS MATERIALIZED (SELECT s.word, s.cnt, $rewritten AS seq FROM $prev s CROSS JOIN b$k m)"
+      // the UNION ALL arm guards pair exhaustion: with an EMPTY b$k a
+      // bare CROSS JOIN would annihilate the word table and every later
+      // stage — while the Spark side keeps the final table on exhaustion
+      // (the `exhausted` break). Exactly one arm is ever non-empty.
+      stages ++= s", s$k AS MATERIALIZED (SELECT s.word, s.cnt, $rewritten AS seq FROM $prev s CROSS JOIN b$k m" +
+        s" UNION ALL SELECT word, cnt, seq FROM $prev WHERE NOT EXISTS (SELECT 1 FROM b$k))"
     }
     stages.toString
   }

@@ -257,17 +257,13 @@ object Curate {
   }
 
   private def nbGateModel(scrubbed: DataFrame, thr: Double): Map[String, Long] =
-    scrubbed
+    LearnedQuality.modelFrom(scrubbed
       .withColumn("nbst", graft.functions.TokenStats(col("rtext")))
       .where(col("doc_id") % 5 < 4)
       .select(
-        when(col("quality") >= thr, 1).otherwise(0).as("nblabel"),
+        when(col("quality") >= thr, 1).otherwise(0).as("label"),
         explode(array(
-          LearnedQuality.featureExprsFor("nbst", "rtext"): _*)).as("f"))
-      .groupBy("f")
-      .agg(sum(col("nblabel")).as("cp"), count(lit(1)).as("n"))
-      .select(col("f"), expr("CAST((cp + 1) * 1000000 DIV (n + 2) AS BIGINT)").as("s"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          LearnedQuality.featureExprsFor("nbst", "rtext"): _*)).as("f")))
 
   /** Stages 0–3′ (scrub → learned gate), text still carried — exposed
     * package-private for the same reason as [[repCutStage]]: the

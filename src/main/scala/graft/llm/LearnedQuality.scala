@@ -96,7 +96,18 @@ object LearnedQuality {
     * the train-batch/score-stream production shape.
     */
   def trainModel(s: SparkSession, dir: String): Map[String, Long] =
-    featureRows(s, dir).where(isTrain(col("doc_id")))
+    modelFrom(featureRows(s, dir).where(isTrain(col("doc_id"))))
+
+  /** Fit the evidence model from `(label, f)` rows and collect it (tiny
+    * by construction — one row per feature bucket). THE one place the
+    * smoothing/scale formula lives for collected models: t22's
+    * streaming path and the d38 curation gate both call this, so the
+    * formula cannot drift between consumers (the broadcast-join path in
+    * [[nbQuality]] carries its own copy, pinned equal by the t22 gate
+    * and the literal-map≡join spec).
+    */
+  private[llm] def modelFrom(labeledFeatures: DataFrame): Map[String, Long] =
+    labeledFeatures
       .groupBy("f")
       .agg(sum(col("label")).as("cp"), count(lit(1)).as("n"))
       .select(col("f"),

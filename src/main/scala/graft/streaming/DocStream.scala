@@ -213,10 +213,26 @@ object DocStream {
           var used = state.getOption.getOrElse(0L)
           val admitted =
             if (used >= quota) Iterator.empty
-            else rows.toArray.sortBy(_._1).iterator
-              .take(quota - used.toInt)
-              .map { case (id, _) => used += 1; AdmittedDoc(id, source) }
-              .toArray.iterator // force now so `used` is final before update
+            else {
+              // bounded selection, not a full-group sort: one pass with a
+              // size-(quota-used) max-heap keeps the smallest doc_ids of
+              // the batch in O(need) memory — a hot source costs its
+              // quota, never its batch volume (the doc's cost claim,
+              // honored in the code; a full toArray.sortBy would buffer
+              // the whole micro-batch group)
+              val need = (quota - used).toInt
+              val heap = new java.util.PriorityQueue[Long](
+                math.max(need, 1), java.util.Collections.reverseOrder[Long]())
+              rows.foreach { case (id, _) =>
+                if (heap.size < need) heap.add(id)
+                else if (id < heap.peek()) { heap.poll(); heap.add(id) }
+              }
+              val picked = new Array[Long](heap.size)
+              var i = picked.length - 1
+              while (i >= 0) { picked(i) = heap.poll(); i -= 1 }
+              used += picked.length
+              picked.iterator.map(AdmittedDoc(_, source))
+            }
           state.update(used)
           admitted
       }

@@ -417,6 +417,24 @@ object ScaleBench {
       import scala.jdk.CollectionConverters._
       events.asScala.toSeq
     }
+
+    /** Listener events arrive ASYNCHRONOUSLY on the listener bus —
+      * `awaitTermination` returning does not mean the tail batches'
+      * progress events have been dispatched (under load they lag).
+      * Reading immediately would undercount exactly like the
+      * recentProgress ring this class replaced. Poll until the event
+      * count is stable for two consecutive checks (bounded wait).
+      */
+    def awaitQuiesce(maxWaitMs: Long = 10000): Unit = {
+      val deadline = System.nanoTime() + maxWaitMs * 1000000L
+      var last = -1
+      var stable = 0
+      while (stable < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        val n = events.size()
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    }
   }
 
   private def stream(s: SparkSession, dir: String, label: String): Unit = {
@@ -455,6 +473,7 @@ object ScaleBench {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      tap.awaitQuiesce()
       s.streams.removeListener(tap)
       val progress = tap.all.filter(_.numInputRows > 0)
       // zero batches = broken staging (round 12: relative symlink
@@ -520,6 +539,7 @@ object ScaleBench {
       .start()
     q.awaitTermination()
     val w = (System.nanoTime() - t0) / 1e9
+    tap.awaitQuiesce()
     s.streams.removeListener(tap)
     val inRows = tap.all.map(_.numInputRows).sum
     // a staging bug (round 12: relative symlink targets) reads zero
@@ -1031,6 +1051,15 @@ object ScaleBench {
     def build(d: DataFrame = docs): DataFrame =
       graft.llm.Curate.curateV4Df(d, quota = quota, seqTokens = 2048,
         repK = 3, repMax = 0.1, nShards = 64)
+    // explicit warmup BEFORE either timed arm (the learn-mode run()
+    // discipline): the first heavy chain in a JVM pays first-plan
+    // codegen/JIT and cold parquet pages for both arms' shared scrub —
+    // without this, whichever arm runs first eats it (min-of-2 softens
+    // but does not remove the asymmetry)
+    graft.llm.Curate.curateV3Df(docs, quota = quota, seqTokens = 2048,
+      repK = 3, repMax = 0.1, nShards = 64)
+      .write.format("noop").mode("overwrite").save()
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val (w3, _) = timed2 {
       graft.llm.Curate.curateV3Df(docs, quota = quota, seqTokens = 2048,
         repK = 3, repMax = 0.1, nShards = 64)
@@ -1047,7 +1076,12 @@ object ScaleBench {
     val gateKept = graft.llm.Curate.nbGatedStage(docs, 8).count()
     val rep = build(docs.repartition(17))
     val drift = out.exceptAll(rep).count() + rep.exceptAll(out).count()
-    emit("corpus" -> label, "op" -> "cur4", "n_docs" -> nDocs,
+    // "arm" names the calibration in force — the committed
+    // SCALE_RESULTS_r13.jsonl also carries a frozen_thr arm measured
+    // BEFORE the derived-median fix (kept as the degeneracy evidence;
+    // that code path no longer exists, so it is not regenerable)
+    emit("corpus" -> label, "op" -> "cur4", "arm" -> "derived_median_thr",
+      "n_docs" -> nDocs,
       "quota" -> quota, "wall_v3" -> w3, "wall_v4" -> w4, "out" -> n,
       "scrub_survivors" -> scrubAll,
       "nb_gate_cut" -> (scrubAll - gateKept),
@@ -1256,6 +1290,7 @@ object ScaleBench {
       .start()
     q.awaitTermination()
     val w = (System.nanoTime() - t0) / 1e9
+    tap.awaitQuiesce()
     s.streams.removeListener(tap)
     val progress = tap.all.filter(_.numInputRows > 0)
     require(progress.nonEmpty, s"quota stream read 0 rows from $dir — staging broken")

@@ -15,8 +15,10 @@ $JAVA graft.tools.ScaleBench scale/x500 x500 learn > /tmp/r13_learn.log 2>&1
 echo "learn done $(date +%T)"
 $JAVA graft.tools.ScaleBench scale/x500 x500 streamcur > /tmp/r13_streamcur.log 2>&1
 echo "streamcur done $(date +%T)"
+$JAVA graft.tools.ScaleBench scale/x500 x500 cur4 > /tmp/r13_cur4.log 2>&1
+echo "cur4 done $(date +%T)"
 
-grep -h '\[scale\]' /tmp/r13_learn.log /tmp/r13_streamcur.log 2>/dev/null \
+grep -h '\[scale\]' /tmp/r13_learn.log /tmp/r13_streamcur.log /tmp/r13_cur4.log 2>/dev/null \
   | sed 's/^\[scale\] //' >> SCALE_RESULTS_r13.jsonl || true
 awk '!seen[$0]++' SCALE_RESULTS_r13.jsonl > SCALE_RESULTS_r13.jsonl.tmp \
   && mv SCALE_RESULTS_r13.jsonl.tmp SCALE_RESULTS_r13.jsonl
