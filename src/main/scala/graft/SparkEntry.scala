@@ -198,6 +198,11 @@ object SparkEntry {
     // m06: REAL codec behind the decoder seam — genuine P6 PPM byte
     // streams parsed by PpmCodec; oracle replays the generative formula
     "m06_ppm_decode"     -> (graft.llm.Multimodal.ppmDecodeStats _),
+    // m07: the resize/thumbnail path over real parses (box-fit integer
+    // arithmetic replayed in the oracle)
+    "m07_ppm_resize"     -> ((s, dir) => graft.llm.Multimodal.ppmResize(s, dir)),
+    // t24: BPE train/apply split — merge replay segments UNSEEN words
+    "t24_bpe_heldout"    -> (graft.llm.Bpe.heldoutTokens _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -321,5 +326,7 @@ object SparkEntry {
     "m04_phash_minbands" -> graft.llm.Multimodal.phashPairsMin2Sql,
     "m05_phash_auto"     -> graft.llm.Multimodal.phashPairsAutoSql,
     "m06_ppm_decode"     -> graft.llm.Multimodal.ppmDecodeStatsSql,
+    "m07_ppm_resize"     -> graft.llm.Multimodal.ppmResizeSql,
+    "t24_bpe_heldout"    -> graft.llm.Bpe.heldoutTokensSql,
   )
 }

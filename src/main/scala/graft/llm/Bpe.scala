@@ -66,8 +66,8 @@ object Bpe {
   /** `(word, cnt, seq)` — the word-frequency table with the initial
     * character-level symbol encoding. The ONE corpus-scale pass.
     */
-  private def wordSeqs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  private def wordSeqs(docs: DataFrame): DataFrame =
+    docs
       .select(explode(Hashing.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       // '~c1~c2~…~cn~': $1-backreference inserts a trailing ~ per char.
@@ -89,7 +89,10 @@ object Bpe {
     * `Merges × Passes` nested replace expressions, and materializing the
     * state each subsequent round's pair count reads.
     */
-  private def learn(s: SparkSession, dir: String): (Seq[Learned], DataFrame) = {
+  private def learn(s: SparkSession, dir: String): (Seq[Learned], DataFrame) =
+    learnDf(s, Tables.documents(s, dir))
+
+  private def learnDf(s: SparkSession, docs: DataFrame): (Seq[Learned], DataFrame) = {
     val sc = s.sparkContext
     // checkpoint ROTATION: each round's localCheckpoint supersedes the
     // previous round's — without unpersisting it, one learn() call
@@ -106,7 +109,7 @@ object Bpe {
       prevIds = created
       out
     }
-    var seqDf = rotate(wordSeqs(s, dir))
+    var seqDf = rotate(wordSeqs(docs))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Learned]
     var k = 1
     var exhausted = false
@@ -176,13 +179,41 @@ object Bpe {
       .agg(sum(col("n_syms")).as("n_bpe_tokens"))
   }
 
+  /** t24: the BPE train/apply SPLIT — learn on the 80% doc_id split,
+    * segment the HELD-OUT 20% by replaying the learned merge list in
+    * order (the real tokenizer-inference surface: unseen words segment
+    * by merge replay, not by lookup in a seen-word table — the one
+    * thing [[docTokens]]'s same-corpus join cannot demonstrate).
+    * Segmentation runs over the DISTINCT held-out words (vocab-sized),
+    * then joins back per occurrence — the merge replay is a
+    * `Merges × Passes` chain of codegen `replace` calls, paid once per
+    * distinct word, not per token.
+    */
+  def heldoutTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (learned, _) = learnDf(s, docs.where(col("doc_id") % 5 < 4))
+    val testTok = docs.where(col("doc_id") % 5 >= 4)
+      .select(col("doc_id"), explode(Hashing.tokens(col("text"))).as("word"))
+    var seq: Column =
+      concat(lit("~"), regexp_replace(col("word"), "(?s)(.)", "$1~"))
+    for (m <- learned; _ <- 1 to Passes)
+      seq = replace(seq, lit(s"~${m.a}~${m.b}~"), lit(s"~${m.a}${m.b}~"))
+    val segmented = testTok.select(col("word")).distinct()
+      .select(col("word"), size(symsOf(seq)).as("n_syms"))
+    testTok.join(segmented, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_syms")).as("n_bpe_tokens"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
-  /** One (pairs → best → rewrite) CTE stage per round; all MATERIALIZED. */
-  private def oracleChain(n: Int): String = {
+  /** One (pairs → best → rewrite) CTE stage per round; all MATERIALIZED.
+    * `docsWhere` restricts the LEARNING corpus (t24 trains on a split).
+    */
+  private def oracleChain(n: Int, docsWhere: String = ""): String = {
     val toks = Hashing.sqlTokens("text")
     val stages = new StringBuilder
-    stages ++= s"WITH w0 AS MATERIALIZED (SELECT w AS word, COUNT(*) AS cnt FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w), "
+    stages ++= s"WITH w0 AS MATERIALIZED (SELECT w AS word, COUNT(*) AS cnt FROM (SELECT unnest($toks) AS w FROM documents$docsWhere) GROUP BY w), "
     // \1-backreference: DuckDB's regexp_replace spelling of Spark's $1;
     // 's' flag = the DOTALL of the Spark side's (?s) (see wordSeqs)
     stages ++= raw"s0 AS MATERIALIZED (SELECT word, cnt, '~' || regexp_replace(word, '(.)', '\1~', 'gs') AS seq FROM w0)"
@@ -221,4 +252,26 @@ object Bpe {
       s" SELECT doc_id, CAST(SUM(len(list_filter(string_split(m.seq,'~'), x -> x <> ''))) AS BIGINT) AS n_bpe_tokens" +
       s" FROM (SELECT doc_id, unnest(${Hashing.sqlTokens("text")}) AS word FROM documents) t" +
       s" JOIN s$Merges m ON t.word = m.word GROUP BY doc_id"
+
+  /** [[heldoutTokens]] mirror: the learn chain over the train split,
+    * then the merge REPLAY over the distinct held-out words (u-stages,
+    * same empty-b$k exhaustion guard), joined back per occurrence.
+    */
+  val heldoutTokensSql: String = {
+    val toks = Hashing.sqlTokens("text")
+    val sb = new StringBuilder(oracleChain(Merges, " WHERE doc_id % 5 < 4"))
+    sb ++= raw", twd AS MATERIALIZED (SELECT DISTINCT w AS word FROM (SELECT unnest($toks) AS w FROM documents WHERE doc_id % 5 >= 4))"
+    sb ++= raw", u0 AS MATERIALIZED (SELECT word, '~' || regexp_replace(word, '(.)', '\1~', 'gs') AS seq FROM twd)"
+    for (k <- 1 to Merges) {
+      val rewritten = (1 to Passes).foldLeft("u.seq") { (e, _) =>
+        s"replace($e, '~'||m.a||'~'||m.b||'~', '~'||m.a||m.b||'~')"
+      }
+      sb ++= s", u$k AS MATERIALIZED (SELECT u.word, $rewritten AS seq FROM u${k - 1} u CROSS JOIN b$k m" +
+        s" UNION ALL SELECT word, seq FROM u${k - 1} WHERE NOT EXISTS (SELECT 1 FROM b$k))"
+    }
+    sb ++= s" SELECT doc_id, CAST(SUM(len(list_filter(string_split(u.seq,'~'), x -> x <> ''))) AS BIGINT) AS n_bpe_tokens" +
+      s" FROM (SELECT doc_id, unnest($toks) AS word FROM documents WHERE doc_id % 5 >= 4) t" +
+      s" JOIN u$Merges u ON t.word = u.word GROUP BY doc_id"
+    sb.toString
+  }
 }

@@ -521,6 +521,29 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "maxval", "r_sum", "g_sum", "b_sum", "n_bytes")
   }
 
+  /** m07: the thumbnail/resize path through the REAL codec — the box-fit
+    * integer arithmetic of [[resizeTo]] over genuinely parsed P6 dims
+    * (previously spec-only). Same shuffle-free mapPartitions shape.
+    */
+  def ppmResize(s: SparkSession, dir: String, maxSide: Int = 32): DataFrame =
+    resizeTo(ppmTable(s, dir), maxSide, () => new PpmDecoder)
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"), col("n_bytes"))
+
+  /** DuckDB mirror of [[ppmResize]]: dims from the synth formula, the
+    * box-fit ⌊w·maxSide/longSide⌋ (floor-div, 1-floor) replayed exactly.
+    */
+  def ppmResizeSqlFor(maxSide: Int): String =
+    s"""WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |CAST(greatest(1, w * $maxSide // greatest(w, h)) AS INT) AS out_w,
+      |CAST(greatest(1, h * $maxSide // greatest(w, h)) AS INT) AS out_h,
+      |CAST(length('P6' || chr(10) || '#synthetic ppm ' || doc_id || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10)) + w*h*3 AS BIGINT) AS n_bytes
+      |FROM d""".stripMargin
+
+  val ppmResizeSql: String = ppmResizeSqlFor(32)
+
   /** DuckDB mirror of [[ppmDecodeStats]]: the [[PpmCodec.synth]] formula
     * replayed in integer arithmetic — dims from the id moduli, channel
     * sums as list comprehensions over the raster index space, and

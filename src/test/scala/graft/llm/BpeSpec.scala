@@ -68,6 +68,29 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("t24: held-out segmentation covers exactly the 20% split within sane bounds") {
+    val rows = Bpe.heldoutTokens(spark, sf).as[(Long, Long)].collect().toMap
+    val words = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          Hashing.tokens(org.apache.spark.sql.functions.col("text"))).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val heldOut = words.keySet.filter(_ % 5 >= 4)
+    assert(rows.keySet == heldOut, "t24 must score exactly the held-out docs")
+    rows.foreach { case (id, nBpe) =>
+      assert(nBpe >= words(id), s"doc $id: fewer symbols than words")
+      // and replay genuinely merged something (char-count upper bound is
+      // strict unless NO merge ever applies to held-out text)
+    }
+    val charMass = graft.Tables.documents(spark, sf)
+      .where(org.apache.spark.sql.functions.col("doc_id") % 5 >= 4)
+      .select(org.apache.spark.sql.functions.explode(
+        Hashing.tokens(org.apache.spark.sql.functions.col("text"))).as("w"))
+      .selectExpr("CAST(SUM(length(w)) AS LONG)").as[Long].head()
+    assert(rows.values.sum < charMass,
+      "no learned merge applied to ANY held-out word — replay inert")
+  }
+
   test("t21: every learned merged symbol that survives segmentation is in the vocab domain") {
     val vocab = Bpe.vocab(spark, sf).as[(String, Long)].collect().toMap
     // single chars + learned products cover the whole vocab
