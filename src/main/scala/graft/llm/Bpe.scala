@@ -179,6 +179,36 @@ object Bpe {
       .agg(sum(col("n_syms")).as("n_bpe_tokens"))
   }
 
+  /** The learned merge list in application order, collected (Merges
+    * rows) — the artifact a serving/streaming tokenizer ships (the
+    * literal-model posture of `LearnedQuality.trainModel`, applied to
+    * the tokenizer; consumed by
+    * [[graft.streaming.DocStream.bpeSegmented]]).
+    */
+  def mergeList(s: SparkSession, dir: String): Seq[(String, String)] =
+    learn(s, dir)._1.map(m => (m.a, m.b))
+
+  /** Per-row token count under a learned merge list, as ONE codegen
+    * expression chain over the WHOLE text — no explode, no join, no
+    * state, so it drops into a streaming micro-batch plan as-is.
+    *
+    * Construction: collapse space runs to a `|` boundary symbol, marker-
+    * encode every char, then replay the merge chain globally. `|` can
+    * never participate in a merge (learned symbols come from words,
+    * which contain no `|`), so boundaries block cross-word merges and
+    * each word's rewrite equals the per-word replay exactly. Every
+    * merge application removes exactly one `~`, so the final count is
+    * pure arithmetic: tokens = (#`~` − 1) − #`|`.
+    */
+  def tokenCountWithMerges(text: Column, merges: Seq[(String, String)]): Column = {
+    var enc: Column = concat(lit("~"),
+      regexp_replace(regexp_replace(text, " +", "|"), "(?s)(.)", "$1~"))
+    for ((a, b) <- merges; _ <- 1 to Passes)
+      enc = replace(enc, lit(s"~$a~$b~"), lit(s"~$a$b~"))
+    def cntOf(ch: String) = length(enc) - length(replace(enc, lit(ch), lit("")))
+    (cntOf("~") - 1 - cntOf("|")).cast("long")
+  }
+
   /** t24: the BPE train/apply SPLIT — learn on the 80% doc_id split,
     * segment the HELD-OUT 20% by replaying the learned merge list in
     * order (the real tokenizer-inference surface: unseen words segment

@@ -257,6 +257,20 @@ object DocStream {
       .drop("st")
   }
 
+  /** BPE token counting IN-STREAM — the learned vocabulary applied to a
+    * continuous corpus (what a streaming token-budget/packing decision
+    * reads). Train-batch/apply-stream like [[learnedQualityScored]]:
+    * the merge list ([[graft.llm.Bpe.mergeList]], Merges rows) is baked
+    * into ONE codegen replace chain over the whole text
+    * ([[graft.llm.Bpe.tokenCountWithMerges]]) — no explode, no join, no
+    * state, exact batch ≡ stream parity (spec additionally pins it
+    * equal to the t23 word-table-join computation: two independent
+    * evaluation strategies, one answer).
+    */
+  def bpeSegmented(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs.withColumn("n_bpe_tokens",
+      graft.llm.Bpe.tokenCountWithMerges(col("text"), merges))
+
   /** Mixture rebalance IN-STREAM — the streaming twin of the t12 batch
     * sampler (`llm.Mixture.mixtureSample`), as a stateless stream-static
     * broadcast join: `thresholds` is the tiny per-source keep-rate table

@@ -402,6 +402,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming BPE token counts equal batch AND the word-table join path") {
+    val merges = graft.llm.Bpe.mergeList(spark, sf)
+    assert(merges.nonEmpty)
+    val q = DocStream.bpeSegmented(DocStream.readDocs(spark, sf), merges)
+      .select($"doc_id", $"n_bpe_tokens")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bpe_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_out")
+        .as[(Long, Long)].collect().toMap
+      // parity 1: same function over the batch frame (stateless chain)
+      val batch = DocStream.bpeSegmented(
+          graft.Tables.documents(spark, sf), merges)
+        .select($"doc_id", $"n_bpe_tokens").as[(Long, Long)].collect().toMap
+      assert(streamed == batch)
+      // parity 2: a DIFFERENT evaluation strategy — t23's word-table
+      // join — must produce the same per-doc counts (whole-text replay
+      // with boundary symbols ≡ per-word segmentation lookup)
+      val viaJoin = graft.llm.Bpe.docTokens(spark, sf)
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == viaJoin)
+    } finally q.stop()
+  }
+
   test("streaming mixture throttle equals the batch sample document-for-document") {
     val thresholds = graft.llm.Mixture.sampleThresholds(
       graft.Tables.documents(spark, sf), targetPerSource = 18L)
