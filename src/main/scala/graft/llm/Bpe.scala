@@ -21,14 +21,34 @@ import graft.Tables
   * state after merge k), so one driver-side row per round is the
   * irreducible coordination cost, not a scale smell.
   *
+  * DELTA maintenance (round 14): the per-round pair table is maintained
+  * incrementally, not re-aggregated. Merging (a,b) changes the adjacent-
+  * pair multiset ONLY for words whose sequence contains `~a~b~`, so each
+  * round folds `pairs − pairAgg(hit) + pairAgg(rewritten hit)` into the
+  * maintained table: the corpus-weighted symbol explode — the dominant
+  * per-round term, Σ word symbols — shrinks to the affected words, and
+  * the residual is one narrow (a, b, pc) fold whose size is the distinct-
+  * pair count, not the symbol mass. This is what makes a 32k-merge
+  * vocabulary thinkable: by late rounds almost no word contains the
+  * winning pair, so rounds get CHEAPER as learning proceeds instead of
+  * re-paying the full explode. The argmax becomes a TakeOrdered scan of
+  * the maintained table. Output is byte-identical to full re-aggregation
+  * (pair counts are additive per word; the fold is exact integer
+  * arithmetic) — gated by the unchanged t20/t21/t23/t24 oracles.
+  *
   * Deterministic spec (both engines implement THIS, independently):
   *   - tokens = whitespace split ([[Hashing.tokens]]), empties dropped;
+  *   - `~` (symbol marker) and `|` (the streaming counter's word
+  *     boundary) are RESERVED: both engines delete them from a word
+  *     before marker-encoding (`replace(replace(w,'~',''),'|',''))` —
+  *     so learned symbols can never contain either, the marker algebra
+  *     below is total, and the streaming count path
+  *     ([[tokenCountWithMerges]]) agrees with the word-table path on
+  *     ANY input, not just corpora free of the reserved chars (the r13
+  *     ADVICE divergence). A word consisting entirely of reserved chars
+  *     scrubs to the empty sequence and counts zero symbols;
   *   - a word's symbol sequence is encoded as `~s1~s2~…~sn~` — every
-  *     symbol carries a leading `~` marker and the string ends with one.
-  *     A `~` inside a corpus token degrades GRACEFULLY: both engines
-  *     split symbols on `~` and drop empties identically, so it acts as
-  *     one more separator, never a cross-engine divergence (learned
-  *     symbols are additionally require()-checked marker-free);
+  *     symbol carries a leading `~` marker and the string ends with one;
   *   - pair counts weight each word's adjacent symbol pairs by word
   *     frequency; SELF-pairs (x,x) are ineligible for merging — a
   *     documented variant choice that removes the overlapping-occurrence
@@ -44,6 +64,18 @@ import graft.Tables
   *     words to 256 chars. For x≠y (guaranteed by self-pair exclusion)
   *     occurrences never overlap, so the fixpoint equals the standard
   *     simultaneous merge.
+  *
+  * Memory discipline: the loop's word table and pair table each live in
+  * ONE rotated localCheckpoint slot ([[CpSlot]] — the checkpointed RDD is
+  * captured from the checkpoint's own LogicalRDD, never set-diffed out of
+  * the global persistent-RDD registry, so a concurrent job's cached
+  * blocks can't be captured and later killed: the r13 ADVICE race). When
+  * learning finishes BOTH slots release, and the final segmentation is
+  * rebuilt as a checkpoint-free replay plan (the collected merge list
+  * applied in order over `wordSeqs` — identical by construction to the
+  * loop's evolved table), so a BPE query leaves ZERO persisted-RDD
+  * residue the moment `learn` returns — nothing for the bench harness to
+  * sweep, no truncated-lineage blocks held across queries.
   *
   * The DuckDB oracle replays the identical algorithm as a chain of
   * MATERIALIZED CTEs, one (pairs → best → rewritten-words) stage per
@@ -63,6 +95,15 @@ object Bpe {
     */
   val Passes = 8
 
+  /** Reserved-character scrub (see the spec above): delete the marker
+    * and boundary chars from a word/text before marker-encoding.
+    */
+  private def scrub(c: Column): Column =
+    replace(replace(c, lit("~"), lit("")), lit("|"), lit(""))
+
+  private def sqlScrub(e: String): String =
+    s"replace(replace($e, '~', ''), '|', '')"
+
   /** `(word, cnt, seq)` — the word-frequency table with the initial
     * character-level symbol encoding. The ONE corpus-scale pass.
     */
@@ -76,68 +117,126 @@ object Bpe {
       // \n — a token containing \r would be marker-encoded differently
       // by the two engines. With DOTALL both mark EVERY codepoint.
       .select(col("word"), col("cnt"),
-        concat(lit("~"), regexp_replace(col("word"), "(?s)(.)", "$1~")).as("seq"))
+        concat(lit("~"), regexp_replace(scrub(col("word")), "(?s)(.)", "$1~")).as("seq"))
 
   private def symsOf(seq: Column): Column =
     filter(split(seq, "~"), x => x =!= "")
 
-  private final case class Learned(round: Int, a: String, b: String, cnt: Long)
+  /** Weighted adjacent-pair aggregation over a (cnt, seq) table — the one
+    * formula both the initial build and the per-round delta use, so they
+    * cannot drift. `greatest(·, 0)` guards the empty symbol list (a word
+    * of only reserved chars scrubs to zero symbols; `slice` throws on a
+    * negative length where the oracle's `range(1, greatest(len(y),1))`
+    * yields empty — the r13 ADVICE crash-divergence).
+    */
+  private def pairAgg(df: DataFrame): DataFrame = {
+    val syms = symsOf(col("seq"))
+    val n = greatest(size(syms) - 1, lit(0))
+    df.select(col("cnt"), explode(arrays_zip(
+        slice(syms, lit(1), n),
+        slice(syms, lit(2), n))).as("pr"))
+      .select(col("cnt"), col("pr.0").as("a"), col("pr.1").as("b"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(sum("cnt").as("pc"))
+  }
 
-  /** The merge loop. Returns the learned merges and the word table in its
-    * final segmentation. Each round localCheckpoints the (vocab-sized)
-    * word table: truncating lineage so the plan doesn't accumulate
-    * `Merges × Passes` nested replace expressions, and materializing the
-    * state each subsequent round's pair count reads.
+  /** One merge application: [[Passes]] chained non-overlapping replaces. */
+  private def applyMerge(sq: Column, a: String, b: String): Column = {
+    var s = sq
+    for (_ <- 1 to Passes) s = replace(s, lit(s"~$a~$b~"), lit(s"~$a$b~"))
+    s
+  }
+
+  private def replayAll(sq0: Column, merges: Seq[(String, String)]): Column = {
+    var s = sq0
+    for ((a, b) <- merges) s = applyMerge(s, a, b)
+    s
+  }
+
+  /** One rotated localCheckpoint slot: each `rotate` materializes the new
+    * generation, then releases the superseded one — a learn loop holds
+    * exactly one generation per slot instead of Merges+1. The RDD to
+    * release is captured DIRECTLY from the checkpoint's LogicalRDD
+    * (never diffed out of `sc.getPersistentRDDs`, which on a shared
+    * session can capture a concurrent job's cache blocks and later
+    * unpersist them — unrecoverable for a localCheckpoint).
+    */
+  private final class CpSlot {
+    private var cur: Option[DataFrame] = None
+    def rotate(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(true)
+      release()
+      cur = Some(out)
+      out
+    }
+    def release(): Unit = {
+      cur.foreach { df =>
+        df.queryExecution.logical match {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+          case _ => ()
+        }
+      }
+      cur = None
+    }
+  }
+
+  private[llm] final case class Learned(round: Int, a: String, b: String, cnt: Long)
+
+  /** The merge loop (delta-maintained — see the class doc). Returns the
+    * learned merges and a CHECKPOINT-FREE plan for the word table in its
+    * final segmentation (the merge list replayed in order over
+    * [[wordSeqs]] — identical to the loop's evolved state by the replay-
+    * composition argument; recomputing one vocab-sized aggregation at
+    * materialization is the price of leaving zero persisted residue).
     */
   private def learn(s: SparkSession, dir: String): (Seq[Learned], DataFrame) =
     learnDf(s, Tables.documents(s, dir))
 
-  private def learnDf(s: SparkSession, docs: DataFrame): (Seq[Learned], DataFrame) = {
-    val sc = s.sparkContext
-    // checkpoint ROTATION: each round's localCheckpoint supersedes the
-    // previous round's — without unpersisting it, one learn() call
-    // retains Merges+1 copies of the word table in the block manager
-    // (at a web-scale 10⁷–10⁸-row vocabulary that is real memory), and
-    // t20/t21/t23 each run learn(). Track the RDD ids each checkpoint
-    // creates and release the superseded generation.
-    var prevIds: Set[Int] = Set.empty
-    def rotate(df: DataFrame): DataFrame = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint(true)
-      val created = sc.getPersistentRDDs.keySet.toSet -- before
-      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      prevIds = created
-      out
-    }
-    var seqDf = rotate(wordSeqs(docs))
+  private[llm] def learnDf(s: SparkSession, docs: DataFrame): (Seq[Learned], DataFrame) = {
+    val seqSlot = new CpSlot
+    val pairSlot = new CpSlot
+    var seqDf = seqSlot.rotate(wordSeqs(docs))
+    // the ONE full pair aggregation; every later round folds deltas
+    var pairs = pairSlot.rotate(pairAgg(seqDf))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Learned]
     var k = 1
     var exhausted = false
     while (k <= Merges && !exhausted) {
-      val syms = symsOf(col("seq"))
-      val best = seqDf
-        .select(col("cnt"), explode(arrays_zip(
-          slice(syms, lit(1), size(syms) - 1),
-          slice(syms, lit(2), size(syms) - 1))).as("pr"))
-        .select(col("cnt"), col("pr.0").as("a"), col("pr.1").as("b"))
-        .where(col("a") =!= col("b"))
-        .groupBy("a", "b").agg(sum("cnt").as("pc"))
+      val best = pairs
         .orderBy(col("pc").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
       else {
         val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        require(!a.contains("~") && !b.contains("~"),
-          s"marker char leaked into a symbol: '$a','$b'")
+        require(!a.contains("~") && !b.contains("~") && !a.contains("|") && !b.contains("|"),
+          s"reserved char leaked into a symbol: '$a','$b'")
         merges += Learned(k, a, b, c)
-        var sq: Column = col("seq")
-        for (_ <- 1 to Passes)
-          sq = replace(sq, lit(s"~$a~$b~"), lit(s"~$a$b~"))
-        seqDf = rotate(seqDf.select(col("word"), col("cnt"), sq.as("seq")))
+        if (k < Merges) {
+          // delta fold: only words containing the winning pair change.
+          // hit/rewritten read the CHECKPOINTED seqDf (block-manager
+          // scans), so the two pairAgg branches don't recompute the chain
+          val pat = s"~$a~$b~"
+          val hit = seqDf.where(col("seq").contains(pat))
+          val rewritten = hit.select(col("cnt"), applyMerge(col("seq"), a, b).as("seq"))
+          val delta = pairAgg(rewritten)
+            .unionByName(pairAgg(hit).select(col("a"), col("b"), (-col("pc")).as("pc")))
+          pairs = pairSlot.rotate(
+            pairs.unionByName(delta)
+              .groupBy("a", "b").agg(sum("pc").as("pc"))
+              .where(col("pc") > 0))
+          seqDf = seqSlot.rotate(seqDf.select(col("word"), col("cnt"),
+            when(col("seq").contains(pat), applyMerge(col("seq"), a, b))
+              .otherwise(col("seq")).as("seq")))
+        }
       }
       k += 1
     }
-    (merges.toSeq, seqDf)
+    seqSlot.release()
+    pairSlot.release()
+    val learnedPairs = merges.toSeq.map(m => (m.a, m.b))
+    (merges.toSeq,
+      wordSeqs(docs).select(col("word"), col("cnt"),
+        replayAll(col("seq"), learnedPairs).as("seq")))
   }
 
   /** t20: the learned merge table — `(merge_round, sym_a, sym_b, merged,
@@ -169,10 +268,17 @@ object Bpe {
     * vocab fits and degrades to a shuffle join instead of OOM on a
     * heavy-tailed web vocabulary.
     */
-  def docTokens(s: SparkSession, dir: String): DataFrame = {
-    val (_, finalSeqs) = learn(s, dir)
+  def docTokens(s: SparkSession, dir: String): DataFrame =
+    docTokensDf(s, Tables.documents(s, dir))
+
+  /** [[docTokens]] over any (doc_id, text) DataFrame — the word-table
+    * join path, exposed for the reserved-char parity spec (two
+    * evaluation strategies, one answer, on ADVERSARIAL input).
+    */
+  private[llm] def docTokensDf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val (_, finalSeqs) = learnDf(s, docs)
     val counts = finalSeqs.select(col("word"), size(symsOf(col("seq"))).as("n_syms"))
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), explode(Hashing.tokens(col("text"))).as("word"))
       .join(counts, Seq("word"))
       .groupBy("doc_id")
@@ -192,19 +298,20 @@ object Bpe {
     * expression chain over the WHOLE text — no explode, no join, no
     * state, so it drops into a streaming micro-batch plan as-is.
     *
-    * Construction: collapse space runs to a `|` boundary symbol, marker-
+    * Construction: scrub the reserved chars (the same scrub the learn
+    * path applies per word, so the two paths see identical symbol
+    * material), collapse space runs to a `|` boundary symbol, marker-
     * encode every char, then replay the merge chain globally. `|` can
-    * never participate in a merge (learned symbols come from words,
-    * which contain no `|`), so boundaries block cross-word merges and
-    * each word's rewrite equals the per-word replay exactly. Every
-    * merge application removes exactly one `~`, so the final count is
-    * pure arithmetic: tokens = (#`~` − 1) − #`|`.
+    * never participate in a merge (the scrub keeps it out of words, so
+    * no learned symbol contains it), so boundaries block cross-word
+    * merges and each word's rewrite equals the per-word replay exactly.
+    * Every merge application removes exactly one `~`, so the final
+    * count is pure arithmetic: tokens = (#`~` − 1) − #`|`.
     */
   def tokenCountWithMerges(text: Column, merges: Seq[(String, String)]): Column = {
     var enc: Column = concat(lit("~"),
-      regexp_replace(regexp_replace(text, " +", "|"), "(?s)(.)", "$1~"))
-    for ((a, b) <- merges; _ <- 1 to Passes)
-      enc = replace(enc, lit(s"~$a~$b~"), lit(s"~$a$b~"))
+      regexp_replace(regexp_replace(scrub(text), " +", "|"), "(?s)(.)", "$1~"))
+    enc = replayAll(enc, merges)
     def cntOf(ch: String) = length(enc) - length(replace(enc, lit(ch), lit("")))
     (cntOf("~") - 1 - cntOf("|")).cast("long")
   }
@@ -224,10 +331,9 @@ object Bpe {
     val (learned, _) = learnDf(s, docs.where(col("doc_id") % 5 < 4))
     val testTok = docs.where(col("doc_id") % 5 >= 4)
       .select(col("doc_id"), explode(Hashing.tokens(col("text"))).as("word"))
-    var seq: Column =
-      concat(lit("~"), regexp_replace(col("word"), "(?s)(.)", "$1~"))
-    for (m <- learned; _ <- 1 to Passes)
-      seq = replace(seq, lit(s"~${m.a}~${m.b}~"), lit(s"~${m.a}${m.b}~"))
+    val seq: Column = replayAll(
+      concat(lit("~"), regexp_replace(scrub(col("word")), "(?s)(.)", "$1~")),
+      learned.map(m => (m.a, m.b)))
     val segmented = testTok.select(col("word")).distinct()
       .select(col("word"), size(symsOf(seq)).as("n_syms"))
     testTok.join(segmented, Seq("word"))
@@ -246,7 +352,7 @@ object Bpe {
     stages ++= s"WITH w0 AS MATERIALIZED (SELECT w AS word, COUNT(*) AS cnt FROM (SELECT unnest($toks) AS w FROM documents$docsWhere) GROUP BY w), "
     // \1-backreference: DuckDB's regexp_replace spelling of Spark's $1;
     // 's' flag = the DOTALL of the Spark side's (?s) (see wordSeqs)
-    stages ++= raw"s0 AS MATERIALIZED (SELECT word, cnt, '~' || regexp_replace(word, '(.)', '\1~', 'gs') AS seq FROM w0)"
+    stages ++= raw"s0 AS MATERIALIZED (SELECT word, cnt, '~' || regexp_replace(${sqlScrub("word")}, '(.)', '\1~', 'gs') AS seq FROM w0)"
     for (k <- 1 to n) {
       val prev = s"s${k - 1}"
       stages ++= s", p$k AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(cnt) AS BIGINT) AS pc FROM (" +
@@ -291,7 +397,7 @@ object Bpe {
     val toks = Hashing.sqlTokens("text")
     val sb = new StringBuilder(oracleChain(Merges, " WHERE doc_id % 5 < 4"))
     sb ++= raw", twd AS MATERIALIZED (SELECT DISTINCT w AS word FROM (SELECT unnest($toks) AS w FROM documents WHERE doc_id % 5 >= 4))"
-    sb ++= raw", u0 AS MATERIALIZED (SELECT word, '~' || regexp_replace(word, '(.)', '\1~', 'gs') AS seq FROM twd)"
+    sb ++= raw", u0 AS MATERIALIZED (SELECT word, '~' || regexp_replace(${sqlScrub("word")}, '(.)', '\1~', 'gs') AS seq FROM twd)"
     for (k <- 1 to Merges) {
       val rewritten = (1 to Passes).foldLeft("u.seq") { (e, _) =>
         s"replace($e, '~'||m.a||'~'||m.b||'~', '~'||m.a||m.b||'~')"

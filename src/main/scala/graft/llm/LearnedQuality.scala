@@ -64,13 +64,17 @@ object LearnedQuality {
     * struct and text column — shared by the exploded batch path, the
     * literal-map streaming path, AND the curation-v4 gate (which scores
     * REDACTED text under different column names), so the scoring forms
-    * cannot drift.
+    * cannot drift. Ratio denominators are `greatest(·, 1)`-guarded on
+    * BOTH engines: t22's own path sits behind no emptiness filter, so an
+    * empty or whitespace-only doc (n_tokens = 0, length = 0) must bucket
+    * deterministically instead of going null Spark-side and
+    * divide-by-zero in the DuckDB mirror (the r13 ADVICE divergence).
     */
   private[llm] def featureExprsFor(st: String, text: String): Seq[org.apache.spark.sql.Column] = Seq(
     expr(s"concat('L:', least($st.n_tokens DIV 20, 9))"),
-    expr(s"concat('D:', ($st.n_distinct_tokens * 10) DIV $st.n_tokens)"),
-    expr(s"concat('S:', least(($st.n_stopwords * 20) DIV $st.n_tokens, 9))"),
-    expr(s"concat('A:', ($st.n_alpha * 10) DIV length($text))"))
+    expr(s"concat('D:', ($st.n_distinct_tokens * 10) DIV greatest($st.n_tokens, 1))"),
+    expr(s"concat('S:', least(($st.n_stopwords * 20) DIV greatest($st.n_tokens, 1), 9))"),
+    expr(s"concat('A:', ($st.n_alpha * 10) DIV greatest(length($text), 1))"))
 
   private def featureExprs: Seq[org.apache.spark.sql.Column] =
     featureExprsFor("st", "text")
@@ -84,9 +88,9 @@ object LearnedQuality {
       .map(w => s"'$w'").mkString(", ")
     Seq(
       s"'L:' || least(n_tokens // 20, 9)",
-      s"'D:' || (len(list_distinct($toks)) * 10 // n_tokens)",
-      s"'S:' || least(len(list_filter($toks, t -> t IN ($stopList))) * 20 // n_tokens, 9)",
-      s"'A:' || (length(regexp_replace($text, '[^a-zA-Z]', '', 'g')) * 10 // length($text))")
+      s"'D:' || (len(list_distinct($toks)) * 10 // greatest(n_tokens, 1))",
+      s"'S:' || least(len(list_filter($toks, t -> t IN ($stopList))) * 20 // greatest(n_tokens, 1), 9)",
+      s"'A:' || (length(regexp_replace($text, '[^a-zA-Z]', '', 'g')) * 10 // greatest(length($text), 1))")
   }
 
   /** Train on the 80% split and COLLECT the model — legitimate here and
@@ -176,9 +180,9 @@ object LearnedQuality {
        |feat AS (
        |  SELECT doc_id, label, unnest([
        |    'L:' || least(len(toks) // 20, 9),
-       |    'D:' || (len(list_distinct(toks)) * 10 // len(toks)),
-       |    'S:' || least(len(list_filter(toks, t -> t IN ($stopList))) * 20 // len(toks), 9),
-       |    'A:' || (n_alpha * 10 // n_chars)]) AS f
+       |    'D:' || (len(list_distinct(toks)) * 10 // greatest(len(toks), 1)),
+       |    'S:' || least(len(list_filter(toks, t -> t IN ($stopList))) * 20 // greatest(len(toks), 1), 9),
+       |    'A:' || (n_alpha * 10 // greatest(n_chars, 1))]) AS f
        |  FROM base),
        |model AS (
        |  SELECT f, CAST((SUM(label) + 1) * $Scale // (COUNT(*) + 2) AS BIGINT) AS s

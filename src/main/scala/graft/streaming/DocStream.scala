@@ -196,10 +196,13 @@ object DocStream {
     *
     * State is one counter per source ([[org.apache.spark.sql.streaming
     * .GroupState]][Long]) — O(sources), the smallest state of any
-    * operator in this file; admission stops reading a group's iterator
-    * the moment the quota fills, so a hot source costs its quota, not
-    * its batch volume. (The per-batch sort buffers one group of one
-    * micro-batch, bounded by trigger size, not stream history.)
+    * operator in this file. Cost model: the micro-batch group's iterator
+    * is consumed in full (picking the smallest doc_ids of the batch
+    * requires seeing them all), but MEMORY is O(quota − used) via the
+    * bounded max-heap — a hot source holds its remaining quota in
+    * memory, never its batch volume. Once the quota is exhausted in a
+    * LATER batch, the group emits nothing (the iterator is still drained
+    * by the framework; no buffering happens).
     */
   def quotaAdmitted(docs: DataFrame, quota: Int): Dataset[AdmittedDoc] = {
     import docs.sparkSession.implicits._

@@ -91,6 +91,59 @@ class BpeSpec extends AnyFunSuite {
       "no learned merge applied to ANY held-out word — replay inert")
   }
 
+  test("BPE queries leave zero persisted-RDD residue (checkpoint rotation + final release)") {
+    // the learn loop rotates its word/pair checkpoints and releases BOTH
+    // slots before returning (the final segmentation is a checkpoint-free
+    // replay plan) — so materializing any BPE query must add nothing to
+    // the persistent-RDD registry (r13 VERDICT ask #4)
+    def residue[A](body: => A): Set[Int] = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      body
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    }
+    assert(residue(Bpe.merges(spark, sf).collect()).isEmpty, "t20 leaked")
+    assert(residue(Bpe.vocab(spark, sf).collect()).isEmpty, "t21 leaked")
+    assert(residue(Bpe.docTokens(spark, sf).collect()).isEmpty, "t23 leaked")
+    assert(residue(Bpe.heldoutTokens(spark, sf).collect()).isEmpty, "t24 leaked")
+    assert(residue(Bpe.mergeList(spark, sf)).isEmpty, "mergeList leaked")
+  }
+
+  test("reserved chars: learn survives and both count paths agree on adversarial text") {
+    // '~' (marker) and '|' (stream boundary) are scrubbed identically by
+    // the learn path and the stream count path, so the two evaluation
+    // strategies agree on ANY input — including words made entirely of
+    // reserved chars (empty symbol list: the slice guard), empty text,
+    // space runs, and reserved chars embedded in real words (the r13
+    // ADVICE divergences)
+    val docs = Seq(
+      (0L, "hello world hello world hello"),
+      (1L, "a~b c|d hello world"),
+      (2L, "~~~ ||| ~|~ hello"),
+      (3L, ""),
+      (4L, "   "),
+      (5L, "x  y~ |hello world|")
+    ).toDF("doc_id", "text")
+    val (learned, _) = Bpe.learnDf(spark, docs)
+    learned.foreach { m =>
+      assert(!m.a.contains("~") && !m.a.contains("|") &&
+        !m.b.contains("~") && !m.b.contains("|"), "reserved char in a learned symbol")
+    }
+    val merges = learned.map(m => (m.a, m.b))
+    import org.apache.spark.sql.functions.col
+    val streamCounts = docs.select(col("doc_id"),
+        Bpe.tokenCountWithMerges(col("text"), merges).as("n"))
+      .as[(Long, Long)].collect().toMap
+    // the word-table path has no rows for token-less docs; they count 0
+    val tableCounts = Bpe.docTokensDf(spark, docs)
+      .as[(Long, Long)].collect().toMap.withDefaultValue(0L)
+    (0L to 5L).foreach { id =>
+      assert(streamCounts(id) == tableCounts(id),
+        s"doc $id: stream ${streamCounts(id)} != table ${tableCounts(id)}")
+    }
+    // and the all-reserved words really did scrub to zero symbols
+    assert(streamCounts(2L) == 1L, "doc 2 has exactly one real word")
+  }
+
   test("t21: every learned merged symbol that survives segmentation is in the vocab domain") {
     val vocab = Bpe.vocab(spark, sf).as[(String, Long)].collect().toMap
     // single chars + learned products cover the whole vocab
