@@ -146,6 +146,11 @@ object SparkEntry {
     // 3' (model trained on the chain's own survivors, applied as a
     // literal map — row-local, no join-back, text still never shuffles)
     "d38_curate_v4"      -> ((s, dir) => graft.llm.Curate.curateV4(s, dir)),
+    // d41: v4 with the approx-percentile teacher calibration (the 100-TB
+    // arm) — same oracle as d38 BY DESIGN: at verify SFs the quantile
+    // sketch is exact, so the arm changes the calibration plan, never
+    // the answer (exact≡approx additionally spec-pinned)
+    "d41_curate_v4_approx" -> (graft.llm.Curate.curateV4Approx _),
     "t01_doc_stats"      -> (graft.llm.TextAnalysis.docStats _),
     "t02_lang_dist"      -> (graft.llm.TextAnalysis.langDistribution _),
     "t03_token_counts"   -> (graft.llm.TextAnalysis.tokenCounts _),
@@ -297,6 +302,7 @@ object SparkEntry {
     "d36_contam_bloom"   -> graft.llm.SpanDedup.contamSpansBloom8Sql,
     "d37_curate_v3"      -> graft.llm.Curate.curateV3Sql,
     "d38_curate_v4"      -> graft.llm.Curate.curateV4Sql,
+    "d41_curate_v4_approx" -> graft.llm.Curate.curateV4Sql,
     "t01_doc_stats"      -> graft.llm.TextAnalysis.docStatsSql,
     "t02_lang_dist"      -> graft.llm.TextAnalysis.langDistributionSql,
     "t03_token_counts"   -> graft.llm.TextAnalysis.tokenCountsSql,

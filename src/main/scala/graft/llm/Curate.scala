@@ -83,7 +83,7 @@ object Curate {
     * may consume it (the v3 repetition cut); callers drop it before the
     * quota exchange so text never shuffles.
     */
-  private def scrubScored(docs: DataFrame, minTokens: Int): DataFrame = {
+  private[graft] def scrubScored(docs: DataFrame, minTokens: Int): DataFrame = {
     val planted = docs.select(col("doc_id"), col("source"), Pii.plantCol.as("text"))
     val stripped = SpanDedup.stripSpansDf(
       planted.select(col("doc_id"), col("text")), minTokens)
@@ -247,13 +247,47 @@ object Curate {
     * gate drifting from its oracle — the calibration, not the gate
     * arithmetic, is what changes.
     */
-  private def nbTeacherThreshold(scrubbed: DataFrame): Double = {
+  private[graft] def nbTeacherThreshold(scrubbed: DataFrame): Double = {
     val train = scrubbed.where(col("doc_id") % 5 < 4)
     val n = train.count()
     require(n > 0, "v4 gate: empty train split")
     val k = ((n + 1) / 2).toInt
     train.select(col("quality")).orderBy(col("quality")).limit(k)
       .agg(max(col("quality"))).head().getDouble(0)
+  }
+
+  /** Accuracy knob of the approx teacher arm: `approx_percentile`'s
+    * relative-error bound is 1/accuracy, and the summaries stay EXACT
+    * while the per-partition sample count is below the compression
+    * threshold — which at the verify SFs it always is, so the two arms
+    * must agree bit-for-bit there (spec-pinned, the d24/m05
+    * derive-the-knob pattern).
+    */
+  private[graft] val ApproxTeacherAccuracy = 10000
+
+  /** The 100-TB arm of the teacher calibration ([[nbTeacherThreshold]]):
+    * `approx_percentile(quality, 0.5)` instead of the exact rank-k scan.
+    * The exact arm's `orderBy.limit(k)` moves the k smallest qualities
+    * to ONE partition — at the verify SFs that is nothing, at a 100-TB
+    * train split it is a driver-adjacent bottleneck by construction.
+    * The sketch arm is one partial-aggregable pass (Greenwald–Khanna
+    * summaries merge associatively), so the calibration costs a scan.
+    * Drift posture (SCALING.md §3g): within the summary's ε = 1/accuracy
+    * rank error the learned gate may see a slightly different teacher
+    * threshold; because the teacher is median-CENTERED by design, an
+    * ε-rank drift moves the label boundary through the densest part of
+    * the quality distribution but keeps classes balanced — the property
+    * the ×500 degenerate-arm lesson actually demanded. At the verify
+    * SFs the summaries are exact and the arms agree bit-for-bit
+    * (CurationOpsSpec pins it), so the approx arm ships oracle-gated
+    * against the SAME d38 mirror (the d36 same-answer-different-plan
+    * pattern).
+    */
+  private[graft] def nbTeacherThresholdApprox(scrubbed: DataFrame): Double = {
+    val row = scrubbed.where(col("doc_id") % 5 < 4)
+      .agg(expr(s"approx_percentile(quality, 0.5, $ApproxTeacherAccuracy)")).head()
+    require(!row.isNullAt(0), "v4 gate: empty train split")
+    row.getDouble(0)
   }
 
   private def nbGateModel(scrubbed: DataFrame, thr: Double): Map[String, Long] =
@@ -270,9 +304,13 @@ object Curate {
     * post-quota output MASKS the gate's activity (quota refill), so a
     * measurement harness reads the cut at its own stage.
     */
-  private[graft] def nbGatedStage(docs: DataFrame, minTokens: Int): DataFrame = {
+  private[graft] def nbGatedStage(docs: DataFrame, minTokens: Int,
+      approxTeacher: Boolean = false): DataFrame = {
     val scrubbed = scrubScored(docs, minTokens).localCheckpoint(true)
-    val model = nbGateModel(scrubbed, nbTeacherThreshold(scrubbed))
+    val thr =
+      if (approxTeacher) nbTeacherThresholdApprox(scrubbed)
+      else nbTeacherThreshold(scrubbed)
+    val model = nbGateModel(scrubbed, thr)
     val (nbScore, nbKeep) =
       LearnedQuality.scoreColumnsFor(model, "nbst", "rtext")
     scrubbed
@@ -282,11 +320,22 @@ object Curate {
       .drop("nbst")
   }
 
+  /** d41: [[curateV4]] with the approx-percentile teacher arm — the
+    * calibration a 100-TB deployment runs (see
+    * [[nbTeacherThresholdApprox]]). Same oracle as d38 BY DESIGN: at the
+    * verify SFs the sketch is exact, so the arm must change the
+    * calibration PLAN, never the answer (the d36 pattern); the
+    * exact≡approx agreement itself is additionally spec-pinned.
+    */
+  def curateV4Approx(s: SparkSession, dir: String): DataFrame =
+    curateV4Df(Tables.documents(s, dir), approxTeacher = true)
+
   /** [[curateV4]] over any (doc_id, source, text) DataFrame. */
   def curateV4Df(docs: DataFrame, minTokens: Int = 8,
       quota: Int = 12, seqTokens: Int = 256, repK: Int = 3,
-      repMax: Double = 0.1, nShards: Int = 4): DataFrame = {
-    val gated = nbGatedStage(docs, minTokens)
+      repMax: Double = 0.1, nShards: Int = 4,
+      approxTeacher: Boolean = false): DataFrame = {
+    val gated = nbGatedStage(docs, minTokens, approxTeacher)
     quotaPack(repCutFrom(gated, repK, repMax, Seq("nb_score")), quota, seqTokens)
       .withColumn("shard", pmod(Hashing.hash60(
           concat(lit("epoch0:"), col("source"), lit("#"),

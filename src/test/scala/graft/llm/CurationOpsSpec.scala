@@ -318,6 +318,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(v4Ids != v3Ids, "learned gate dropped nothing from the draw")
   }
 
+  test("d41: the approx teacher arm agrees with the exact rank-k median at verify SFs") {
+    // the d24/m05 derive-the-knob pattern: the 100-TB calibration
+    // (approx_percentile sketch) is pinned to the exact arm where the
+    // sketch is provably exact (sample count below the compression
+    // threshold) — and therefore d41 ships against d38's own oracle
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val scrubbed = Curate.scrubScored(
+        graft.Tables.documents(spark, d), 8).localCheckpoint(true)
+      val exact = Curate.nbTeacherThreshold(scrubbed)
+      val approx = Curate.nbTeacherThresholdApprox(scrubbed)
+      assert(exact == approx, s"$d: exact $exact != approx $approx")
+    }
+    // and the composed chains agree end to end
+    val a = Curate.curateV4(spark, sf).collect().map(_.toString).sorted.toSeq
+    val b = Curate.curateV4Approx(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(a == b, "v4 exact-arm and approx-arm outputs diverged")
+  }
+
   test("d37 plan: the repetition cut stays behind the barrier and off the exchange") {
     // the round-11 hang: PushDownPredicates inlined the dup-covered
     // kernel (and the whole scrub chain under it) into a 12 KB Filter
