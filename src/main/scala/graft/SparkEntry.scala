@@ -208,6 +208,11 @@ object SparkEntry {
     "m07_ppm_resize"     -> ((s, dir) => graft.llm.Multimodal.ppmResize(s, dir)),
     // t24: BPE train/apply split — merge replay segments UNSEEN words
     "t24_bpe_heldout"    -> (graft.llm.Bpe.heldoutTokens _),
+    // d39: incremental corpus-append dedup — delta batch deduped against
+    // the PERSISTED corpus artifacts (hashes + signatures + resolved
+    // labels); oracle = the full-corpus rerun SQL, so hash-matching it
+    // IS the incremental==full equivalence proof
+    "d39_incremental_dedup" -> (graft.llm.IncrementalDedup.appendDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -334,5 +339,6 @@ object SparkEntry {
     "m06_ppm_decode"     -> graft.llm.Multimodal.ppmDecodeStatsSql,
     "m07_ppm_resize"     -> graft.llm.Multimodal.ppmResizeSql,
     "t24_bpe_heldout"    -> graft.llm.Bpe.heldoutTokensSql,
+    "d39_incremental_dedup" -> graft.llm.IncrementalDedup.appendDedupSql,
   )
 }

@@ -158,30 +158,46 @@ object Dedup {
       k: Int,
       rowsPerBand: Int,
       bucketCap: Int): DataFrame = {
+    val bands = capBuckets(bandsOf(sig, k, rowsPerBand), bucketCap, "band", "bsig")
+      .hint("shuffle_hash")
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a
+      .join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        sigEst(k).as("est"))
+      .distinct()
+  }
+
+  /** The band explode of a (doc_id, sig) table — (doc_id, sig, band,
+    * bsig), signature riding along for the est computation. Factored out
+    * so the incremental corpus-append path ([[IncrementalDedup]]) can
+    * band a DELTA batch with the exact construction the corpus run used
+    * (band-key equality across runs is what makes a persisted band/sig
+    * artifact joinable at all).
+    */
+  private[graft] def bandsOf(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     require(k % rowsPerBand == 0, s"rowsPerBand=$rowsPerBand must divide k=$k")
     val bandCols = (0 until k / rowsPerBand).map { b =>
       concat_ws(":", (0 until rowsPerBand).map(j =>
         element_at(col("sig"), b * rowsPerBand + j + 1)): _*)
     }
-    val bands = capBuckets(
-      sig
-        .select(col("doc_id"), col("sig"), posexplode(array(bandCols: _*)))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bsig"),
-      bucketCap, "band", "bsig")
-      .hint("shuffle_hash")
-    val a = bands.alias("a")
-    val b = bands.alias("b")
+    sig
+      .select(col("doc_id"), col("sig"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bsig")
+  }
+
+  /** Signature-estimate expression over joined `a.sig`/`b.sig` sides:
+    * fraction of matching minhashes (symmetric in the two sides).
+    */
+  private[graft] def sigEst(k: Int): Column = {
     val matches: Column = (0 until k)
       .map(i => when(element_at(col("a.sig"), i + 1) === element_at(col("b.sig"), i + 1), 1)
         .otherwise(0))
       .reduce(_ + _)
-    a
-      .join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        (matches.cast("double") / lit(k.toDouble)).as("est"))
-      .distinct()
+    matches.cast("double") / lit(k.toDouble)
   }
 
   /** MinHash + LSH near-dup pairs: band the k-hash signature into bands of
@@ -389,6 +405,16 @@ object Dedup {
       dir: String,
       pairs: DataFrame,
       n: Int = 5,
+      minJaccard: Double = vJaccard): DataFrame =
+    verifyJaccardDf(Tables.documents(s, dir), pairs, n, minJaccard)
+
+  /** [[verifyJaccard]] over any (doc_id, text) DataFrame (the
+    * incremental append path verifies against corpus ⊎ delta).
+    */
+  private[graft] def verifyJaccardDf(
+      docs: DataFrame,
+      pairs: DataFrame,
+      n: Int = 5,
       minJaccard: Double = vJaccard): DataFrame = {
     // pairs feeds the id prune AND the final join — materialize so an
     // expensive candidate generator doesn't run twice
@@ -396,7 +422,7 @@ object Dedup {
     val ids = p.select(col("a_id").as("doc_id"))
       .unionByName(p.select(col("b_id").as("doc_id")))
       .distinct()
-    val gsel = Tables.documents(s, dir)
+    val gsel = docs
       .join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), graft.functions.ShingleHash60s(col("text"), n).as("gs"))
       .localCheckpoint(true)
@@ -407,7 +433,7 @@ object Dedup {
     * corpus-wide callers ([[lshVerifiedPairs]]) pass their own
     * checkpointed gram pass to avoid a second corpus scan.
     */
-  private def verifyJaccardOn(gsel: DataFrame, pairs: DataFrame, minJaccard: Double): DataFrame = {
+  private[llm] def verifyJaccardOn(gsel: DataFrame, pairs: DataFrame, minJaccard: Double): DataFrame = {
     val ga = gsel.select(col("doc_id").as("a_id"), col("gs").as("ga"))
     val gb = gsel.select(col("doc_id").as("b_id"), col("gs").as("gb"))
     val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
@@ -446,15 +472,31 @@ object Dedup {
       rowsPerBand: Int = vRows,
       estMin: Double = vEstMin,
       jaccardMin: Double = vJaccard,
+      bucketCap: Int = NoBucketCap): DataFrame =
+    lshVerifiedPairsDf(Tables.documents(s, dir), k, rowsPerBand, estMin,
+      jaccardMin, bucketCap)
+
+  /** [[lshVerifiedPairs]] over any (doc_id, text) DataFrame — the
+    * incremental corpus-append path runs it on the corpus SPLIT to
+    * build yesterday's resolution ([[IncrementalDedup.buildIndex]]).
+    */
+  private[graft] def lshVerifiedPairsDf(
+      docs: DataFrame,
+      k: Int = vK,
+      rowsPerBand: Int = vRows,
+      estMin: Double = vEstMin,
+      jaccardMin: Double = vJaccard,
       bucketCap: Int = NoBucketCap): DataFrame = {
     // checkpoint = pushdown barrier: est stays a codegen'd projection
     // computed once per distinct pair, never a join condition
-    val pairs = bandedMinhashPairs(s, dir, k, rowsPerBand, resolveCap(bucketCap, 1.0))
+    val pairs = bandedPairsFrom(
+        docs.select(col("doc_id"), graft.functions.MinHashSig(col("text"), 5, k).as("sig")),
+        k, rowsPerBand, resolveCap(bucketCap, 1.0))
       .localCheckpoint(true)
     val cand = pairs.filter(col("est") >= estMin).select(col("a_id"), col("b_id"))
     // both verify sides read the gram arrays — materialize the corpus-wide
     // md5 gram pass ONCE (recompute-under-reuse otherwise, SCALING.md §2)
-    val gsel = Tables.documents(s, dir)
+    val gsel = docs
       .select(col("doc_id"), graft.functions.ShingleHash60s(col("text"), 5).as("gs"))
       .localCheckpoint(true)
     verifyJaccardOn(gsel, cand, jaccardMin)
