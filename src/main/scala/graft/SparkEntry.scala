@@ -213,6 +213,11 @@ object SparkEntry {
     // labels); oracle = the full-corpus rerun SQL, so hash-matching it
     // IS the incremental==full equivalence proof
     "d39_incremental_dedup" -> (graft.llm.IncrementalDedup.appendDedup _),
+    // d40: IVF-SQ8 index PERSISTENCE — train, write the parquet index
+    // (centroids + cells + packed codes), read it back, serve kNN from
+    // the loaded artifacts; d31's layout-independent oracle (the seam
+    // changes where the index lives, never the answer)
+    "d40_knn_index_load" -> (graft.llm.Similarity.ivfSq8KnnLoaded _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -340,5 +345,6 @@ object SparkEntry {
     "m07_ppm_resize"     -> graft.llm.Multimodal.ppmResizeSql,
     "t24_bpe_heldout"    -> graft.llm.Bpe.heldoutTokensSql,
     "d39_incremental_dedup" -> graft.llm.IncrementalDedup.appendDedupSql,
+    "d40_knn_index_load" -> graft.llm.Similarity.ivfSq8KnnLoadedSql,
   )
 }

@@ -440,6 +440,24 @@ object Similarity {
     */
   private def ivfCandidateIds(
       e: DataFrame, nCells: Int, nProbe: Int, sampleN: Int): DataFrame = {
+    val cent = ivfCentroids(e, nCells, sampleN)
+    val ranked = ivfRanked(e, cent)
+    val cells = ranked.filter(col("r") === 1).select(col("vec_id"), col("cid").as("cell"))
+    val probes = ranked.filter(col("vec_id") < 50 && col("r") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cid").as("probe_cell"))
+    probes
+      .join(cells.withColumnRenamed("vec_id", "nid"), col("cell") === col("probe_cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"))
+      .distinct()
+  }
+
+  /** Centroid training (one deterministic Lloyd iteration — see
+    * [[ivfKnn]]'s scaladoc): (cid, qv float[], cnrm). Factored out so the
+    * persisted-index path ([[buildIvfSq8Index]]) trains the IDENTICAL
+    * centroids the in-plan path uses.
+    */
+  private def ivfCentroids(e: DataFrame, nCells: Int, sampleN: Int): DataFrame = {
     val dim = 64
     val seeds = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("qv"), col("nrm").as("cnrm"))
@@ -456,23 +474,22 @@ object Similarity {
       aggregate(col("vs"), lit(0.0d),
         (acc: Column, x: Column) => acc + element_at(x.getField("embedding"), i).cast("double"))
         / size(col("vs")).cast("double"))
-    val cent = assign.groupBy(col("cid"))
+    assign.groupBy(col("cid"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
       .select(col("cid"), meanArr.cast("array<float>").as("qv"))
       .withColumn("cnrm", sqrt(FloatVecDot(col("qv"), col("qv"))))
-    // score every vector against every trained centroid (|corpus| × nCells)
+  }
+
+  /** Per-vector centroid ranking: (vec_id, cid, r) with the argmax
+    * tiebreak — the one ranking both the cell assignment (r = 1) and the
+    * query probe selection (r ≤ nProbe) read, in the trained AND loaded
+    * paths.
+    */
+  private def ivfRanked(e: DataFrame, cent: DataFrame): DataFrame = {
     val scored = e.crossJoin(broadcast(cent))
       .withColumn("ccos", dotCol / (col("cnrm") * col("nrm")))
     val byVec = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
-    val ranked = scored.withColumn("r", row_number().over(byVec))
-    val cells = ranked.filter(col("r") === 1).select(col("vec_id"), col("cid").as("cell"))
-    val probes = ranked.filter(col("vec_id") < 50 && col("r") <= nProbe)
-      .select(col("vec_id").as("qid"), col("cid").as("probe_cell"))
-    probes
-      .join(cells.withColumnRenamed("vec_id", "nid"), col("cell") === col("probe_cell"))
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"))
-      .distinct()
+    scored.withColumn("r", row_number().over(byVec))
   }
 
   /** IVF-SQ8 (d31): the composition [[sq8Knn]]'s scaladoc promises —
@@ -675,6 +692,110 @@ object Similarity {
   val ivfSq8KnnPackedSql: String = ivfSq8KnnSqlFor(16, 2, 200)
 
   val ivfKnnSql: String = ivfKnnSqlFor(16, 2, 200)
+
+  // ------------------------------------------------- persisted ANN index
+
+  /** The persisted IVF-SQ8 index (d40): what an ANN serving path loads
+    * instead of re-training —
+    *   - `centroids` (cid, qv float[64], cnrm): the coarse quantizer,
+    *     nCells rows — kilobytes;
+    *   - `cells` (vec_id, cell): the corpus partition assignment;
+    *   - `codes` (vec_id, code binary): PACKED int8 codes (the d34/d35
+    *     production layout — 64 bytes per vector, what the candidate
+    *     exchange carries).
+    * All three round-trip parquet bit-exactly (float/double/binary), so
+    * the loaded serve path is value-identical to the trained one —
+    * spec-pinned, and d40 ships against d31's layout-independent oracle.
+    */
+  final case class IvfSq8Index(centroids: DataFrame, cells: DataFrame, codes: DataFrame)
+
+  /** Train the index artifacts over the corpus — the SAME centroid
+    * training, cell argmax, and quantization the in-plan operators use
+    * (shared code, so the persisted index cannot drift from the gated
+    * in-plan semantics).
+    */
+  def buildIvfSq8Index(
+      s: SparkSession,
+      dir: String,
+      nCells: Int = 16,
+      sampleN: Int = 200): IvfSq8Index = {
+    import graft.functions.PackInt8
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normCol)
+      .localCheckpoint(false)
+    val cent = ivfCentroids(e, nCells, sampleN)
+    val cells = ivfRanked(e, cent).filter(col("r") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val codes = e
+      .withColumn("code", PackInt8(transform(col("embedding"),
+        x => round(x.cast("double") / greatest(col("nrm"), lit(1e-12)) * 127).cast("int"))))
+      .select(col("vec_id"), col("code"))
+    IvfSq8Index(cent, cells, codes)
+  }
+
+  def writeIvfSq8Index(idx: IvfSq8Index, dir: String): Unit = {
+    idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    idx.cells.write.mode("overwrite").parquet(s"$dir/cells")
+    idx.codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  def readIvfSq8Index(s: SparkSession, dir: String): IvfSq8Index =
+    IvfSq8Index(
+      s.read.parquet(s"$dir/centroids"),
+      s.read.parquet(s"$dir/cells"),
+      s.read.parquet(s"$dir/codes"))
+
+  /** Serve kNN from a LOADED index: only the queries rank against the
+    * loaded centroids (the corpus's cell assignment is the artifact —
+    * per-vector argmax is independent, so ranking just the query side
+    * reproduces the trained path's probes exactly); candidates come from
+    * the loaded cells, ranking from the loaded packed codes. No training
+    * stage, no corpus-embedding scan beyond the query rows.
+    */
+  def ivfSq8KnnFromIndex(
+      queries: DataFrame,
+      idx: IvfSq8Index,
+      nProbe: Int = 2): DataFrame = {
+    import graft.functions.BinVecDot
+    val probes = ivfRanked(queries, idx.centroids)
+      .filter(col("r") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cid").as("probe_cell"))
+    val candIds = probes
+      .join(idx.cells.withColumnRenamed("vec_id", "nid"), col("cell") === col("probe_cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"))
+      .distinct()
+    val cands = candIds
+      .join(idx.codes.select(col("vec_id").as("nid"), col("code").as("ncode")), "nid")
+      .join(broadcast(idx.codes.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("code").as("qcode"))), "qid")
+      .withColumn("qdot", BinVecDot(col("qcode"), col("ncode")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid").asc)
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("nid"), col("rnk"), col("qdot"))
+  }
+
+  /** d40: the full persistence round — train, WRITE the parquet index,
+    * READ it back, serve kNN from the loaded artifacts. Same grid as d31
+    * and the same layout-independent oracle ([[ivfSq8KnnSql]]): the
+    * persistence seam must change where the index lives, never the
+    * answer. The artifact lands under java.io.tmpdir (one driver per
+    * harness run; `overwrite` mode keeps reruns idempotent).
+    */
+  def ivfSq8KnnLoaded(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index"
+    writeIvfSq8Index(buildIvfSq8Index(s, dir, nCells = 16, sampleN = 200), idxDir)
+    val idx = readIvfSq8Index(s, idxDir)
+    val queries = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normCol)
+      .filter(col("vec_id") < 50)
+    ivfSq8KnnFromIndex(queries, idx, nProbe = 2)
+  }
+
+  val ivfSq8KnnLoadedSql: String = ivfSq8KnnSql
 
   /** The IVF grid gate: the retuned point the scale runs measured best
     * (64 cells, 4 probes — recall 0.93 at a 6% scan at the ×50 corpus,

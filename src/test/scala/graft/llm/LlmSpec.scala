@@ -373,4 +373,37 @@ class LlmSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("d40: the loaded parquet index serves exactly the trained path's answer") {
+    // the persistence seam (write -> read -> serve) must be
+    // value-invisible: same centroids, same cells, same packed codes,
+    // same integer ranking as the fully in-plan d35 path at the same grid
+    val trained = Similarity.ivfSq8KnnPacked16(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val loaded = Similarity.ivfSq8KnnLoaded(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(trained == loaded, "loaded-index serve diverged from the trained path")
+  }
+
+  test("d40: the loaded serve plan has no centroid training stage") {
+    // serving reads artifacts: the plan over a loaded index must contain
+    // parquet relation scans and NO sample-assignment aggregate (the
+    // collect_list M-step is the training fingerprint)
+    val idxDir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    try {
+      Similarity.writeIvfSq8Index(
+        Similarity.buildIvfSq8Index(spark, sf), idxDir)
+      val idx = Similarity.readIvfSq8Index(spark, idxDir)
+      val queries = graft.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm",
+          sqrt(graft.functions.FloatVecDot(col("embedding"), col("embedding"))))
+        .filter(col("vec_id") < 50)
+      val plan = Similarity.ivfSq8KnnFromIndex(queries, idx)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("collect_list"), "training M-step leaked into the serve plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    }
+  }
 }
