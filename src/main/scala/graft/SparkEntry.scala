@@ -208,6 +208,12 @@ object SparkEntry {
     "m07_ppm_resize"     -> ((s, dir) => graft.llm.Multimodal.ppmResize(s, dir)),
     // t24: BPE train/apply split — merge replay segments UNSEEN words
     "t24_bpe_heldout"    -> (graft.llm.Bpe.heldoutTokens _),
+    // t25: per-occurrence token IDS under the learned vocab (the
+    // trainer-facing tokenizer output; frequency-ranked id dictionary)
+    "t25_bpe_token_ids"  -> (graft.llm.Bpe.tokenIds _),
+    // t26: t15's packing budgeted by BPE token counts (training budgets
+    // are measured in BPE tokens, not whitespace words)
+    "t26_bpe_seq_pack"   -> ((s, dir) => graft.llm.Bpe.bpeSeqPack(s, dir)),
     // d39: incremental corpus-append dedup — delta batch deduped against
     // the PERSISTED corpus artifacts (hashes + signatures + resolved
     // labels); oracle = the full-corpus rerun SQL, so hash-matching it
@@ -344,6 +350,8 @@ object SparkEntry {
     "m06_ppm_decode"     -> graft.llm.Multimodal.ppmDecodeStatsSql,
     "m07_ppm_resize"     -> graft.llm.Multimodal.ppmResizeSql,
     "t24_bpe_heldout"    -> graft.llm.Bpe.heldoutTokensSql,
+    "t25_bpe_token_ids"  -> graft.llm.Bpe.tokenIdsSql,
+    "t26_bpe_seq_pack"   -> graft.llm.Bpe.bpeSeqPackSql,
     "d39_incremental_dedup" -> graft.llm.IncrementalDedup.appendDedupSql,
     "d40_knn_index_load" -> graft.llm.Similarity.ivfSq8KnnLoadedSql,
   )

@@ -285,6 +285,75 @@ object Bpe {
       .agg(sum(col("n_syms")).as("n_bpe_tokens"))
   }
 
+  /** t25: per-document token-ID sequences under the LEARNED vocabulary —
+    * the actual trainer-facing output of a tokenizer (models consume
+    * integer ids, not symbol strings). Output one row per token
+    * OCCURRENCE, keyed by its position: `(doc_id, wpos, spos, token_id)`
+    * — word index and symbol-within-word index are the deterministic
+    * position encoding both engines can replay (an array column would
+    * gate the same bytes but exploded rows hash-compare robustly).
+    *
+    * ID assignment: rank of the vocab token by (freq DESC, token ASC) —
+    * a frequency-ranked dictionary, the layout every tokenizer ships.
+    * The global rank window is legal HERE and only here: the vocab
+    * table is the MODEL artifact, bounded by merges + base chars (32k
+    * merges ⇒ ~33k rows at web scale), never corpus-sized — the same
+    * driver-small argument as the collected merge list.
+    *
+    * Identity gated by the spec: concatenating each word's symbols in
+    * (wpos, spos) order reconstructs the scrubbed corpus text mass
+    * exactly (merging only ever concatenates).
+    */
+  def tokenIds(s: SparkSession, dir: String): DataFrame = {
+    // finalSeqs is the checkpoint-free replay plan; its two consumers
+    // here (vocab agg, word-symbol explode) each recompute one
+    // vocab-sized aggregation — the price of the zero-residue contract
+    // (BpeSpec), cheap at any corpus size because neither pass is
+    // corpus-scale
+    val (_, finalSeqs) = learn(s, dir)
+    val vocab = finalSeqs
+      .select(col("cnt"), explode(symsOf(col("seq"))).as("token"))
+      .groupBy("token").agg(sum(col("cnt")).as("freq"))
+      .withColumn("token_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("token").asc)).cast("int"))
+      .select(col("token"), col("token_id"))
+    val wordSyms = finalSeqs
+      .select(col("word"), posexplode(symsOf(col("seq"))))
+      .select(col("word"), (col("pos") + 1).cast("int").as("spos"),
+        col("col").as("token"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(Hashing.tokens(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("wpos"),
+        col("col").as("word"))
+      .join(wordSyms, Seq("word"))
+      .join(broadcast(vocab), Seq("token"))
+      .select(col("doc_id"), col("wpos"), col("spos"), col("token_id"))
+  }
+
+  /** t26: sequence packing (the t15 greedy running-sum layout) budgeted
+    * by LEARNED-vocabulary token counts instead of whitespace counts —
+    * training budgets are measured in BPE tokens, so this is the packing
+    * a real run ships. Same one source-keyed exchange as t15; the count
+    * column comes from [[docTokens]]'s word-table join. Each word is ≥ 1
+    * symbol, so BPE counts dominate whitespace counts and the window
+    * boundaries provably move vs t15 wherever a merge left > 1 symbol
+    * per word (spec-pinned).
+    */
+  def bpeSeqPack(s: SparkSession, dir: String, seqTokens: Int = 256): DataFrame = {
+    val counts = docTokens(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"))
+      .join(counts, Seq("doc_id"))
+      .withColumn("cum", sum(col("n_bpe_tokens")).over(w))
+      .withColumn("seq_no", expr(s"(cum - n_bpe_tokens) div $seqTokens"))
+      .select(col("source"), col("doc_id"), col("n_bpe_tokens"), col("seq_no"))
+  }
+
   /** The learned merge list in application order, collected (Merges
     * rows) — the artifact a serving/streaming tokenizer ships (the
     * literal-model posture of `LearnedQuality.trainModel`, applied to
@@ -388,6 +457,32 @@ object Bpe {
       s" SELECT doc_id, CAST(SUM(len(list_filter(string_split(m.seq,'~'), x -> x <> ''))) AS BIGINT) AS n_bpe_tokens" +
       s" FROM (SELECT doc_id, unnest(${Hashing.sqlTokens("text")}) AS word FROM documents) t" +
       s" JOIN s$Merges m ON t.word = m.word GROUP BY doc_id"
+
+  /** [[tokenIds]] mirror: the learn chain, then the frequency-ranked id
+    * dictionary and the per-occurrence (wpos, spos) position join.
+    */
+  val tokenIdsSql: String =
+    oracleChain(Merges) +
+      s", vweb AS MATERIALIZED (SELECT y AS token, CAST(SUM(cnt) AS BIGINT) AS freq FROM (SELECT cnt, unnest(list_filter(string_split(seq,'~'), x -> x <> '')) AS y FROM s$Merges) GROUP BY y)" +
+      s", vid AS MATERIALIZED (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS INT) AS token_id FROM vweb)" +
+      s", ws AS MATERIALIZED (SELECT word, CAST(j AS INT) AS spos, y[j] AS token FROM (SELECT word, list_filter(string_split(seq,'~'), x -> x <> '') AS y FROM s$Merges) CROSS JOIN LATERAL unnest(range(1, len(y)+1)) r(j))" +
+      s", dw AS (SELECT doc_id, CAST(i AS INT) AS wpos, t[i] AS word FROM (SELECT doc_id, ${Hashing.sqlTokens("text")} AS t FROM documents) CROSS JOIN LATERAL unnest(range(1, len(t)+1)) r(i))" +
+      s" SELECT dw.doc_id, dw.wpos, ws.spos, vid.token_id FROM dw JOIN ws ON dw.word = ws.word JOIN vid ON ws.token = vid.token"
+
+  /** [[bpeSeqPack]] mirror: the learn chain, the t23 count join, then
+    * the t15 running-sum window over the BPE counts.
+    */
+  def bpeSeqPackSqlFor(seqTokens: Int): String =
+    oracleChain(Merges) +
+      s", dt AS (SELECT doc_id, CAST(SUM(len(list_filter(string_split(m.seq,'~'), x -> x <> ''))) AS BIGINT) AS n_bpe_tokens" +
+      s" FROM (SELECT doc_id, unnest(${Hashing.sqlTokens("text")}) AS word FROM documents) t" +
+      s" JOIN s$Merges m ON t.word = m.word GROUP BY doc_id)" +
+      s", sp AS (SELECT d.source, dt.doc_id, dt.n_bpe_tokens," +
+      s" SUM(dt.n_bpe_tokens) OVER (PARTITION BY d.source ORDER BY dt.doc_id ROWS UNBOUNDED PRECEDING) AS cum" +
+      s" FROM dt JOIN documents d ON d.doc_id = dt.doc_id)" +
+      s" SELECT source, doc_id, n_bpe_tokens, CAST((cum - n_bpe_tokens) // $seqTokens AS BIGINT) AS seq_no FROM sp"
+
+  val bpeSeqPackSql: String = bpeSeqPackSqlFor(256)
 
   /** [[heldoutTokens]] mirror: the learn chain over the train split,
     * then the merge REPLAY over the distinct held-out words (u-stages,

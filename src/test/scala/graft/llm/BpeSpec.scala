@@ -105,7 +105,48 @@ class BpeSpec extends AnyFunSuite {
     assert(residue(Bpe.vocab(spark, sf).collect()).isEmpty, "t21 leaked")
     assert(residue(Bpe.docTokens(spark, sf).collect()).isEmpty, "t23 leaked")
     assert(residue(Bpe.heldoutTokens(spark, sf).collect()).isEmpty, "t24 leaked")
+    assert(residue(Bpe.tokenIds(spark, sf).collect()).isEmpty, "t25 leaked")
+    assert(residue(Bpe.bpeSeqPack(spark, sf).collect()).isEmpty, "t26 leaked")
     assert(residue(Bpe.mergeList(spark, sf)).isEmpty, "mergeList leaked")
+  }
+
+  test("t25: token ids reconstruct the scrubbed corpus text exactly") {
+    import org.apache.spark.sql.functions.{col, explode}
+    // id -> token string (rebuild the dictionary the ids index into)
+    val vocabRank = Bpe.vocab(spark, sf).as[(String, Long)].collect()
+      .sortBy { case (t, f) => (-f, t) }.map(_._1)
+    val idOf = vocabRank.zipWithIndex.map { case (t, i) => (i + 1, t) }.toMap
+    val rows = Bpe.tokenIds(spark, sf)
+      .as[(Long, Int, Int, Int)].collect()
+    // per (doc, word): symbols concatenated in spos order == the word
+    val words = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), org.apache.spark.sql.functions.posexplode(
+        Hashing.tokens(col("text"))))
+      .as[(Long, Int, String)].collect()
+      .map { case (d, p, w) => (d, p + 1) -> w }.toMap
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((d, wp), toks) =>
+      val rebuilt = toks.sortBy(_._3).map(t => idOf(t._4)).mkString
+      assert(rebuilt == words((d, wp)),
+        s"doc $d word $wp: ids rebuild '$rebuilt' != '${words((d, wp))}'")
+    }
+    // total mass identity: every corpus char lands in exactly one token
+    val mass = rows.map(r => idOf(r._4).length.toLong).sum
+    val corpusMass = words.values.map(_.length.toLong).sum
+    assert(mass == corpusMass)
+  }
+
+  test("t26: BPE-budget packing moves sequence boundaries vs whitespace packing") {
+    val bpe = Bpe.bpeSeqPack(spark, sf).select("doc_id", "seq_no")
+      .as[(Long, Long)].collect().toMap
+    val ws = graft.llm.Mixture.seqPack(spark, sf, 256).select("doc_id", "seq_no")
+      .as[(Long, Long)].collect().toMap
+    assert(bpe.keySet == ws.keySet)
+    assert(bpe != ws, "BPE counts changed no window boundary — packing gate inert")
+    // BPE tokens dominate whitespace tokens, so windows fill faster:
+    // every doc's BPE seq_no is >= its whitespace seq_no
+    bpe.foreach { case (id, s) =>
+      assert(s >= ws(id), s"doc $id: bpe seq $s < whitespace seq ${ws(id)}")
+    }
   }
 
   test("reserved chars: learn survives and both count paths agree on adversarial text") {
