@@ -106,8 +106,10 @@ object Bpe {
 
   /** `(word, cnt, seq)` — the word-frequency table with the initial
     * character-level symbol encoding. The ONE corpus-scale pass.
+    * (private[graft]: the scale harness's full-reaggregation A/B arm
+    * rebuilds the pre-delta learn loop from these pieces.)
     */
-  private def wordSeqs(docs: DataFrame): DataFrame =
+  private[graft] def wordSeqs(docs: DataFrame): DataFrame =
     docs
       .select(explode(Hashing.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -129,7 +131,7 @@ object Bpe {
     * negative length where the oracle's `range(1, greatest(len(y),1))`
     * yields empty — the r13 ADVICE crash-divergence).
     */
-  private def pairAgg(df: DataFrame): DataFrame = {
+  private[graft] def pairAgg(df: DataFrame): DataFrame = {
     val syms = symsOf(col("seq"))
     val n = greatest(size(syms) - 1, lit(0))
     df.select(col("cnt"), explode(arrays_zip(
@@ -141,7 +143,7 @@ object Bpe {
   }
 
   /** One merge application: [[Passes]] chained non-overlapping replaces. */
-  private def applyMerge(sq: Column, a: String, b: String): Column = {
+  private[graft] def applyMerge(sq: Column, a: String, b: String): Column = {
     var s = sq
     for (_ <- 1 to Passes) s = replace(s, lit(s"~$a~$b~"), lit(s"~$a$b~"))
     s
@@ -192,7 +194,8 @@ object Bpe {
   private def learn(s: SparkSession, dir: String): (Seq[Learned], DataFrame) =
     learnDf(s, Tables.documents(s, dir))
 
-  private[llm] def learnDf(s: SparkSession, docs: DataFrame): (Seq[Learned], DataFrame) = {
+  private[graft] def learnDf(s: SparkSession, docs: DataFrame,
+      onRound: (Int, Long, Double) => Unit = null): (Seq[Learned], DataFrame) = {
     val seqSlot = new CpSlot
     val pairSlot = new CpSlot
     var seqDf = seqSlot.rotate(wordSeqs(docs))
@@ -202,6 +205,7 @@ object Bpe {
     var k = 1
     var exhausted = false
     while (k <= Merges && !exhausted) {
+      val t0 = System.nanoTime()
       val best = pairs
         .orderBy(col("pc").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
@@ -211,6 +215,11 @@ object Bpe {
         require(!a.contains("~") && !b.contains("~") && !a.contains("|") && !b.contains("|"),
           s"reserved char leaked into a symbol: '$a','$b'")
         merges += Learned(k, a, b, c)
+        // scale-harness probe: affected-word count + round wall (the
+        // extra count job runs ONLY when instrumented)
+        val hitCount =
+          if (onRound == null) -1L
+          else seqDf.where(col("seq").contains(s"~$a~$b~")).count()
         if (k < Merges) {
           // delta fold: only words containing the winning pair change.
           // hit/rewritten read the CHECKPOINTED seqDf (block-manager
@@ -228,6 +237,8 @@ object Bpe {
             when(col("seq").contains(pat), applyMerge(col("seq"), a, b))
               .otherwise(col("seq")).as("seq")))
         }
+        if (onRound != null)
+          onRound(k, hitCount, (System.nanoTime() - t0) / 1e9)
       }
       k += 1
     }
@@ -267,19 +278,31 @@ object Bpe {
     * join is left UNHINTED (the t14 posture): AQE broadcasts while the
     * vocab fits and degrades to a shuffle join instead of OOM on a
     * heavy-tailed web vocabulary.
+    *
+    * The map is built by merge-REPLAY over the distinct words of the
+    * same corpus explode the join consumes (the t24 shape) — not by
+    * re-aggregating the word-frequency table: the learn loop already
+    * paid the one corpus pass, and a second one just to re-derive
+    * segmentations the 12-row merge list determines would double the
+    * dominant cost at 100 TB (measured as ~+0.8 s at sf0.1, r14).
     */
   def docTokens(s: SparkSession, dir: String): DataFrame =
     docTokensDf(s, Tables.documents(s, dir))
 
-  /** [[docTokens]] over any (doc_id, text) DataFrame — the word-table
-    * join path, exposed for the reserved-char parity spec (two
-    * evaluation strategies, one answer, on ADVERSARIAL input).
+  /** [[docTokens]] over any (doc_id, text) DataFrame — exposed for the
+    * reserved-char parity spec (two evaluation strategies, one answer,
+    * on ADVERSARIAL input).
     */
   private[llm] def docTokensDf(s: SparkSession, docs: DataFrame): DataFrame = {
-    val (_, finalSeqs) = learnDf(s, docs)
-    val counts = finalSeqs.select(col("word"), size(symsOf(col("seq"))).as("n_syms"))
-    docs
+    val (learned, _) = learnDf(s, docs)
+    val tok = docs
       .select(col("doc_id"), explode(Hashing.tokens(col("text"))).as("word"))
+    val seq = replayAll(
+      concat(lit("~"), regexp_replace(scrub(col("word")), "(?s)(.)", "$1~")),
+      learned.map(m => (m.a, m.b)))
+    val counts = tok.select(col("word")).distinct()
+      .select(col("word"), size(symsOf(seq)).as("n_syms"))
+    tok
       .join(counts, Seq("word"))
       .groupBy("doc_id")
       .agg(sum(col("n_syms")).as("n_bpe_tokens"))
@@ -305,12 +328,12 @@ object Bpe {
     * exactly (merging only ever concatenates).
     */
   def tokenIds(s: SparkSession, dir: String): DataFrame = {
-    // finalSeqs is the checkpoint-free replay plan; its two consumers
-    // here (vocab agg, word-symbol explode) each recompute one
-    // vocab-sized aggregation — the price of the zero-residue contract
-    // (BpeSpec), cheap at any corpus size because neither pass is
-    // corpus-scale
-    val (_, finalSeqs) = learn(s, dir)
+    // the id dictionary needs per-word FREQUENCIES, so it reads the
+    // replay-rebuilt word table (one vocab-sized aggregation — at 100 TB
+    // a deployment persists this as an artifact, the d40 posture); the
+    // per-word symbol explode takes the cheaper t24 shape — replay over
+    // the distinct words of the corpus explode the join consumes
+    val (learned, finalSeqs) = learn(s, dir)
     val vocab = finalSeqs
       .select(col("cnt"), explode(symsOf(col("seq"))).as("token"))
       .groupBy("token").agg(sum(col("cnt")).as("freq"))
@@ -318,14 +341,18 @@ object Bpe {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("freq").desc, col("token").asc)).cast("int"))
       .select(col("token"), col("token_id"))
-    val wordSyms = finalSeqs
-      .select(col("word"), posexplode(symsOf(col("seq"))))
-      .select(col("word"), (col("pos") + 1).cast("int").as("spos"),
-        col("col").as("token"))
-    Tables.documents(s, dir)
+    val tok = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(Hashing.tokens(col("text"))))
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("wpos"),
         col("col").as("word"))
+    val seq = replayAll(
+      concat(lit("~"), regexp_replace(scrub(col("word")), "(?s)(.)", "$1~")),
+      learned.map(m => (m.a, m.b)))
+    val wordSyms = tok.select(col("word")).distinct()
+      .select(col("word"), posexplode(symsOf(seq)))
+      .select(col("word"), (col("pos") + 1).cast("int").as("spos"),
+        col("col").as("token"))
+    tok
       .join(wordSyms, Seq("word"))
       .join(broadcast(vocab), Seq("token"))
       .select(col("doc_id"), col("wpos"), col("spos"), col("token_id"))

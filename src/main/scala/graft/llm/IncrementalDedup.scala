@@ -58,6 +58,17 @@ import graft.Tables
   * component) is hash-identical — which is why d39's DuckDB oracle IS
   * the full-corpus rerun SQL ([[DedupResolve.corpusDedupPipelineSql]]):
   * the incremental path must change the COST, never the answer.
+  *
+  * The one DOCUMENTED divergence: under a finite `bucketCap` (the
+  * template-skew guard every capped path owns), the equivalence is to
+  * yesterday's-population semantics, not today's — a bucket whose
+  * membership crosses the cap only once the delta lands was capped
+  * differently by the corpus-only run than a full rerun would cap it,
+  * so corpus-internal pairs from exactly those buckets can differ. This
+  * is inherent to capping + increments (the cap is a recall knob, as in
+  * d21/d25); the ScaleBench `incdedup` mode MEASURES the resulting
+  * kept-set drift at ×500 instead of hand-waving it, and its uncapped
+  * arm certifies set_diff = 0 where the equivalence claim is exact.
   */
 object IncrementalDedup {
 
@@ -82,12 +93,13 @@ object IncrementalDedup {
       k: Int = 32,
       rowsPerBand: Int = 8,
       estMin: Double = 0.6,
-      jaccardMin: Double = 0.8): CorpusIndex = {
+      jaccardMin: Double = 0.8,
+      bucketCap: Int = Dedup.NoBucketCap): CorpusIndex = {
     val hashes = corpus.select(col("doc_id"),
       md5(col("text").cast("binary")).as("content_hash"))
     val sigs = corpus.select(col("doc_id"),
       graft.functions.MinHashSig(col("text"), 5, k).as("sig"))
-    val pairs = Dedup.lshVerifiedPairsDf(corpus, k, rowsPerBand, estMin, jaccardMin)
+    val pairs = Dedup.lshVerifiedPairsDf(corpus, k, rowsPerBand, estMin, jaccardMin, bucketCap)
       .select(col("a_id"), col("b_id"))
     CorpusIndex(hashes, sigs, DedupResolve.resolveClusters(pairs))
   }
@@ -119,7 +131,8 @@ object IncrementalDedup {
       k: Int = 32,
       rowsPerBand: Int = 8,
       estMin: Double = 0.6,
-      jaccardMin: Double = 0.8): DataFrame = {
+      jaccardMin: Double = 0.8,
+      bucketCap: Int = Dedup.NoBucketCap): DataFrame = {
     // 1. exact stars: each delta doc links to the min id of its
     // content-hash group (connectivity-equal to the clique, linear cost)
     val deltaHash = delta.select(col("doc_id"),
@@ -137,7 +150,13 @@ object IncrementalDedup {
     // in both orders and collapse in the distinct)
     val deltaSigs = delta.select(col("doc_id"),
       graft.functions.MinHashSig(col("text"), 5, k).as("sig"))
-    val allBands = Dedup.bandsOf(idx.sigs.unionByName(deltaSigs), k, rowsPerBand)
+    // the template-skew cap (d21's guard) applies on the ALL side: its
+    // bucket count sees the full corpus+delta population, and an
+    // over-cap bucket emptied there emits nothing regardless of the
+    // delta side — so capping one side caps the pair output
+    val allBands = Dedup.capBuckets(
+        Dedup.bandsOf(idx.sigs.unionByName(deltaSigs), k, rowsPerBand),
+        bucketCap, "band", "bsig")
       .hint("shuffle_hash").alias("a")
     val deltaBands = Dedup.bandsOf(deltaSigs, k, rowsPerBand)
       .hint("shuffle_hash").alias("b")

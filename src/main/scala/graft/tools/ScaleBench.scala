@@ -1361,6 +1361,120 @@ object ScaleBench {
       "wall" -> w, "out" -> n)
   }
 
+  /** Round-14 `bpelearn:<inc|full>` — per-ROUND cost of the BPE learn
+    * loop, one arm per JVM (the r12 isolation rule): `inc` is the
+    * shipped delta-maintained loop (instrumented via Bpe.learnDf's
+    * probe — each round emits its affected-word count and wall), `full`
+    * re-builds the pre-r14 full-reaggregation loop from the same
+    * pieces (wordSeqs/pairAgg/applyMerge — identical merges by
+    * construction, only the pair-count maintenance differs). The claim
+    * under test: inc's per-round wall tracks affected words (decreasing
+    * as learning proceeds), full's tracks the constant corpus symbol
+    * mass.
+    */
+  private def bpeLearnArm(s: SparkSession, dir: String, label: String, arm: String): Unit = {
+    val docs = graft.Tables.documents(s, dir)
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    if (arm == "inc") {
+      graft.llm.Bpe.learnDf(s, docs) // warmup (JIT + page cache)
+      sweep()
+      graft.llm.Bpe.learnDf(s, docs, (k, hit, w) =>
+        emit("corpus" -> label, "op" -> "bpe_round_inc", "round" -> k,
+          "affected_words" -> hit, "wall" -> w))
+      sweep()
+    } else {
+      def fullOnce(emitRows: Boolean): Unit = {
+        var seqDf = graft.llm.Bpe.wordSeqs(docs).localCheckpoint(true)
+        var k = 1
+        var done = false
+        while (k <= graft.llm.Bpe.Merges && !done) {
+          val t0 = System.nanoTime()
+          val best = graft.llm.Bpe.pairAgg(seqDf)
+            .orderBy(col("pc").desc, col("a").asc, col("b").asc)
+            .limit(1).collect()
+          if (best.isEmpty) done = true
+          else {
+            val (a, b) = (best(0).getString(0), best(0).getString(1))
+            if (k < graft.llm.Bpe.Merges)
+              seqDf = seqDf.select(col("word"), col("cnt"),
+                graft.llm.Bpe.applyMerge(col("seq"), a, b).as("seq"))
+                .localCheckpoint(true)
+            if (emitRows)
+              emit("corpus" -> label, "op" -> "bpe_round_full", "round" -> k,
+                "wall" -> (System.nanoTime() - t0) / 1e9)
+          }
+          k += 1
+        }
+      }
+      fullOnce(emitRows = false); sweep()
+      fullOnce(emitRows = true); sweep()
+    }
+  }
+
+  /** Round-14 `incdedup` — the d39 claim at scale: the incremental
+    * corpus-append pass costs ∝ delta, not corpus. Two capped arms
+    * (bucketCap = 32, the SCALING.md §3b production posture) at 2% and
+    * 10% delta measure build-once vs delta-pass vs full-rerun walls;
+    * one UNCAPPED arm at 2% measures the exact-equivalence certificate
+    * (set_diff MUST be 0 uncapped — under a cap, bucket populations
+    * differ between yesterday's corpus-only run and today's
+    * corpus+delta rerun exactly at cap crossings, so the capped
+    * set_diff is a measured drift stat, not a defect; the cap owns
+    * recall in every capped path).
+    */
+  private def incDedupMode(s: SparkSession, dir: String, label: String): Unit = {
+    import graft.llm.IncrementalDedup
+    val docs = graft.Tables.documents(s, dir)
+    val n = docs.count()
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    def arm(name: String, mod: Int, cap: Int, checkExact: Boolean): Unit = {
+      val corpus = docs.where(col("doc_id") % mod =!= 7)
+      val delta = docs.where(col("doc_id") % mod === 7)
+      val nDelta = delta.count()
+      val idxDir = java.nio.file.Files.createTempDirectory("incidx").toString
+      try {
+        val t0 = System.nanoTime()
+        IncrementalDedup.writeIndex(
+          IncrementalDedup.buildIndex(corpus, bucketCap = cap), idxDir)
+        val buildWall = (System.nanoTime() - t0) / 1e9
+        sweep()
+        val idx = IncrementalDedup.readIndex(s, idxDir)
+        val (deltaWall, keptInc) = timed2 {
+          val out = IncrementalDedup.appendKept(docs, idx, delta, bucketCap = cap).count()
+          sweep(); out
+        }
+        val (fullWall, keptFull) = timed2 {
+          val pairs = Dedup.lshVerifiedPairsDf(docs, bucketCap = cap)
+            .select(col("a_id"), col("b_id"))
+          val out = DedupResolve.dedupedDocIds(s, docs, pairs).count()
+          sweep(); out
+        }
+        val setDiff =
+          if (!checkExact) -1L
+          else {
+            val inc = IncrementalDedup.appendKept(docs, idx, delta, bucketCap = cap)
+            val pairs = Dedup.lshVerifiedPairsDf(docs, bucketCap = cap)
+              .select(col("a_id"), col("b_id"))
+            val full = DedupResolve.dedupedDocIds(s, docs, pairs)
+            val d = inc.exceptAll(full).union(full.exceptAll(inc)).count()
+            sweep(); d
+          }
+        emit("corpus" -> label, "op" -> "incdedup", "arm" -> name,
+          "n_docs" -> n, "n_delta" -> nDelta, "bucket_cap" -> cap,
+          "build_wall" -> buildWall, "delta_wall" -> deltaWall,
+          "full_wall" -> fullWall, "kept_inc" -> keptInc,
+          "kept_full" -> keptFull, "set_diff" -> setDiff)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+      }
+    }
+    arm("cap32_d2pct", 50, 32, checkExact = false)
+    arm("cap32_d10pct", 10, 32, checkExact = false)
+    arm("uncapped_d2pct", 50, Dedup.NoBucketCap, checkExact = true)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(dir, label, mode) = args.take(3)
     val spark = SparkSession.builder()
@@ -1402,6 +1516,9 @@ object ScaleBench {
       case "newops" => newops(spark, dir, label)
       case "learn" => learn(spark, dir, label)
       case "cur4" => cur4(spark, dir, label)
+      case "incdedup" => incDedupMode(spark, dir, label)
+      case bl if bl.startsWith("bpelearn:") =>
+        bpeLearnArm(spark, dir, label, bl.stripPrefix("bpelearn:"))
       case ab if ab.startsWith("ab:") =>
         val Array(_, which, arm) = ab.split(":")
         abArm(spark, dir, label, which, arm)
