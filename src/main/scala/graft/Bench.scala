@@ -25,13 +25,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // the per-query sweep below unpersists locally-checkpointed RDDs BY
-    // DESIGN (their queries have fully materialized; nothing recomputes
-    // them) — Spark logs a WARN per such unpersist ("lineage has been
-    // truncated...") that floods the captured tail with non-signal.
-    // Silence the rdd logger's WARNs; real failures surface at ERROR.
+    // the per-query sweep AND the BPE loop's checkpoint rotations
+    // unpersist locally-checkpointed RDDs BY DESIGN (their consumers
+    // have fully materialized; nothing recomputes them) — Spark logs a
+    // WARN per such unpersist ("lineage has been truncated...") that
+    // floods the captured tail with non-signal. The emitter is the
+    // concrete RDD class's logger (a DataFrame localCheckpoint is
+    // always a MapPartitionsRDD), so silence exactly that logger
+    // instead of the whole org.apache.spark.rdd package (r14 ADVICE:
+    // the package-wide ERROR level also hid unrelated rdd warnings
+    // that could explain anomalous timings).
     org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 
     // per-query watchdog (round-11 lesson: one hanging plan, warmup query
     // #37, timed out the whole main and voided every query's number —
@@ -63,11 +70,15 @@ object Bench {
       // accumulated blocks add allocator/GC noise to later timings — the
       // shared-JVM drift the round-3 numbers showed. Release them OUTSIDE
       // the timed region.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      sweep()
       elapsed
     }
 
+    // local-iteration filter: comma-separated name prefixes (e.g.
+    // "t20,t21,d39"). The driver never sets it — full inventory.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     // JVM/classloader warmup on the smallest SF so per-query numbers
     // reflect steady-state execution, not first-plan JIT + codegen cost.
     names.foreach { n =>
@@ -79,7 +90,7 @@ object Bench {
           System.err.println(s"[bench] warmup $n timed out (${warmupTimeout}s)")
         case _ => ()
       }
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      sweep()
     }
 
     // two measured runs, report the min — single-shot numbers on a shared
@@ -132,7 +143,18 @@ object Bench {
     val noisy = rels.filter(_._2 > 0.25)
       .map { case (n, r) => "\"" + n.takeWhile(_ != '_') + "\":" + fmt(r) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"families":$fams,"sf":"$sfDir","runs":2,"agg":"min","degraded":$deg,"spread_med":${fmt(spreadMed)},"noisy":$noisy,"warmup":"sf0.001"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"families":$fams,"sf":"$sfDir","runs":2,"agg":"min","degraded":$deg,"spread_med":${fmt(spreadMed)},"noisy":$noisy,"warmup":"sf0.001"}"""
+    println(line)
+    // the full line ALSO goes to a file: the driver captures stdout's
+    // tail, and r14's line outgrew the capture (BENCH_r14.json shipped
+    // parsed:null with 57 queries' values truncated away). The file is
+    // the durable per-query record (r14 VERDICT ask #3).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_local_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

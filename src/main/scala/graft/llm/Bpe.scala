@@ -21,20 +21,23 @@ import graft.Tables
   * state after merge k), so one driver-side row per round is the
   * irreducible coordination cost, not a scale smell.
   *
-  * DELTA maintenance (round 14): the per-round pair table is maintained
-  * incrementally, not re-aggregated. Merging (a,b) changes the adjacent-
-  * pair multiset ONLY for words whose sequence contains `~a~b~`, so each
-  * round folds `pairs − pairAgg(hit) + pairAgg(rewritten hit)` into the
-  * maintained table: the corpus-weighted symbol explode — the dominant
-  * per-round term, Σ word symbols — shrinks to the affected words, and
-  * the residual is one narrow (a, b, pc) fold whose size is the distinct-
-  * pair count, not the symbol mass. This is what makes a 32k-merge
-  * vocabulary thinkable: by late rounds almost no word contains the
-  * winning pair, so rounds get CHEAPER as learning proceeds instead of
-  * re-paying the full explode. The argmax becomes a TakeOrdered scan of
-  * the maintained table. Output is byte-identical to full re-aggregation
-  * (pair counts are additive per word; the fold is exact integer
-  * arithmetic) — gated by the unchanged t20/t21/t23/t24 oracles.
+  * Per-round pair counts (round 15, reversing round 14's default): the
+  * SHIPPED loop re-aggregates the pair table from the checkpointed word
+  * table every round. Round 14 shipped a delta-maintained fold
+  * (`pairs − pairAgg(hit) + pairAgg(rewritten hit)`) on the argument
+  * that affected words shrink as learning proceeds — but the ×500
+  * measurement (judge-run, reproduced in SCALE_RESULTS_r15.jsonl
+  * `bpelearn` rows) shows the delta arm LOSES at the shipped operating
+  * point: at a 78k-word table the maintained pair table is the same
+  * order as the full re-aggregation's input, so the per-round fold +
+  * extra substring-scan jobs cost more than the explode they avoid
+  * (~0.6 s vs ~0.36 s/round). The delta arm survives as
+  * [[learnDfDelta]] (private[graft]) for the regime where it can pay —
+  * symbol mass ≫ distinct pairs (≥10⁶-word tables, hundreds of merges)
+  * — measured head-to-head by the ScaleBench `bperegime` probe; the
+  * crossover recorded there is the hybrid gate. Both arms produce
+  * byte-identical merges (pair counts are additive per word; the fold
+  * is exact integer arithmetic) — gated by the t20–t26 oracles.
   *
   * Deterministic spec (both engines implement THIS, independently):
   *   - tokens = whitespace split ([[Hashing.tokens]]), empties dropped;
@@ -65,17 +68,27 @@ import graft.Tables
   *     occurrences never overlap, so the fixpoint equals the standard
   *     simultaneous merge.
   *
-  * Memory discipline: the loop's word table and pair table each live in
-  * ONE rotated localCheckpoint slot ([[CpSlot]] — the checkpointed RDD is
-  * captured from the checkpoint's own LogicalRDD, never set-diffed out of
-  * the global persistent-RDD registry, so a concurrent job's cached
-  * blocks can't be captured and later killed: the r13 ADVICE race). When
-  * learning finishes BOTH slots release, and the final segmentation is
-  * rebuilt as a checkpoint-free replay plan (the collected merge list
-  * applied in order over `wordSeqs` — identical by construction to the
-  * loop's evolved table), so a BPE query leaves ZERO persisted-RDD
-  * residue the moment `learn` returns — nothing for the bench harness to
-  * sweep, no truncated-lineage blocks held across queries.
+  * Memory discipline: the loop's word table lives in ONE rotated
+  * localCheckpoint slot ([[CpSlot]] — the checkpointed RDD is captured
+  * from the checkpoint's own LogicalRDD, never set-diffed out of the
+  * global persistent-RDD registry, so a concurrent job's cached blocks
+  * can't be captured and later killed: the r13 ADVICE race). Queries
+  * that never materialize the final segmentation ([[merges]],
+  * [[docTokens]], [[heldoutTokens]], [[mergeList]]) release the slot
+  * the moment learning returns — zero persisted-RDD residue. Queries
+  * that DO consume the final table ([[vocab]], [[tokenIds]]) would
+  * otherwise re-pay the corpus-scale `wordSeqs` pass to rebuild it (the
+  * r14 regression: 1.55–1.88× on t20–t24); they instead keep the loop's
+  * LAST checkpoint (the final table is that checkpoint plus one
+  * pending-merge projection — no extra corpus pass) and hand its
+  * release to [[releaseOnConsume]]: a one-shot QueryExecutionListener
+  * that unpersists the block the first time an action whose plan
+  * contains it completes. The retained plan is SINGLE-consumption by
+  * design (a localCheckpoint cannot recompute once released — a second
+  * materialization fails loudly rather than silently re-paying);
+  * every caller constructs a fresh learn per query, so the one action
+  * Verify/Bench/specs run is exactly the consumption the hook waits
+  * for.
   *
   * The DuckDB oracle replays the identical algorithm as a chain of
   * MATERIALIZED CTEs, one (pairs → best → rewritten-words) stage per
@@ -110,9 +123,17 @@ object Bpe {
     * rebuilds the pre-delta learn loop from these pieces.)
     */
   private[graft] def wordSeqs(docs: DataFrame): DataFrame =
-    docs
-      .select(explode(Hashing.tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    encodeSeqs(
+      docs
+        .select(explode(Hashing.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt")))
+
+  /** Marker-encode a (word, cnt) table into (word, cnt, seq). Factored
+    * out so the ScaleBench `bperegime` probe can learn over a SYNTHETIC
+    * word table (≥10⁶ distinct words, zipf counts) without a corpus.
+    */
+  private[graft] def encodeSeqs(words: DataFrame): DataFrame =
+    words
       // '~c1~c2~…~cn~': $1-backreference inserts a trailing ~ per char.
       // (?s) DOTALL is load-bearing for cross-engine parity: without it,
       // Java's '.' skips \r, U+0085, U+2028, U+2029 while RE2's skips only
@@ -172,39 +193,210 @@ object Bpe {
       out
     }
     def release(): Unit = {
-      cur.foreach { df =>
-        df.queryExecution.logical match {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-          case _ => ()
-        }
-      }
+      cur.foreach(releaseCp)
       cur = None
     }
+    /** Transfer ownership of the current generation to the caller
+      * (who becomes responsible for its release) without unpersisting.
+      */
+    def handOff(): Unit = { cur = None }
   }
+
+  /** Unpersist a localCheckpoint's block, warning loudly if the plan is
+    * not the bare LogicalRDD a checkpoint produces (a future Spark
+    * wrapping it would silently reintroduce the Merges+1-generation
+    * leak CpSlot exists to prevent — r14 ADVICE).
+    */
+  private def releaseCp(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case other =>
+        org.apache.logging.log4j.LogManager.getLogger(Bpe.getClass).warn(
+          s"CpSlot.release: expected a bare LogicalRDD under a localCheckpoint, " +
+            s"got ${other.getClass.getSimpleName} — checkpoint block NOT released " +
+            s"(zero-residue discipline broken; BpeSpec's residue gate should be failing)")
+    }
+
+  /** Release a retained checkpoint the first time a query that reads it
+    * completes (success OR failure): a one-shot QueryExecutionListener
+    * keyed on the checkpoint's RDD id. This is what lets [[vocab]] /
+    * [[tokenIds]] consume the learn loop's final table directly (block-
+    * manager reads) instead of re-paying the corpus-scale `wordSeqs`
+    * pass, while still leaving zero persisted-RDD residue once the
+    * query has run — the release fires on the harness's own action.
+    * Listener dispatch is async (the SQL listener bus), so residue
+    * drains shortly after the action returns, not synchronously —
+    * BpeSpec polls for the drain.
+    */
+  private def releaseOnConsume(s: SparkSession, cp: DataFrame): Unit =
+    cp.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val rddId = l.rdd.id
+        val lm = s.listenerManager
+        val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+          private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+            val hit = qe.analyzed.exists {
+              case x: org.apache.spark.sql.execution.LogicalRDD => x.rdd.id == rddId
+              case _ => false
+            }
+            if (hit) { l.rdd.unpersist(false); lm.unregister(this) }
+          }
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+            maybe(qe)
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+            maybe(qe)
+        }
+        lm.register(listener)
+      case other =>
+        // no checkpoint to manage — nothing retained, nothing leaks
+        org.apache.logging.log4j.LogManager.getLogger(Bpe.getClass).warn(
+          s"releaseOnConsume: expected a LogicalRDD, got ${other.getClass.getSimpleName}")
+    }
 
   private[llm] final case class Learned(round: Int, a: String, b: String, cnt: Long)
 
-  /** The merge loop (delta-maintained — see the class doc). Returns the
-    * learned merges and a CHECKPOINT-FREE plan for the word table in its
-    * final segmentation (the merge list replayed in order over
-    * [[wordSeqs]] — identical to the loop's evolved state by the replay-
-    * composition argument; recomputing one vocab-sized aggregation at
-    * materialization is the price of leaving zero persisted residue).
+  /** Loop state handed from [[learnLoopFull]] to the two release
+    * postures: the learned merges, the slot holding the LAST rotated
+    * checkpoint, that checkpoint, and the final round's merge (recorded
+    * but deliberately not applied inside the loop — the final table is
+    * checkpoint + one projection, never a rewrite nobody reads).
     */
-  private def learn(s: SparkSession, dir: String): (Seq[Learned], DataFrame) =
-    learnDf(s, Tables.documents(s, dir))
+  private final case class LoopState(
+      merges: Seq[Learned],
+      slot: CpSlot,
+      seqDf: DataFrame,
+      pending: Option[(String, String)])
 
+  /** The SHIPPED merge loop: full pair re-aggregation from the rotated
+    * word-table checkpoint every round (the measured winner at the
+    * operating point — see the class doc). Per-round cost: one
+    * symbol-explode + (a,b) aggregation over the vocab-sized table and
+    * one TakeOrdered(1) argmax; the corpus is read exactly once, at
+    * `seqs0`'s first checkpoint.
+    */
+  private def learnLoopFull(seqs0: DataFrame, maxMerges: Int,
+      onRound: (Int, Long, Double) => Unit): LoopState = {
+    val seqSlot = new CpSlot
+    var seqDf = seqSlot.rotate(seqs0)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Learned]
+    var pending: Option[(String, String)] = None
+    var k = 1
+    var exhausted = false
+    while (k <= maxMerges && !exhausted) {
+      val t0 = System.nanoTime()
+      val best = pairAgg(seqDf)
+        .orderBy(col("pc").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        require(!a.contains("~") && !b.contains("~") && !a.contains("|") && !b.contains("|"),
+          s"reserved char leaked into a symbol: '$a','$b'")
+        merges += Learned(k, a, b, c)
+        val argWall = (System.nanoTime() - t0) / 1e9
+        // scale-harness probe: affected-word count (the extra count job
+        // runs ONLY when instrumented, and OUTSIDE the timed spans — the
+        // reported wall is argmax + rewrite, the algorithm's own cost)
+        val hitCount =
+          if (onRound == null) -1L
+          else seqDf.where(col("seq").contains(s"~$a~$b~")).count()
+        val t1 = System.nanoTime()
+        if (k < maxMerges) {
+          val pat = s"~$a~$b~"
+          seqDf = seqSlot.rotate(seqDf.select(col("word"), col("cnt"),
+            when(col("seq").contains(pat), applyMerge(col("seq"), a, b))
+              .otherwise(col("seq")).as("seq")))
+        } else pending = Some((a, b))
+        if (onRound != null)
+          onRound(k, hitCount, argWall + (System.nanoTime() - t1) / 1e9)
+      }
+      k += 1
+    }
+    LoopState(merges.toSeq, seqSlot, seqDf, pending)
+  }
+
+  /** The merge loop, zero-residue posture: releases the word-table
+    * checkpoint before returning. The returned final-segmentation frame
+    * is a CHECKPOINT-FREE replay plan (the merge list over
+    * [[wordSeqs]]) — callers that never materialize it ([[merges]],
+    * [[docTokens]], [[heldoutTokens]], [[mergeList]]) pay nothing for
+    * it; callers that DO consume it belong on [[learnRetained]].
+    */
   private[graft] def learnDf(s: SparkSession, docs: DataFrame,
       onRound: (Int, Long, Double) => Unit = null): (Seq[Learned], DataFrame) = {
+    val st = learnLoopFull(wordSeqs(docs), Merges, onRound)
+    st.slot.release()
+    val learnedPairs = st.merges.map(m => (m.a, m.b))
+    (st.merges,
+      wordSeqs(docs).select(col("word"), col("cnt"),
+        replayAll(col("seq"), learnedPairs).as("seq")))
+  }
+
+  /** The merge loop, retained-final-table posture: the final
+    * segmentation (the pending merge applied over the loop's last
+    * checkpoint) is rotated into ONE FRESH vocab-sized checkpoint —
+    * block-manager reads for the consumer, NO second corpus pass — and
+    * its release is handed to [[releaseOnConsume]] (fires when the
+    * consuming query's action completes). The extra rotation is
+    * correctness-load-bearing, not a flourish: the loop's final argmax
+    * collect READS the last loop checkpoint, and its async
+    * QueryExecutionListener event can arrive after the release hook
+    * registers — matching the rdd id and unpersisting the block before
+    * the consumer runs (measured: flaky CHECKPOINT_RDD_BLOCK_ID_NOT_
+    * FOUND in ~half of bench runs). A freshly-rotated checkpoint's rdd
+    * id is born after every loop action, so no in-flight event can
+    * reference it; the first event that does is the consumer's.
+    * Single-consumption: see the class doc.
+    */
+  private[graft] def learnRetained(s: SparkSession, docs: DataFrame,
+      onRound: (Int, Long, Double) => Unit = null): (Seq[Learned], DataFrame) = {
+    val st = learnLoopFull(wordSeqs(docs), Merges, onRound)
+    val fin0 = st.pending match {
+      case Some((a, b)) =>
+        st.seqDf.select(col("word"), col("cnt"), applyMerge(col("seq"), a, b).as("seq"))
+      case None => st.seqDf
+    }
+    val finCp = st.slot.rotate(fin0)
+    st.slot.handOff()
+    releaseOnConsume(s, finCp)
+    (st.merges, finCp)
+  }
+
+  /** Full-re-agg arm over a prebuilt (word, cnt, seq) table, merges
+    * only — the ScaleBench `bpelearn:full` / `bperegime:full` surface.
+    */
+  private[graft] def learnFullArm(seqs0: DataFrame, maxMerges: Int = Merges,
+      onRound: (Int, Long, Double) => Unit = null): Seq[Learned] = {
+    val st = learnLoopFull(seqs0, maxMerges, onRound)
+    st.slot.release()
+    st.merges
+  }
+
+  /** The round-14 DELTA-maintained arm, kept private[graft] for the
+    * scale A/B (shipped default is full re-agg — the ×500 measurement
+    * reversed r14's claim; see the class doc). Merging (a,b) changes
+    * the adjacent-pair multiset only for words containing `~a~b~`, so
+    * each round folds `pairAgg(hit rows at −cnt ∪ rewritten hit rows
+    * at +cnt)` — ONE delta aggregation (r15: the two branches of r14's
+    * fold fused) — into the maintained pair table, then re-aggregates
+    * that narrow (a, b, pc) table. The argmax reads the maintained
+    * checkpoint. Candidate regime where this pays: symbol mass ≫
+    * distinct pairs (≥10⁶-word tables, hundreds of merges) — the
+    * `bperegime` probe measures the crossover.
+    */
+  private[graft] def learnDeltaArm(seqs0: DataFrame, maxMerges: Int = Merges,
+      onRound: (Int, Long, Double) => Unit = null): Seq[Learned] = {
     val seqSlot = new CpSlot
     val pairSlot = new CpSlot
-    var seqDf = seqSlot.rotate(wordSeqs(docs))
+    var seqDf = seqSlot.rotate(seqs0)
     // the ONE full pair aggregation; every later round folds deltas
     var pairs = pairSlot.rotate(pairAgg(seqDf))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Learned]
     var k = 1
     var exhausted = false
-    while (k <= Merges && !exhausted) {
+    while (k <= maxMerges && !exhausted) {
       val t0 = System.nanoTime()
       val best = pairs
         .orderBy(col("pc").desc, col("a").asc, col("b").asc)
@@ -215,20 +407,20 @@ object Bpe {
         require(!a.contains("~") && !b.contains("~") && !a.contains("|") && !b.contains("|"),
           s"reserved char leaked into a symbol: '$a','$b'")
         merges += Learned(k, a, b, c)
-        // scale-harness probe: affected-word count + round wall (the
-        // extra count job runs ONLY when instrumented)
+        val argWall = (System.nanoTime() - t0) / 1e9
         val hitCount =
           if (onRound == null) -1L
           else seqDf.where(col("seq").contains(s"~$a~$b~")).count()
-        if (k < Merges) {
-          // delta fold: only words containing the winning pair change.
-          // hit/rewritten read the CHECKPOINTED seqDf (block-manager
-          // scans), so the two pairAgg branches don't recompute the chain
+        val t1 = System.nanoTime()
+        if (k < maxMerges) {
+          // hit reads the CHECKPOINTED seqDf (block-manager scans); the
+          // −cnt/+cnt union runs through ONE pairAgg shuffle
           val pat = s"~$a~$b~"
           val hit = seqDf.where(col("seq").contains(pat))
-          val rewritten = hit.select(col("cnt"), applyMerge(col("seq"), a, b).as("seq"))
-          val delta = pairAgg(rewritten)
-            .unionByName(pairAgg(hit).select(col("a"), col("b"), (-col("pc")).as("pc")))
+          val delta = pairAgg(
+            hit.select((-col("cnt")).as("cnt"), col("seq"))
+              .unionByName(hit.select(col("cnt"), applyMerge(col("seq"), a, b).as("seq"))))
+            .where(col("pc") =!= 0)
           pairs = pairSlot.rotate(
             pairs.unionByName(delta)
               .groupBy("a", "b").agg(sum("pc").as("pc"))
@@ -238,17 +430,17 @@ object Bpe {
               .otherwise(col("seq")).as("seq")))
         }
         if (onRound != null)
-          onRound(k, hitCount, (System.nanoTime() - t0) / 1e9)
+          onRound(k, hitCount, argWall + (System.nanoTime() - t1) / 1e9)
       }
       k += 1
     }
     seqSlot.release()
     pairSlot.release()
-    val learnedPairs = merges.toSeq.map(m => (m.a, m.b))
-    (merges.toSeq,
-      wordSeqs(docs).select(col("word"), col("cnt"),
-        replayAll(col("seq"), learnedPairs).as("seq")))
+    merges.toSeq
   }
+
+  private def learn(s: SparkSession, dir: String): (Seq[Learned], DataFrame) =
+    learnDf(s, Tables.documents(s, dir))
 
   /** t20: the learned merge table — `(merge_round, sym_a, sym_b, merged,
     * pair_freq)`, one row per round in learning order. The output is
@@ -266,7 +458,7 @@ object Bpe {
     * the apply path (what a token-budget or packing decision consumes).
     */
   def vocab(s: SparkSession, dir: String): DataFrame = {
-    val (_, finalSeqs) = learn(s, dir)
+    val (_, finalSeqs) = learnRetained(s, Tables.documents(s, dir))
     finalSeqs
       .select(col("cnt"), explode(symsOf(col("seq"))).as("token"))
       .groupBy("token").agg(sum("cnt").as("freq"))
@@ -329,11 +521,11 @@ object Bpe {
     */
   def tokenIds(s: SparkSession, dir: String): DataFrame = {
     // the id dictionary needs per-word FREQUENCIES, so it reads the
-    // replay-rebuilt word table (one vocab-sized aggregation — at 100 TB
+    // loop's RETAINED final word table (block-manager scan — at 100 TB
     // a deployment persists this as an artifact, the d40 posture); the
     // per-word symbol explode takes the cheaper t24 shape — replay over
     // the distinct words of the corpus explode the join consumes
-    val (learned, finalSeqs) = learn(s, dir)
+    val (learned, finalSeqs) = learnRetained(s, Tables.documents(s, dir))
     val vocab = finalSeqs
       .select(col("cnt"), explode(symsOf(col("seq"))).as("token"))
       .groupBy("token").agg(sum(col("cnt")).as("freq"))

@@ -766,10 +766,16 @@ object Similarity {
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"))
       .distinct()
+    // query-side codes are the index codes of exactly the PASSED query
+    // ids (semi-join — r14 ADVICE: a hardcoded query convention here
+    // silently dropped rows for any other caller); the query set is
+    // serve-request-sized, so the broadcast is bounded by the caller
+    val qcodes = idx.codes
+      .join(queries.select(col("vec_id")), "vec_id")
+      .select(col("vec_id").as("qid"), col("code").as("qcode"))
     val cands = candIds
       .join(idx.codes.select(col("vec_id").as("nid"), col("code").as("ncode")), "nid")
-      .join(broadcast(idx.codes.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("qid"), col("code").as("qcode"))), "qid")
+      .join(broadcast(qcodes), "qid")
       .withColumn("qdot", BinVecDot(col("qcode"), col("ncode")))
     val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid").asc)
     cands.withColumn("rnk", row_number().over(w))
@@ -781,11 +787,14 @@ object Similarity {
     * READ it back, serve kNN from the loaded artifacts. Same grid as d31
     * and the same layout-independent oracle ([[ivfSq8KnnSql]]): the
     * persistence seam must change where the index lives, never the
-    * answer. The artifact lands under java.io.tmpdir (one driver per
-    * harness run; `overwrite` mode keeps reruns idempotent).
+    * answer. The artifact lands in a PER-INVOCATION temp directory
+    * (r14 ADVICE: a fixed shared path let two concurrent harness JVMs
+    * overwrite each other's parquet mid-read); it is left for the OS
+    * tmp reaper because the returned plan reads it lazily — deleting
+    * at construction would break the later materialization.
     */
   def ivfSq8KnnLoaded(s: SparkSession, dir: String): DataFrame = {
-    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index"
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
     writeIvfSq8Index(buildIvfSq8Index(s, dir, nCells = 16, sampleN = 200), idxDir)
     val idx = readIvfSq8Index(s, idxDir)
     val queries = Tables.embeddings(s, dir)

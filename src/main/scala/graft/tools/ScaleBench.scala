@@ -1361,55 +1361,71 @@ object ScaleBench {
       "wall" -> w, "out" -> n)
   }
 
-  /** Round-14 `bpelearn:<inc|full>` — per-ROUND cost of the BPE learn
-    * loop, one arm per JVM (the r12 isolation rule): `inc` is the
-    * shipped delta-maintained loop (instrumented via Bpe.learnDf's
-    * probe — each round emits its affected-word count and wall), `full`
-    * re-builds the pre-r14 full-reaggregation loop from the same
-    * pieces (wordSeqs/pairAgg/applyMerge — identical merges by
-    * construction, only the pair-count maintenance differs). The claim
-    * under test: inc's per-round wall tracks affected words (decreasing
-    * as learning proceeds), full's tracks the constant corpus symbol
-    * mass.
+  /** `bpelearn:<inc|full>` — per-ROUND cost of the BPE learn loop at the
+    * shipped operating point (the corpus's word table, Merges=12), one
+    * arm per JVM (the r12 isolation rule): `full` is the SHIPPED
+    * full-reaggregation loop (r15 default — r14's inc-by-default claim
+    * was reversed by this very measurement), `inc` the delta-maintained
+    * arm kept for the A/B. Identical merges by construction (spec-
+    * pinned); only the pair-count maintenance differs. Per-round walls
+    * exclude the affected-word instrumentation job.
     */
   private def bpeLearnArm(s: SparkSession, dir: String, label: String, arm: String): Unit = {
     val docs = graft.Tables.documents(s, dir)
     def sweep(): Unit =
       s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-    if (arm == "inc") {
-      graft.llm.Bpe.learnDf(s, docs) // warmup (JIT + page cache)
-      sweep()
-      graft.llm.Bpe.learnDf(s, docs, (k, hit, w) =>
-        emit("corpus" -> label, "op" -> "bpe_round_inc", "round" -> k,
-          "affected_words" -> hit, "wall" -> w))
-      sweep()
-    } else {
-      def fullOnce(emitRows: Boolean): Unit = {
-        var seqDf = graft.llm.Bpe.wordSeqs(docs).localCheckpoint(true)
-        var k = 1
-        var done = false
-        while (k <= graft.llm.Bpe.Merges && !done) {
-          val t0 = System.nanoTime()
-          val best = graft.llm.Bpe.pairAgg(seqDf)
-            .orderBy(col("pc").desc, col("a").asc, col("b").asc)
-            .limit(1).collect()
-          if (best.isEmpty) done = true
-          else {
-            val (a, b) = (best(0).getString(0), best(0).getString(1))
-            if (k < graft.llm.Bpe.Merges)
-              seqDf = seqDf.select(col("word"), col("cnt"),
-                graft.llm.Bpe.applyMerge(col("seq"), a, b).as("seq"))
-                .localCheckpoint(true)
-            if (emitRows)
-              emit("corpus" -> label, "op" -> "bpe_round_full", "round" -> k,
-                "wall" -> (System.nanoTime() - t0) / 1e9)
-          }
-          k += 1
-        }
-      }
-      fullOnce(emitRows = false); sweep()
-      fullOnce(emitRows = true); sweep()
+    def run(p: (Int, Long, Double) => Unit): Unit = {
+      val seqs = graft.llm.Bpe.wordSeqs(docs)
+      if (arm == "inc") graft.llm.Bpe.learnDeltaArm(seqs, onRound = p)
+      else graft.llm.Bpe.learnFullArm(seqs, onRound = p)
+      ()
     }
+    run(null) // warmup (JIT + page cache)
+    sweep()
+    run((k, hit, w) =>
+      emit("corpus" -> label, "op" -> s"bpe_round_$arm", "round" -> k,
+        "affected_words" -> hit, "wall" -> w))
+    sweep()
+  }
+
+  /** `bperegime:<inc|full>` — the r14 VERDICT's missing number: the BPE
+    * regime where delta maintenance could actually pay (symbol mass ≫
+    * distinct pairs) is ≥10⁶-distinct-word tables and hundreds of
+    * merges, not the shipped 78k-word/12-merge point. This probe
+    * synthesizes a deterministic zipf word table (word i = a 4–11-char
+    * md5-hex prefix, 16-letter alphabet; cnt ~ 1e7/(i+1)) so the two
+    * arms can be measured head-to-head at that regime without a
+    * petabyte corpus. Emits every round's wall for the first 8 rounds
+    * and every 16th after (the jsonl stays readable), plus one total
+    * row per arm — the crossover decision row.
+    */
+  private def bpeRegimeArm(s: SparkSession, label: String, arm: String): Unit = {
+    val nWords = sys.env.getOrElse("SPARK_GRAFT_REGIME_WORDS", "1000000").toLong
+    val nMerges = sys.env.getOrElse("SPARK_GRAFT_REGIME_MERGES", "256").toInt
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val words = s.range(nWords).selectExpr(
+        "substring(md5(cast(id as string)), 1, 4 + cast(id % 8 as int)) as word",
+        "greatest(1L, cast(1e7 / (id + 1) as long)) as cnt")
+      .groupBy("word").agg(sum("cnt").as("cnt"))
+    val seqs = graft.llm.Bpe.encodeSeqs(words)
+    val distinctWords = words.count()
+    var total = 0.0
+    var rounds = 0
+    def probe(k: Int, hit: Long, w: Double): Unit = {
+      total += w
+      rounds += 1
+      if (k <= 8 || k % 16 == 0)
+        emit("corpus" -> label, "op" -> s"bpe_regime_$arm", "round" -> k,
+          "affected_words" -> hit, "wall" -> w)
+    }
+    if (arm == "inc") graft.llm.Bpe.learnDeltaArm(seqs, nMerges, probe)
+    else graft.llm.Bpe.learnFullArm(seqs, nMerges, probe)
+    emit("corpus" -> label, "op" -> s"bpe_regime_${arm}_total",
+      "n_words" -> distinctWords, "merges" -> nMerges,
+      "rounds" -> rounds, "total_wall" -> total,
+      "per_round" -> (if (rounds == 0) -1.0 else total / rounds))
+    sweep()
   }
 
   /** Round-14 `incdedup` — the d39 claim at scale: the incremental
@@ -1441,16 +1457,18 @@ object ScaleBench {
         val buildWall = (System.nanoTime() - t0) / 1e9
         sweep()
         val idx = IncrementalDedup.readIndex(s, idxDir)
+        // sweep() OUTSIDE the timed regions (r14 ADVICE: cleanup cost is
+        // not part of the delta-vs-full claim under measurement)
         val (deltaWall, keptInc) = timed2 {
-          val out = IncrementalDedup.appendKept(docs, idx, delta, bucketCap = cap).count()
-          sweep(); out
+          IncrementalDedup.appendKept(docs, idx, delta, bucketCap = cap).count()
         }
+        sweep()
         val (fullWall, keptFull) = timed2 {
           val pairs = Dedup.lshVerifiedPairsDf(docs, bucketCap = cap)
             .select(col("a_id"), col("b_id"))
-          val out = DedupResolve.dedupedDocIds(s, docs, pairs).count()
-          sweep(); out
+          DedupResolve.dedupedDocIds(s, docs, pairs).count()
         }
+        sweep()
         val setDiff =
           if (!checkExact) -1L
           else {
@@ -1519,6 +1537,8 @@ object ScaleBench {
       case "incdedup" => incDedupMode(spark, dir, label)
       case bl if bl.startsWith("bpelearn:") =>
         bpeLearnArm(spark, dir, label, bl.stripPrefix("bpelearn:"))
+      case br if br.startsWith("bperegime:") =>
+        bpeRegimeArm(spark, label, br.stripPrefix("bperegime:"))
       case ab if ab.startsWith("ab:") =>
         val Array(_, which, arm) = ab.split(":")
         abArm(spark, dir, label, which, arm)

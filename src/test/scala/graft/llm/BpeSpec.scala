@@ -92,22 +92,50 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("BPE queries leave zero persisted-RDD residue (checkpoint rotation + final release)") {
-    // the learn loop rotates its word/pair checkpoints and releases BOTH
-    // slots before returning (the final segmentation is a checkpoint-free
-    // replay plan) — so materializing any BPE query must add nothing to
-    // the persistent-RDD registry (r13 VERDICT ask #4)
+    // the learn loop rotates its word-table checkpoint; queries that
+    // never consume the final table release it the moment learn returns
+    // (immediate zero residue), while vocab/tokenIds RETAIN the final
+    // checkpoint and release it via a QueryExecutionListener when the
+    // consuming action completes — listener dispatch is async on the SQL
+    // listener bus, so those drain shortly after collect() rather than
+    // synchronously (r14 VERDICT ask #1: no second corpus pass, still
+    // zero steady-state residue)
     def residue[A](body: => A): Set[Int] = {
       val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
       body
       spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     }
+    def drained[A](label: String)(body: => A): Unit = {
+      val r = residue(body)
+      if (r.nonEmpty) {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (System.nanoTime() < deadline &&
+            (spark.sparkContext.getPersistentRDDs.keySet.toSet & r).nonEmpty)
+          Thread.sleep(50)
+      }
+      assert((spark.sparkContext.getPersistentRDDs.keySet.toSet & r).isEmpty,
+        s"$label leaked (residue did not drain within 30s of the consuming action)")
+    }
     assert(residue(Bpe.merges(spark, sf).collect()).isEmpty, "t20 leaked")
-    assert(residue(Bpe.vocab(spark, sf).collect()).isEmpty, "t21 leaked")
+    drained("t21")(Bpe.vocab(spark, sf).collect())
     assert(residue(Bpe.docTokens(spark, sf).collect()).isEmpty, "t23 leaked")
     assert(residue(Bpe.heldoutTokens(spark, sf).collect()).isEmpty, "t24 leaked")
-    assert(residue(Bpe.tokenIds(spark, sf).collect()).isEmpty, "t25 leaked")
+    drained("t25")(Bpe.tokenIds(spark, sf).collect())
     assert(residue(Bpe.bpeSeqPack(spark, sf).collect()).isEmpty, "t26 leaked")
     assert(residue(Bpe.mergeList(spark, sf)).isEmpty, "mergeList leaked")
+  }
+
+  test("delta-maintained learn arm produces byte-identical merges to the shipped full re-agg") {
+    // the A/B the scale harness measures must be semantics-free: the
+    // r14 delta fold (kept as the private learnDeltaArm) and the shipped
+    // full-re-aggregation loop learn the SAME merge sequence
+    val docs = graft.Tables.documents(spark, sf)
+    val full = Bpe.learnFullArm(Bpe.wordSeqs(docs))
+    val delta = Bpe.learnDeltaArm(Bpe.wordSeqs(docs))
+    assert(full == delta)
+    assert(full.map(m => (m.round, m.a, m.b, m.cnt)) ==
+      Bpe.merges(spark, sf).as[(Int, String, String, String, Long)]
+        .collect().sortBy(_._1).map(x => (x._1, x._2, x._3, x._5)).toSeq)
   }
 
   test("t25: token ids reconstruct the scrubbed corpus text exactly") {
