@@ -72,10 +72,76 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("incdedup").toString
     try {
       IncrementalDedup.writeIndex(
-        IncrementalDedup.buildIndex(corpusDf, rowsPerBand = 4), tmp)
+        IncrementalDedup.buildIndex(corpusDf, rowsPerBand = 4), tmp, rowsPerBand = 4)
       val loaded = IncrementalDedup.readIndex(spark, tmp)
+      // the loaded index carries the bucketed probe tables + geometry
+      assert(loaded.bands.nonEmpty && loaded.bandCounts.nonEmpty)
+      assert(loaded.bandK == 32 && loaded.bandRows == 4)
       assert(keptIncremental(loaded) == Set(0L, 5L, 14L, 19L),
         "loaded-artifact path diverged from the in-memory path")
+      // a mismatched band geometry must fall back to sigs, not mis-join:
+      // rowsPerBand = 8 over the same loaded index still equals the
+      // full rerun at that geometry
+      val inc8 = IncrementalDedup.appendKept(docsDf, loaded, deltaDf)
+        .as[Long].collect().toSet
+      val full8 = {
+        val pairs = Dedup.lshVerifiedPairsDf(docsDf)
+          .select(col("a_id"), col("b_id"))
+        DedupResolve.dedupedDocIds(spark, docsDf, pairs).as[Long].collect().toSet
+      }
+      assert(inc8 == full8,
+        "mismatched-geometry fallback diverged from the full rerun")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("capped incremental pass with persisted band counts equals capped full semantics on a clean fixture") {
+    // no bucket here exceeds cap=32, so the capped pass must equal the
+    // uncapped answer exactly — through the PERSISTED bandcounts path
+    val tmp = java.nio.file.Files.createTempDirectory("incdedupcap").toString
+    try {
+      IncrementalDedup.writeIndex(
+        IncrementalDedup.buildIndex(corpusDf, rowsPerBand = 4), tmp, rowsPerBand = 4)
+      val loaded = IncrementalDedup.readIndex(spark, tmp)
+      val kept = IncrementalDedup.appendKept(docsDf, loaded, deltaDf,
+          rowsPerBand = 4, bucketCap = 32)
+        .as[Long].collect().toSet
+      assert(kept == Set(0L, 5L, 14L, 19L), s"capped kept: $kept")
+      // and a cap of 1 drops every multi-member bucket: banded evidence
+      // vanishes, only exact-hash stars remain (F=9 still drops)
+      val kept1 = IncrementalDedup.appendKept(docsDf, loaded, deltaDf,
+          rowsPerBand = 4, bucketCap = 1)
+        .as[Long].collect().toSet
+      assert(!kept1.contains(9L), "exact-dup star must survive any cap")
+      assert(kept1.contains(24L), "cap=1 should drop the banded near-dup evidence")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("persisted band table joins bucket-aware: corpus side is exchange-free") {
+    // the r15 delta-proportionality claim, pinned at the plan level: the
+    // corpus–delta band join reads the BUCKETED persisted table directly
+    // (no Exchange above the corpus scan); only the delta side shuffles
+    val tmp = java.nio.file.Files.createTempDirectory("incdedupplan").toString
+    try {
+      IncrementalDedup.writeIndex(
+        IncrementalDedup.buildIndex(corpusDf, rowsPerBand = 4), tmp, rowsPerBand = 4)
+      val loaded = IncrementalDedup.readIndex(spark, tmp)
+      val deltaBands = Dedup.bandsOf(
+        deltaDf.select(col("doc_id"),
+          graft.functions.MinHashSig(col("text"), 5, 32).as("sig")), 32, 4)
+      val j = loaded.bands.get.alias("a")
+        .join(deltaBands.hint("shuffle_hash").alias("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+      val p = j.queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("ReusedExchange"))
+      assert(exchanges == 1, s"expected ONE exchange (the delta side), plan:\n$p")
+      assert(p.contains("Bucketed: true"),
+        s"corpus band scan is not a bucketed read, plan:\n$p")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
