@@ -224,6 +224,20 @@ object SparkEntry {
     // the loaded artifacts; d31's layout-independent oracle (the seam
     // changes where the index lives, never the answer)
     "d40_knn_index_load" -> (graft.llm.Similarity.ivfSq8KnnLoaded _),
+    // d42: incremental corpus-append SIMHASH pairs — delta bands probe
+    // the persisted bucketed band table; persisted corpus pairs union
+    // delta-involved pairs; oracle = the full-rerun banded-join SQL
+    "d42_incremental_simhash" -> (graft.llm.IncrementalSig.simhashAppend _),
+    // d43: incremental corpus-append DECONTAMINATION — delta docs probe
+    // the persisted Bloom sketch + bucketed gram table; per-doc spans
+    // are independent, so yesterday's spans union the delta's IS the
+    // full rerun (d29's oracle — three plans, one answer with d36)
+    "d43_incremental_decontam" -> ((s, dir) =>
+      graft.llm.IncrementalContam.appendDecontam(s, dir)),
+    // m08: incremental corpus-append PHASH pairs over the media corpus —
+    // pigeonhole-lossless banding through the persistence seam, so the
+    // oracle stays the all-pairs Hamming SQL
+    "m08_incremental_phash" -> (graft.llm.IncrementalSig.phashAppend _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -354,5 +368,8 @@ object SparkEntry {
     "t26_bpe_seq_pack"   -> graft.llm.Bpe.bpeSeqPackSql,
     "d39_incremental_dedup" -> graft.llm.IncrementalDedup.appendDedupSql,
     "d40_knn_index_load" -> graft.llm.Similarity.ivfSq8KnnLoadedSql,
+    "d42_incremental_simhash" -> graft.llm.IncrementalSig.simhashAppendSql,
+    "d43_incremental_decontam" -> graft.llm.IncrementalContam.appendDecontamSql,
+    "m08_incremental_phash" -> graft.llm.IncrementalSig.phashAppendSql,
   )
 }

@@ -1,0 +1,252 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Incremental corpus-append arms for the remaining signature families
+  * of the corpus index (r14 VERDICT ask #5) — the d39 pattern (persist
+  * the probe tables BUCKETED on their probe keys; a delta pass probes
+  * them with zero corpus-side exchange and unions yesterday's answers)
+  * applied to:
+  *   - the fixed-width bit-signature families: SimHash (d12/d22) and
+  *     pHash (m02–m05) — [[IncrementalSig]];
+  *   - the contamination Bloom sketch (d36) — [[IncrementalContam]].
+  *
+  * Bit-signature pairs are even simpler than d39's minhash path: the
+  * verify (exact Hamming over the full signature) needs only the
+  * signatures both band rows already carry, and the PAIR LIST itself is
+  * the resolvable artifact — no component resolution, no text reads.
+  * The incremental answer is exactly
+  *   persisted corpus-internal pairs ∪ delta-involved pairs
+  * because banding and Hamming are deterministic integer arithmetic:
+  * corpus-internal buckets reproduce yesterday's join verbatim, and a
+  * delta-involved pair shares a (band, bsig) bucket with ≥ 1 delta
+  * member by definition. The gates' oracles are therefore the FULL
+  * RERUN SQL, unchanged — the incremental path must change the cost,
+  * never the answer (the d39 contract).
+  *
+  * Decontamination is simpler still: per-document spans are
+  * INDEPENDENT across corpus docs (the only shared state is the static
+  * benchmark suite), so append = yesterday's spans ∪ spans of the
+  * delta probed through the persisted sketch + bucketed gram table.
+  */
+object IncrementalSig {
+
+  /** Band explode of a (doc_id, sig) fixed-width signature: the same
+    * width-bit slicing [[Dedup.simhashPairs]] and
+    * [[Multimodal.phashPairsFromSigs]] band with — band-key equality
+    * across runs is what makes the persisted band table joinable.
+    */
+  private def bandsOfSig(sigs: DataFrame, bits: Int, nBands: Int): DataFrame = {
+    require(bits % nBands == 0, s"bands=$nBands must divide the $bits-bit signature")
+    val width = bits / nBands
+    val mask = (1L << width) - 1
+    sigs
+      .select(col("doc_id"), col("sig"),
+        posexplode(array((0 until nBands).map(b =>
+          shiftright(col("sig"), b * width).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bsig")
+  }
+
+  /** The banded Hamming self-join over a (doc_id, sig) table — the
+    * "yesterday's run" that produces the persisted corpus-internal pair
+    * artifact. Identical semantics to the shipped family operators at
+    * their uncapped defaults (banded candidates, exact full-signature
+    * Hamming verify, a < b normalized, distinct).
+    */
+  private[llm] def buildPairs(sigs: DataFrame, bits: Int, nBands: Int,
+      maxHamming: Int): DataFrame = {
+    val banded = bandsOfSig(sigs, bits, nBands).hint("shuffle_hash")
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The persisted artifacts: the bucketed band table (probe surface)
+    * and yesterday's resolved pair list.
+    */
+  final case class SigIndex(bands: DataFrame, pairs: DataFrame,
+      bits: Int, nBands: Int)
+
+  private def tableFor(prefix: String, dir: String): String =
+    prefix + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+
+  def writeIndex(corpusSigs: DataFrame, pairs: DataFrame, dir: String,
+      bits: Int, nBands: Int, nBuckets: Int = 32): Unit = {
+    val s = corpusSigs.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS ${tableFor("graft_sig_bands_", dir)}")
+    bandsOfSig(corpusSigs, bits, nBands).write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "band", "bsig")
+      .option("path", s"$dir/bands")
+      .saveAsTable(tableFor("graft_sig_bands_", dir))
+    pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+    s.range(1).selectExpr(s"$bits AS bits", s"$nBands AS n_bands",
+        s"$nBuckets AS n_buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def readIndex(s: SparkSession, dir: String): SigIndex = {
+    val meta = s.read.parquet(s"$dir/meta").collect()(0)
+    val (bits, nBands, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val name = tableFor("graft_sig_bands_", dir)
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    s.sql(s"CREATE TABLE $name (doc_id BIGINT, sig BIGINT, band INT, bsig BIGINT) " +
+      s"USING PARQUET CLUSTERED BY (band, bsig) INTO $nb BUCKETS LOCATION '$dir/bands'")
+    SigIndex(s.table(name), s.read.parquet(s"$dir/pairs"), bits, nBands)
+  }
+
+  /** The incremental pass: delta bands probe the bucketed corpus band
+    * table (corpus side: scan, no exchange) for corpus–delta pairs,
+    * plus a delta-sized self-join for delta–delta pairs; exact Hamming
+    * verify is a projection of the joined rows; union with yesterday's
+    * pairs IS the full-corpus answer (class doc).
+    */
+  def appendPairs(idx: SigIndex, deltaSigs: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val db = bandsOfSig(deltaSigs, idx.bits, idx.nBands).localCheckpoint(true)
+    def ham = bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int")
+    val candCD = idx.bands.alias("a")
+      .join(db.hint("shuffle_hash").alias("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"),
+        ham.as("hamming"))
+    val candDD = db.hint("shuffle_hash").alias("a")
+      .join(db.alias("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        ham.as("hamming"))
+    idx.pairs.unionByName(
+      candCD.unionByName(candDD)
+        .filter(col("hamming") <= maxHamming)
+        .distinct())
+  }
+
+  /** d42: incremental SimHash near-dup pairs at d12's grid point
+    * (32-bit signature, 4 bands, Hamming ≤ 7). Corpus = the 80% doc_id
+    * split, delta = the 20%; the gate writes the real bucketed index to
+    * a per-invocation temp dir, reads it back, and appends — oracle =
+    * the full-rerun banded-join SQL ([[Dedup.simhashPairsSql]]).
+    */
+  def simhashAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def sigsOf(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), graft.functions.SimHashSig(col("text"), 32).as("sig"))
+      .where(col("sig") =!= lit(graft.functions.SimHashSig.Empty))
+    val corpusSigs = sigsOf(docs.where(col("doc_id") % 5 < 4))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-incsim").toString
+    writeIndex(corpusSigs, buildPairs(corpusSigs, 32, 4, 7), idxDir, 32, 4)
+    appendPairs(readIndex(s, idxDir), sigsOf(docs.where(col("doc_id") % 5 >= 4)), 7)
+  }
+
+  val simhashAppendSql: String = Dedup.simhashPairsSql
+
+  /** m08: incremental pHash near-dup pairs over the media corpus
+    * (60-bit fingerprint, 6 bands, Hamming ≤ 5 — the pigeonhole-
+    * lossless region, so the full-rerun oracle is the ALL-PAIRS SQL
+    * ([[Multimodal.phashPairsSqlFor]]), which also re-proves banding
+    * loses nothing through the persistence seam).
+    */
+  def phashAppend(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Multimodal.perceptualHash(Multimodal.mediaTable(s, dir))
+      .toDF().withColumnRenamed("phash", "sig")
+    val corpusSigs = sigs.where(col("doc_id") % 5 < 4)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-incph").toString
+    writeIndex(corpusSigs, buildPairs(corpusSigs, 60, 6, 5), idxDir, 60, 6)
+    appendPairs(readIndex(s, idxDir), sigs.where(col("doc_id") % 5 >= 4), 5)
+  }
+
+  val phashAppendSql: String = Multimodal.phashPairsSqlFor(5)
+}
+
+/** Incremental corpus-append decontamination (d36's sketch ladder with
+  * persisted artifacts — see [[IncrementalSig]]'s class doc).
+  */
+object IncrementalContam {
+
+  /** The persisted artifacts: the benchmark's Bloom sketch (bytes on
+    * disk — `BloomFilter.writeTo`), the exact gram table bucketed by gk
+    * (the verify join's build side arrives pre-clustered), and
+    * yesterday's per-document spans.
+    */
+  final case class ContamIndex(
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      grams: DataFrame,
+      spans: DataFrame)
+
+  private def tableFor(dir: String): String =
+    "graft_contam_grams_" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+
+  def writeIndex(idx: ContamIndex, dir: String, nBuckets: Int = 32): Unit = {
+    val s = idx.grams.sparkSession
+    val out = new java.io.FileOutputStream(s"$dir/bloom.bin")
+    try idx.bloom.writeTo(out) finally out.close()
+    s.sql(s"DROP TABLE IF EXISTS ${tableFor(dir)}")
+    idx.grams.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "gk")
+      .option("path", s"$dir/grams")
+      .saveAsTable(tableFor(dir))
+    idx.spans.write.mode("overwrite").parquet(s"$dir/spans")
+    s.range(1).selectExpr(s"$nBuckets AS n_buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def readIndex(s: SparkSession, dir: String): ContamIndex = {
+    val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(0)
+    val in = new java.io.FileInputStream(s"$dir/bloom.bin")
+    val bloom =
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    val name = tableFor(dir)
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    s.sql(s"CREATE TABLE $name (gk BIGINT) USING PARQUET " +
+      s"CLUSTERED BY (gk) INTO $nb BUCKETS LOCATION '$dir/grams'")
+    ContamIndex(bloom, s.table(name), s.read.parquet(s"$dir/spans"))
+  }
+
+  /** d43: incremental corpus-append decontamination under the d29/d36
+    * split (every 10th doc is the benchmark stand-in). Yesterday's
+    * corpus = the non-bench docs with doc_id % 5 ≠ 4; today's delta =
+    * doc_id % 5 == 4 (never a bench doc). Spans are per-document
+    * independent, so yesterday's spans ∪ the delta's spans through the
+    * LOADED sketch + bucketed gram table is exactly the full rerun —
+    * oracle = d29's exact-span SQL ([[SpanDedup.contamSpansSqlFor]]),
+    * the same one d36 is gated on (three plans, one answer).
+    */
+  def appendDecontam(s: SparkSession, dir: String, minTokens: Int = 8): DataFrame = {
+    val k = minTokens
+    val docs = Tables.documents(s, dir)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val trainOld = docs.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 5 =!= 4)
+    val delta = docs.where(col("doc_id") % 5 === 4)
+    val bgrams = SpanDedup.benchGrams(bench, k)
+    bgrams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxDir =
+      try {
+        val bloom = bgrams.stat.bloomFilter("gk", math.max(bgrams.count(), 1L), 0.01)
+        val spansOld = SpanDedup.contamIslands(
+          SpanDedup.contamHitsWithSketch(trainOld, bloom, bgrams, k), k)
+        val d = java.nio.file.Files.createTempDirectory("graft-inccontam").toString
+        writeIndex(ContamIndex(bloom, bgrams, spansOld), d)
+        d
+      } finally bgrams.unpersist(false)
+    val idx = readIndex(s, idxDir)
+    idx.spans.unionByName(
+      SpanDedup.contamIslands(
+        SpanDedup.contamHitsWithSketch(delta, idx.bloom, idx.grams, k), k))
+  }
+
+  val appendDecontamSql: String = SpanDedup.contamSpansSqlFor(8)
+}

@@ -288,13 +288,7 @@ object SpanDedup {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val k = minTokens
-    val bgrams = bench
-      .select(Hashing.tokens(col("text")).as("t"))
-      .where(size(col("t")) >= k)
-      .select(explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
-        i => Hashing.hash60(concat_ws(" ", slice(col("t"), i, lit(k))))))
-        .as("gk"))
-      .distinct()
+    val bgrams = benchGrams(bench, k)
     // bgrams has three consumers: the sizing count and the sketch
     // aggregation run EAGERLY here, the exact-verify join lazily after
     // return. Persist across the two eager ones (one tokenize/explode/
@@ -310,7 +304,33 @@ object SpanDedup {
           else math.max(bgrams.count(), 1L)
         bgrams.stat.bloomFilter("gk", expected, fpp)
       } finally bgrams.unpersist(false)
-    val hits = train
+    contamIslands(contamHitsWithSketch(train, bloom, bgrams, k), k)
+  }
+
+  /** The distinct k-gram hash keys of the benchmark suite — the exact
+    * side of the d36 verify join, and (r15) the gram table the
+    * incremental corpus-append decontamination persists bucketed by gk.
+    */
+  private[llm] def benchGrams(bench: DataFrame, k: Int): DataFrame =
+    bench
+      .select(Hashing.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= k)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+        i => Hashing.hash60(concat_ws(" ", slice(col("t"), i, lit(k))))))
+        .as("gk"))
+      .distinct()
+
+  /** Steps 2–3 of the d36 ladder over a GIVEN sketch + gram table: probe
+    * every train gram map-side through the Bloom filter (codegen, zero
+    * shuffle — ~all of the corpus dies here), exact-verify the
+    * survivors with a shuffle join against the true gram table. The
+    * seam the incremental append path loads its persisted artifacts
+    * into.
+    */
+  private[llm] def contamHitsWithSketch(train: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      bgrams: DataFrame, k: Int): DataFrame =
+    train
       .select(col("doc_id"), Hashing.tokens(col("text")).as("t"))
       .where(size(col("t")) >= k)
       .select(col("doc_id"),
@@ -320,6 +340,11 @@ object SpanDedup {
       .where(graft.functions.BloomMightContain(bloom, col("gk")))
       .join(bgrams.hint("shuffle_hash"), "gk") // exact verify: kills the fp
       .select(col("doc_id"), col("pos"))
+
+  /** Step 4: merge per-document hit positions into contiguous-island
+    * spans (the gaps-and-islands window).
+    */
+  private[llm] def contamIslands(hits: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       .withColumn("isl", col("pos") - row_number().over(w))
