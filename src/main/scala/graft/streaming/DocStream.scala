@@ -289,4 +289,56 @@ object DocStream {
     docs.join(broadcast(thresholds), Seq("source"))
       .filter(graft.llm.Mixture.sampleKeep)
       .select(col("doc_id"), col("source"))
+
+  /** Stream-static corpus-append dedup: the daily delta arrives as a
+    * STREAM and probes yesterday's persisted corpus index
+    * ([[graft.llm.IncrementalDedup.CorpusIndex]], the d39 artifacts) —
+    * the streaming face of the incremental append pass:
+    *   - exact: stream-static LEFT ANTI on content_hash against the
+    *     (bucketed) corpus hash table — a doc whose exact text is
+    *     already in the corpus drops in its own micro-batch;
+    *   - near-dup: one stream-static LEFT ANTI per LSH band against the
+    *     (bucketed) corpus band table, keyed on the band signature with
+    *     the minhash-match estimate (`est ≥ estMin`) as the join
+    *     condition — a doc with ANY est-qualified banded corpus match
+    *     drops. The stream side stays one row per doc (the band slice
+    *     is a projection, not an explode), so the whole stage is
+    *     STATELESS: no watermark, no cross-batch state, every decision
+    *     is row-local against the static index — which is what makes
+    *     batch ≡ stream parity exact (the same joins over a batch frame
+    *     return the same survivors; spec-gated across micro-batches).
+    *
+    * Scope (the production split of labor, as in [[ingestedBounded]]):
+    * this stage flags the delta AGAINST THE CORPUS at signature
+    * precision — delta-internal duplicates and the exact-Jaccard
+    * verify + cluster resolution belong to the batch compaction pass
+    * ([[graft.llm.IncrementalDedup.appendKept]]), which consumes the
+    * same artifacts and gates the full equivalence (d39).
+    */
+  def corpusDeduped(docs: DataFrame, idx: graft.llm.IncrementalDedup.CorpusIndex,
+      k: Int = 32, rowsPerBand: Int = 8, estMin: Double = 0.6): DataFrame = {
+    val enriched = docs
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withColumn("sig", graft.functions.MinHashSig(col("text"), 5, k))
+    var out = enriched.join(
+      idx.hashes.select(col("content_hash")), Seq("content_hash"), "left_anti")
+    val corpusBands = idx.bands match {
+      case Some(b) if idx.bandK == k && idx.bandRows == rowsPerBand => b
+      case _ => graft.llm.Dedup.bandsOf(idx.sigs, k, rowsPerBand)
+    }
+    // fraction of matching minhashes between the stream row's sig and a
+    // corpus band row's sig — the same estimate the batch pass projects
+    val est = (0 until k)
+      .map(i => when(element_at(col("sig"), i + 1) ===
+        element_at(col("c_sig"), i + 1), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / lit(k.toDouble)
+    for (b <- 0 until k / rowsPerBand) {
+      val bandSig = concat_ws(":", (0 until rowsPerBand).map(j =>
+        element_at(col("sig"), b * rowsPerBand + j + 1)): _*)
+      val cb = corpusBands.filter(col("band") === b)
+        .select(col("bsig").as("c_bsig"), col("sig").as("c_sig"))
+      out = out.join(cb, bandSig === col("c_bsig") && est >= estMin, "left_anti")
+    }
+    out.drop("sig")
+  }
 }

@@ -446,4 +446,68 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("stream-static corpus-append dedup: stream survivors equal the batch twin across micro-batches") {
+    import graft.llm.IncrementalDedup
+    // the IncrementalDedupSpec bridge fixture: corpus clusters {0,1} and
+    // {2,3}, delta bridge 4 (near-dup of both), exact delta dup 9 of
+    // corpus 5, unique 14, delta-internal near-dup pair 19/24 (which
+    // this STAGE must keep — delta-internal dedup is the batch
+    // compaction's job, d39)
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen green turtles carry shiny pebbles across the quiet river " +
+      "bank at dawn"
+    val base2 = "nine silver airships drift slowly beneath amber " +
+      "clouds carrying quiet passengers toward the distant harbor lights " +
+      "of an old coastal town"
+    val docs = Seq(
+      (0L, base + " alpha beta gamma tree"),
+      (1L, base + " alpha beta gamma tree!"),
+      (2L, base + " bravo charlie delta two"),
+      (3L, base + " bravo charlie delta two ok"),
+      (4L, base),
+      (5L, "completely unrelated corpus document about cooking bread"),
+      (9L, "completely unrelated corpus document about cooking bread"),
+      (14L, "a unique delta document that resembles nothing else here"),
+      (19L, base2),
+      (24L, base2 + " xx")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val corpus = docs.where(col("doc_id") % 5 < 4)
+    val delta = docs.where(col("doc_id") % 5 >= 4)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-incstream-idx").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-incstream-src").toString
+    try {
+      IncrementalDedup.writeIndex(
+        IncrementalDedup.buildIndex(corpus, rowsPerBand = 4), idxDir, rowsPerBand = 4)
+      val idx = IncrementalDedup.readIndex(spark, idxDir)
+      val batchKept = DocStream.corpusDeduped(delta, idx, rowsPerBand = 4)
+        .select("doc_id").as[Long].collect().toSet
+      // multi-batch stream: 3 part files, one per trigger — the probe
+      // joins replan against the static bucketed index each micro-batch
+      delta.repartition(3).write.mode("overwrite").parquet(srcDir)
+      val q = DocStream.corpusDeduped(
+          spark.readStream.schema(DocStream.docsSchema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir),
+          idx, rowsPerBand = 4)
+        .select("doc_id")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("incdedup_stream_out")
+        .start()
+      try {
+        q.processAllAvailable()
+        val streamKept = spark.table("incdedup_stream_out").as[Long].collect().toSet
+        assert(streamKept == batchKept, s"stream $streamKept != batch $batchKept")
+        // and the stage did real work at signature precision: the exact
+        // corpus duplicate AND the banded bridge dropped; the unique doc
+        // and the delta-internal pair (out of scope) survived
+        assert(streamKept == Set(14L, 19L, 24L), s"survivors: $streamKept")
+      } finally q.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
+    }
+  }
 }
