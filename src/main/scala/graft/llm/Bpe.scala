@@ -21,23 +21,25 @@ import graft.Tables
   * state after merge k), so one driver-side row per round is the
   * irreducible coordination cost, not a scale smell.
   *
-  * Per-round pair counts (round 15, reversing round 14's default): the
-  * SHIPPED loop re-aggregates the pair table from the checkpointed word
-  * table every round. Round 14 shipped a delta-maintained fold
+  * Per-round pair counts (round 15, reversing round 14's default): a
+  * MEASURED HYBRID. Round 14 shipped a delta-maintained fold
   * (`pairs − pairAgg(hit) + pairAgg(rewritten hit)`) on the argument
   * that affected words shrink as learning proceeds — but the ×500
   * measurement (judge-run, reproduced in SCALE_RESULTS_r15.jsonl
-  * `bpelearn` rows) shows the delta arm LOSES at the shipped operating
-  * point: at a 78k-word table the maintained pair table is the same
-  * order as the full re-aggregation's input, so the per-round fold +
-  * extra substring-scan jobs cost more than the explode they avoid
-  * (~0.6 s vs ~0.36 s/round). The delta arm survives as
-  * [[learnDfDelta]] (private[graft]) for the regime where it can pay —
-  * symbol mass ≫ distinct pairs (≥10⁶-word tables, hundreds of merges)
-  * — measured head-to-head by the ScaleBench `bperegime` probe; the
-  * crossover recorded there is the hybrid gate. Both arms produce
-  * byte-identical merges (pair counts are additive per word; the fold
-  * is exact integer arithmetic) — gated by the t20–t26 oracles.
+  * `bpelearn` rows) shows the delta arm LOSES at the verify-scale
+  * operating point: at a 78k-word table the maintained pair table is
+  * the same order as the full re-aggregation's input, so the per-round
+  * fold + extra jobs cost more than the explode they avoid (0.376 vs
+  * 0.285 s/round). At the regime the asymptotic argument actually
+  * describes (≥10⁶-word tables, hundreds of merges — the `bperegime`
+  * rows: 923k words, 256 merges) the delta arm WINS 2.5× (0.556 vs
+  * 1.407 s/round): there the per-round symbol explode dominates.
+  * [[learnLoopAuto]] therefore picks the arm by the measured crossover
+  * ([[DeltaArmWords]]): a verify-scale learn runs full re-agg, a
+  * web-scale tokenizer build gets the delta loop, automatically. Both
+  * arms produce byte-identical merges (pair counts are additive per
+  * word; the fold is exact integer arithmetic) — gated by the t20–t26
+  * oracles and the BpeSpec A/B pin.
   *
   * Deterministic spec (both engines implement THIS, independently):
   *   - tokens = whitespace split ([[Hashing.tokens]]), empties dropped;
@@ -269,17 +271,29 @@ object Bpe {
       seqDf: DataFrame,
       pending: Option[(String, String)])
 
-  /** The SHIPPED merge loop: full pair re-aggregation from the rotated
-    * word-table checkpoint every round (the measured winner at the
-    * operating point — see the class doc). Per-round cost: one
-    * symbol-explode + (a,b) aggregation over the vocab-sized table and
-    * one TakeOrdered(1) argmax; the corpus is read exactly once, at
-    * `seqs0`'s first checkpoint.
+  /** The delta arm engages when the word table holds at least this many
+    * distinct words — the MEASURED hybrid gate (SCALE_RESULTS_r15.jsonl):
+    * at 78k words the full re-aggregation wins (0.285 vs 0.376 s/round,
+    * `bpelearn` rows — the fold + extra jobs cost more than the
+    * vocab-sized explode they avoid), at 923k words the delta arm wins
+    * 2.5× (0.556 vs 1.407 s/round, `bperegime` rows — the ~7M-row
+    * symbol explode dominates). 300k splits the measured bracket; both
+    * arms are byte-identical in output (BpeSpec A/B pin), so the gate
+    * is a pure cost decision. The count that decides it is one scan of
+    * the already-checkpointed table.
     */
-  private def learnLoopFull(seqs0: DataFrame, maxMerges: Int,
+  val DeltaArmWords: Long = 300000L
+
+  /** The merge loop at full pair re-aggregation: one symbol-explode +
+    * (a,b) aggregation over the vocab-sized checkpointed table and one
+    * TakeOrdered(1) argmax per round (the measured winner below
+    * [[DeltaArmWords]] — see the class doc). `seqDf0` is the FIRST
+    * generation, already rotated into `seqSlot` by the caller (the
+    * corpus is read exactly once, at that checkpoint).
+    */
+  private def learnLoopFull(seqSlot: CpSlot, seqDf0: DataFrame, maxMerges: Int,
       onRound: (Int, Long, Double) => Unit): LoopState = {
-    val seqSlot = new CpSlot
-    var seqDf = seqSlot.rotate(seqs0)
+    var seqDf = seqDf0
     val merges = scala.collection.mutable.ArrayBuffer.empty[Learned]
     var pending: Option[(String, String)] = None
     var k = 1
@@ -317,6 +331,22 @@ object Bpe {
     LoopState(merges.toSeq, seqSlot, seqDf, pending)
   }
 
+  /** Rotate the word table's first generation and pick the learn arm by
+    * the MEASURED crossover ([[DeltaArmWords]]): full re-aggregation
+    * below it, delta maintenance above. The deciding count scans the
+    * fresh checkpoint (block-manager read, vocab-sized).
+    */
+  private def learnLoopAuto(seqs0: DataFrame, maxMerges: Int,
+      onRound: (Int, Long, Double) => Unit,
+      deltaArmWords: Long): LoopState = {
+    val seqSlot = new CpSlot
+    val seqDf0 = seqSlot.rotate(seqs0)
+    if (seqDf0.count() >= deltaArmWords)
+      learnLoopDelta(seqSlot, seqDf0, maxMerges, onRound)
+    else
+      learnLoopFull(seqSlot, seqDf0, maxMerges, onRound)
+  }
+
   /** The merge loop, zero-residue posture: releases the word-table
     * checkpoint before returning. The returned final-segmentation frame
     * is a CHECKPOINT-FREE replay plan (the merge list over
@@ -325,8 +355,9 @@ object Bpe {
     * it; callers that DO consume it belong on [[learnRetained]].
     */
   private[graft] def learnDf(s: SparkSession, docs: DataFrame,
-      onRound: (Int, Long, Double) => Unit = null): (Seq[Learned], DataFrame) = {
-    val st = learnLoopFull(wordSeqs(docs), Merges, onRound)
+      onRound: (Int, Long, Double) => Unit = null,
+      deltaArmWords: Long = DeltaArmWords): (Seq[Learned], DataFrame) = {
+    val st = learnLoopAuto(wordSeqs(docs), Merges, onRound, deltaArmWords)
     st.slot.release()
     val learnedPairs = st.merges.map(m => (m.a, m.b))
     (st.merges,
@@ -351,8 +382,9 @@ object Bpe {
     * Single-consumption: see the class doc.
     */
   private[graft] def learnRetained(s: SparkSession, docs: DataFrame,
-      onRound: (Int, Long, Double) => Unit = null): (Seq[Learned], DataFrame) = {
-    val st = learnLoopFull(wordSeqs(docs), Merges, onRound)
+      onRound: (Int, Long, Double) => Unit = null,
+      deltaArmWords: Long = DeltaArmWords): (Seq[Learned], DataFrame) = {
+    val st = learnLoopAuto(wordSeqs(docs), Merges, onRound, deltaArmWords)
     val fin0 = st.pending match {
       case Some((a, b)) =>
         st.seqDf.select(col("word"), col("cnt"), applyMerge(col("seq"), a, b).as("seq"))
@@ -365,35 +397,48 @@ object Bpe {
   }
 
   /** Full-re-agg arm over a prebuilt (word, cnt, seq) table, merges
-    * only — the ScaleBench `bpelearn:full` / `bperegime:full` surface.
+    * only — the ScaleBench `bpelearn:full` / `bperegime:full` surface
+    * (forces the arm regardless of [[DeltaArmWords]]).
     */
   private[graft] def learnFullArm(seqs0: DataFrame, maxMerges: Int = Merges,
       onRound: (Int, Long, Double) => Unit = null): Seq[Learned] = {
-    val st = learnLoopFull(seqs0, maxMerges, onRound)
+    val slot = new CpSlot
+    val st = learnLoopFull(slot, slot.rotate(seqs0), maxMerges, onRound)
     st.slot.release()
     st.merges
   }
 
-  /** The round-14 DELTA-maintained arm, kept private[graft] for the
-    * scale A/B (shipped default is full re-agg — the ×500 measurement
-    * reversed r14's claim; see the class doc). Merging (a,b) changes
-    * the adjacent-pair multiset only for words containing `~a~b~`, so
-    * each round folds `pairAgg(hit rows at −cnt ∪ rewritten hit rows
-    * at +cnt)` — ONE delta aggregation (r15: the two branches of r14's
-    * fold fused) — into the maintained pair table, then re-aggregates
-    * that narrow (a, b, pc) table. The argmax reads the maintained
-    * checkpoint. Candidate regime where this pays: symbol mass ≫
-    * distinct pairs (≥10⁶-word tables, hundreds of merges) — the
-    * `bperegime` probe measures the crossover.
+  /** Delta arm over a prebuilt table, merges only — the ScaleBench
+    * `bpelearn:inc` / `bperegime:inc` surface (forces the arm).
     */
   private[graft] def learnDeltaArm(seqs0: DataFrame, maxMerges: Int = Merges,
       onRound: (Int, Long, Double) => Unit = null): Seq[Learned] = {
-    val seqSlot = new CpSlot
+    val slot = new CpSlot
+    val st = learnLoopDelta(slot, slot.rotate(seqs0), maxMerges, onRound)
+    st.slot.release()
+    st.merges
+  }
+
+  /** The DELTA-maintained merge loop — the arm [[learnLoopAuto]] picks
+    * ABOVE the measured crossover (symbol mass ≫ distinct pairs:
+    * ≥10⁶-word tables, hundreds of merges — 2.5× faster than full
+    * re-agg at the `bperegime` point; see [[DeltaArmWords]]). Merging
+    * (a,b) changes the adjacent-pair multiset only for words containing
+    * `~a~b~`, so each round folds `pairAgg(hit rows at −cnt ∪ rewritten
+    * hit rows at +cnt)` — ONE delta aggregation (r15: the two branches
+    * of r14's fold fused) — into the maintained pair table, then
+    * re-aggregates that narrow (a, b, pc) table. The argmax reads the
+    * maintained checkpoint. Output byte-identical to the full arm by
+    * pair-count additivity (BpeSpec A/B pin).
+    */
+  private def learnLoopDelta(seqSlot: CpSlot, seqDf0: DataFrame, maxMerges: Int,
+      onRound: (Int, Long, Double) => Unit): LoopState = {
     val pairSlot = new CpSlot
-    var seqDf = seqSlot.rotate(seqs0)
+    var seqDf = seqDf0
     // the ONE full pair aggregation; every later round folds deltas
     var pairs = pairSlot.rotate(pairAgg(seqDf))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Learned]
+    var pending: Option[(String, String)] = None
     var k = 1
     var exhausted = false
     while (k <= maxMerges && !exhausted) {
@@ -428,15 +473,14 @@ object Bpe {
           seqDf = seqSlot.rotate(seqDf.select(col("word"), col("cnt"),
             when(col("seq").contains(pat), applyMerge(col("seq"), a, b))
               .otherwise(col("seq")).as("seq")))
-        }
+        } else pending = Some((a, b))
         if (onRound != null)
           onRound(k, hitCount, argWall + (System.nanoTime() - t1) / 1e9)
       }
       k += 1
     }
-    seqSlot.release()
     pairSlot.release()
-    merges.toSeq
+    LoopState(merges.toSeq, seqSlot, seqDf, pending)
   }
 
   private def learn(s: SparkSession, dir: String): (Seq[Learned], DataFrame) =

@@ -125,6 +125,31 @@ class BpeSpec extends AnyFunSuite {
     assert(residue(Bpe.mergeList(spark, sf)).isEmpty, "mergeList leaked")
   }
 
+  test("hybrid gate: the delta loop's retained-final-table path equals the full loop's") {
+    // DeltaArmWords = 0 forces the AUTO gate onto the delta loop at
+    // fixture scale, exercising the pending-merge + retained-checkpoint
+    // path that production only reaches above the measured crossover;
+    // both arms must hand back the identical final segmentation and
+    // drain to zero residue after consumption
+    val docs = graft.Tables.documents(spark, sf)
+    def consume(deltaArmWords: Long): (Seq[(String, String)], Map[String, Long]) = {
+      val (learned, fin) = Bpe.learnRetained(spark, docs, deltaArmWords = deltaArmWords)
+      val rows = fin.select("word", "cnt").as[(String, Long)].collect().toMap
+      (learned.map(m => (m.a, m.b)), rows)
+    }
+    val (mFull, wFull) = consume(Long.MaxValue) // always full
+    val (mDelta, wDelta) = consume(0L) // always delta
+    assert(mFull == mDelta)
+    assert(wFull == wDelta)
+    // residue drains once the consuming collects above have completed
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (System.nanoTime() < deadline &&
+        spark.sparkContext.getPersistentRDDs.nonEmpty)
+      Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "retained checkpoints did not drain after consumption")
+  }
+
   test("delta-maintained learn arm produces byte-identical merges to the shipped full re-agg") {
     // the A/B the scale harness measures must be semantics-free: the
     // r14 delta fold (kept as the private learnDeltaArm) and the shipped
