@@ -52,13 +52,18 @@ object IncrementalSig {
 
   /** The banded Hamming self-join over a (doc_id, sig) table — the
     * "yesterday's run" that produces the persisted corpus-internal pair
-    * artifact. Identical semantics to the shipped family operators at
-    * their uncapped defaults (banded candidates, exact full-signature
-    * Hamming verify, a < b normalized, distinct).
+    * artifact. Identical semantics to the shipped family operators
+    * (banded candidates, exact full-signature Hamming verify, a < b
+    * normalized, distinct); `bucketCap` is the d25 production posture —
+    * fixed-width bit signatures have O(n/2^width) bucket populations,
+    * so an UNCAPPED band join is quadratic at corpus scale (the d22
+    * measured cost) and every production run caps.
     */
-  private[llm] def buildPairs(sigs: DataFrame, bits: Int, nBands: Int,
-      maxHamming: Int): DataFrame = {
-    val banded = bandsOfSig(sigs, bits, nBands).hint("shuffle_hash")
+  private[graft] def buildPairs(sigs: DataFrame, bits: Int, nBands: Int,
+      maxHamming: Int, bucketCap: Int = Dedup.NoBucketCap): DataFrame = {
+    val banded = Dedup.capBuckets(
+        bandsOfSig(sigs, bits, nBands), bucketCap, "band", "bsig")
+      .hint("shuffle_hash")
     banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -69,11 +74,12 @@ object IncrementalSig {
       .distinct()
   }
 
-  /** The persisted artifacts: the bucketed band table (probe surface)
-    * and yesterday's resolved pair list.
+  /** The persisted artifacts: the bucketed band table (probe surface),
+    * its per-bucket population counts (the cap's delta-side evidence —
+    * the d39 pattern), and yesterday's resolved pair list.
     */
   final case class SigIndex(bands: DataFrame, pairs: DataFrame,
-      bits: Int, nBands: Int)
+      bits: Int, nBands: Int, bandCounts: Option[DataFrame] = None)
 
   private def tableFor(prefix: String, dir: String): String =
     prefix + java.lang.Long.toHexString(
@@ -82,11 +88,18 @@ object IncrementalSig {
   def writeIndex(corpusSigs: DataFrame, pairs: DataFrame, dir: String,
       bits: Int, nBands: Int, nBuckets: Int = 32): Unit = {
     val s = corpusSigs.sparkSession
+    val bands = bandsOfSig(corpusSigs, bits, nBands)
     s.sql(s"DROP TABLE IF EXISTS ${tableFor("graft_sig_bands_", dir)}")
-    bandsOfSig(corpusSigs, bits, nBands).write.mode("overwrite").format("parquet")
+    bands.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "band", "bsig")
       .option("path", s"$dir/bands")
       .saveAsTable(tableFor("graft_sig_bands_", dir))
+    s.sql(s"DROP TABLE IF EXISTS ${tableFor("graft_sig_bcnt_", dir)}")
+    bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "band", "bsig")
+      .option("path", s"$dir/bandcounts")
+      .saveAsTable(tableFor("graft_sig_bcnt_", dir))
     pairs.write.mode("overwrite").parquet(s"$dir/pairs")
     s.range(1).selectExpr(s"$bits AS bits", s"$nBands AS n_bands",
         s"$nBuckets AS n_buckets")
@@ -100,20 +113,48 @@ object IncrementalSig {
     s.sql(s"DROP TABLE IF EXISTS $name")
     s.sql(s"CREATE TABLE $name (doc_id BIGINT, sig BIGINT, band INT, bsig BIGINT) " +
       s"USING PARQUET CLUSTERED BY (band, bsig) INTO $nb BUCKETS LOCATION '$dir/bands'")
-    SigIndex(s.table(name), s.read.parquet(s"$dir/pairs"), bits, nBands)
+    val cname = tableFor("graft_sig_bcnt_", dir)
+    s.sql(s"DROP TABLE IF EXISTS $cname")
+    s.sql(s"CREATE TABLE $cname (band INT, bsig BIGINT, cn BIGINT) " +
+      s"USING PARQUET CLUSTERED BY (band, bsig) INTO $nb BUCKETS LOCATION '$dir/bandcounts'")
+    SigIndex(s.table(name), s.read.parquet(s"$dir/pairs"), bits, nBands,
+      Some(s.table(cname)))
   }
 
   /** The incremental pass: delta bands probe the bucketed corpus band
     * table (corpus side: scan, no exchange) for corpus–delta pairs,
     * plus a delta-sized self-join for delta–delta pairs; exact Hamming
     * verify is a projection of the joined rows; union with yesterday's
-    * pairs IS the full-corpus answer (class doc).
+    * pairs IS the full-corpus answer (class doc). `bucketCap` follows
+    * the d39 pattern: the cap over corpus+delta bucket population is
+    * enforced from the PERSISTED per-bucket counts joined to the
+    * delta's — delta-touched buckets only, output-equivalent to
+    * capping the full union (a bucket without a delta member emits no
+    * candidate), at a delta-bucket-sized cost. Under a finite cap the
+    * equivalence carries d39's yesterday's-population caveat at cap
+    * crossings; the uncapped gates stay exact.
     */
   def appendPairs(idx: SigIndex, deltaSigs: DataFrame,
-      maxHamming: Int): DataFrame = {
-    val db = bandsOfSig(deltaSigs, idx.bits, idx.nBands).localCheckpoint(true)
+      maxHamming: Int, bucketCap: Int = Dedup.NoBucketCap): DataFrame = {
+    val db0 = bandsOfSig(deltaSigs, idx.bits, idx.nBands).localCheckpoint(true)
+    val (cb, db) =
+      if (bucketCap == Dedup.NoBucketCap) (idx.bands, db0)
+      else {
+        require(bucketCap > 0,
+          s"bucketCap must be positive or NoBucketCap, got $bucketCap")
+        val cCnt = idx.bandCounts.getOrElse(
+          idx.bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn")))
+        val dCnt = db0.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("dn"))
+        val over = dCnt
+          .join(cCnt, Seq("band", "bsig"), "left_outer")
+          .filter(coalesce(col("cn"), lit(0L)) + col("dn") > bucketCap)
+          .select(col("band"), col("bsig"))
+          .localCheckpoint(true)
+        (idx.bands.join(over, Seq("band", "bsig"), "left_anti"),
+          db0.join(over, Seq("band", "bsig"), "left_anti"))
+      }
     def ham = bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int")
-    val candCD = idx.bands.alias("a")
+    val candCD = cb.alias("a")
       .join(db.hint("shuffle_hash").alias("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") =!= col("b.doc_id"))

@@ -1496,6 +1496,56 @@ object ScaleBench {
     arm("uncapped_d2pct", 50, Dedup.NoBucketCap, checkExact = true)
   }
 
+  /** Round-15 `incsig` — the d42 family's claim at scale: incremental
+    * simhash append through the persisted bucketed band index vs the
+    * full capped rerun, at the d25 PRODUCTION posture (8 bands of 4
+    * bits, Hamming ≤ 7, bucketCap = 64 — an uncapped 4-bit-band join is
+    * quadratic at this corpus, the measured d22 cost, so production
+    * always caps). set_diff is the capped-increments drift stat (the
+    * d39 yesterday's-population caveat, measured not hand-waved).
+    */
+  private def incSigMode(s: SparkSession, dir: String, label: String): Unit = {
+    import graft.llm.{Dedup, IncrementalSig}
+    val docs = graft.Tables.documents(s, dir)
+    def sigsOf(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), graft.functions.SimHashSig(col("text"), 32).as("sig"))
+      .where(col("sig") =!= lit(graft.functions.SimHashSig.Empty))
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val cap = Dedup.simhashCapGate // 64, the d25 gate's cap
+    val corpus = docs.where(col("doc_id") % 50 =!= 7)
+    val delta = docs.where(col("doc_id") % 50 === 7)
+    val (n, nd) = (docs.count(), delta.count())
+    val idxDir = java.nio.file.Files.createTempDirectory("incsig").toString
+    try {
+      val t0 = System.nanoTime()
+      IncrementalSig.writeIndex(sigsOf(corpus),
+        IncrementalSig.buildPairs(sigsOf(corpus), 32, 8, 7, cap), idxDir, 32, 8)
+      val buildWall = (System.nanoTime() - t0) / 1e9
+      sweep()
+      val idx = IncrementalSig.readIndex(s, idxDir)
+      val (deltaWall, nInc) = timed2 {
+        IncrementalSig.appendPairs(idx, sigsOf(delta), 7, cap).count()
+      }
+      sweep()
+      val (fullWall, nFull) = timed2 {
+        IncrementalSig.buildPairs(sigsOf(docs), 32, 8, 7, cap).count()
+      }
+      sweep()
+      val inc = IncrementalSig.appendPairs(idx, sigsOf(delta), 7, cap)
+      val full = IncrementalSig.buildPairs(sigsOf(docs), 32, 8, 7, cap)
+      val setDiff = inc.exceptAll(full).union(full.exceptAll(inc)).count()
+      sweep()
+      emit("corpus" -> label, "op" -> "incsig", "arm" -> "cap64_d2pct",
+        "n_docs" -> n, "n_delta" -> nd, "bucket_cap" -> cap,
+        "build_wall" -> buildWall, "delta_wall" -> deltaWall,
+        "full_wall" -> fullWall, "pairs_inc" -> nInc, "pairs_full" -> nFull,
+        "set_diff" -> setDiff)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(dir, label, mode) = args.take(3)
     val spark = SparkSession.builder()
@@ -1538,6 +1588,7 @@ object ScaleBench {
       case "learn" => learn(spark, dir, label)
       case "cur4" => cur4(spark, dir, label)
       case "incdedup" => incDedupMode(spark, dir, label)
+      case "incsig" => incSigMode(spark, dir, label)
       case bl if bl.startsWith("bpelearn:") =>
         bpeLearnArm(spark, dir, label, bl.stripPrefix("bpelearn:"))
       case br if br.startsWith("bperegime:") =>

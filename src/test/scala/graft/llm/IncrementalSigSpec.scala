@@ -56,6 +56,34 @@ class IncrementalSigSpec extends AnyFunSuite {
     }
   }
 
+  test("capped append with persisted band counts equals the capped full rerun on a clean fixture") {
+    // at a cap no fixture bucket exceeds, the capped incremental pass
+    // (persisted-counts path) must equal both the uncapped answer and
+    // the capped full rerun exactly
+    val docs = graft.Tables.documents(spark, sf)
+    val corpusSigs = simSigs(docs.where(col("doc_id") % 5 < 4))
+    val tmp = java.nio.file.Files.createTempDirectory("incsigcap").toString
+    try {
+      IncrementalSig.writeIndex(corpusSigs,
+        IncrementalSig.buildPairs(corpusSigs, 32, 4, 7, bucketCap = 1000), tmp, 32, 4)
+      val idx = IncrementalSig.readIndex(spark, tmp)
+      assert(idx.bandCounts.nonEmpty)
+      val deltaSigs = simSigs(docs.where(col("doc_id") % 5 >= 4))
+      val capped = IncrementalSig.appendPairs(idx, deltaSigs, 7, bucketCap = 1000)
+        .as[(Long, Long, Int)].collect().toSet
+      val fullCapped = IncrementalSig.buildPairs(simSigs(docs), 32, 4, 7, bucketCap = 1000)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(capped == fullCapped)
+      // and a tight cap drops banded evidence on BOTH arms' semantics:
+      // the capped append is a subset of the uncapped answer
+      val tight = IncrementalSig.appendPairs(idx, deltaSigs, 7, bucketCap = 1)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(tight.subsetOf(capped))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("d43: incremental decontamination equals the exact full-rerun spans") {
     val docs = graft.Tables.documents(spark, sf)
     val inc = IncrementalContam.appendDecontam(spark, sf)
