@@ -137,16 +137,19 @@ class BpeSpec extends AnyFunSuite {
       val rows = fin.select("word", "cnt").as[(String, Long)].collect().toMap
       (learned.map(m => (m.a, m.b)), rows)
     }
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val (mFull, wFull) = consume(Long.MaxValue) // always full
     val (mDelta, wDelta) = consume(0L) // always delta
     assert(mFull == mDelta)
     assert(wFull == wDelta)
-    // residue drains once the consuming collects above have completed
+    // residue created by THIS test drains once the consuming collects
+    // complete (diff-based: a shared session may carry other suites'
+    // cached blocks)
+    def mine = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    while (System.nanoTime() < deadline &&
-        spark.sparkContext.getPersistentRDDs.nonEmpty)
+    while (System.nanoTime() < deadline && mine.nonEmpty)
       Thread.sleep(50)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(mine.isEmpty,
       "retained checkpoints did not drain after consumption")
   }
 
