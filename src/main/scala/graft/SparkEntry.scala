@@ -238,6 +238,11 @@ object SparkEntry {
     // pigeonhole-lossless banding through the persistence seam, so the
     // oracle stays the all-pairs Hamming SQL
     "m08_incremental_phash" -> (graft.llm.IncrementalSig.phashAppend _),
+    // d44: incremental VECTOR APPEND to the persisted ANN index — delta
+    // vectors assigned to the FROZEN coarse quantizer + SQ8-coded;
+    // oracle = the frozen-quantizer rebuild (centroid CTEs trained on
+    // the corpus split, everything else over all vectors)
+    "d44_knn_index_append" -> (graft.llm.Similarity.ivfSq8IndexAppend _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -371,5 +376,6 @@ object SparkEntry {
     "d42_incremental_simhash" -> graft.llm.IncrementalSig.simhashAppendSql,
     "d43_incremental_decontam" -> graft.llm.IncrementalContam.appendDecontamSql,
     "m08_incremental_phash" -> graft.llm.IncrementalSig.phashAppendSql,
+    "d44_knn_index_append" -> graft.llm.Similarity.ivfSq8IndexAppendSql,
   )
 }

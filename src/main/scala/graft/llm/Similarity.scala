@@ -586,16 +586,17 @@ object Similarity {
   /** Shared CTE prefix (through `cand_ids`) of the IVF oracles —
     * generated from the same arguments as [[ivfCandidateIds]].
     */
-  private def ivfCandidateCte(nCells: Int, nProbe: Int, sampleN: Int): String =
+  private def ivfCandidateCte(nCells: Int, nProbe: Int, sampleN: Int,
+      seedsAnd: String = "", sampAnd: String = ""): String =
     s"""WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings),
-      |seeds AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < $nCells),
+      |seeds AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < $nCells$seedsAnd),
       |a0 AS (
       |  SELECT s.vec_id, c.cid,
       |    list_dot_product(s.v, c.cv) / (c.cnrm * s.nrm) AS ccos
-      |  FROM e s, seeds c WHERE s.vec_id < $sampleN),
+      |  FROM e s, seeds c WHERE s.vec_id < $sampleN$sampAnd),
       |assign AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT vec_id, cid,
@@ -648,8 +649,7 @@ object Similarity {
     * [[sq8KnnSql]] quantize→integer-dot ranking, generated from the same
     * arguments.
     */
-  def ivfSq8KnnSqlFor(nCells: Int, nProbe: Int, sampleN: Int): String =
-    ivfCandidateCte(nCells, nProbe, sampleN) +
+  private val sq8RankSuffix: String =
     """,
       |qt AS (
       |  SELECT vec_id,
@@ -666,6 +666,9 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qdot DESC, nid ASC) AS rnk
       |  FROM cands)
       |WHERE rnk <= 5""".stripMargin
+
+  def ivfSq8KnnSqlFor(nCells: Int, nProbe: Int, sampleN: Int): String =
+    ivfCandidateCte(nCells, nProbe, sampleN) + sq8RankSuffix
 
   /** The d31 gate: IVF-SQ8 at the shipped IVF defaults. */
   def ivfSq8Knn16(s: SparkSession, dir: String): DataFrame =
@@ -718,20 +721,34 @@ object Similarity {
       s: SparkSession,
       dir: String,
       nCells: Int = 16,
-      sampleN: Int = 200): IvfSq8Index = {
-    import graft.functions.PackInt8
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", normCol)
-      .localCheckpoint(false)
+      sampleN: Int = 200): IvfSq8Index =
+    buildIvfSq8IndexFrom(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", normCol)
+        .localCheckpoint(false),
+      nCells, sampleN)
+
+  /** [[buildIvfSq8Index]] over a prepared (vec_id, embedding, nrm)
+    * frame — the seam the incremental append path (d44) trains its
+    * corpus-split index through.
+    */
+  private def buildIvfSq8IndexFrom(e: DataFrame, nCells: Int, sampleN: Int): IvfSq8Index = {
     val cent = ivfCentroids(e, nCells, sampleN)
     val cells = ivfRanked(e, cent).filter(col("r") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
-    val codes = e
-      .withColumn("code", PackInt8(transform(col("embedding"),
+    IvfSq8Index(cent, cells, sq8CodesOf(e))
+  }
+
+  /** The one SQ8 packed-code formula (normalize → ×127 → round → pack)
+    * — shared by index build and the d44 delta append so the two paths
+    * cannot drift.
+    */
+  private def sq8CodesOf(e: DataFrame): DataFrame = {
+    import graft.functions.PackInt8
+    e.withColumn("code", PackInt8(transform(col("embedding"),
         x => round(x.cast("double") / greatest(col("nrm"), lit(1e-12)) * 127).cast("int"))))
       .select(col("vec_id"), col("code"))
-    IvfSq8Index(cent, cells, codes)
   }
 
   def writeIvfSq8Index(idx: IvfSq8Index, dir: String): Unit = {
@@ -805,6 +822,61 @@ object Similarity {
   }
 
   val ivfSq8KnnLoadedSql: String = ivfSq8KnnSql
+
+  /** d44: incremental VECTOR APPEND to the persisted ANN index — the
+    * embedding family's corpus-append arm (completing the d39/d42/d43/
+    * m08 matrix): yesterday's index is trained and persisted over the
+    * corpus split; today's delta vectors are assigned to the FROZEN
+    * coarse quantizer (the same [[ivfRanked]] argmax the build used)
+    * and quantized with the same SQ8 formula; the appended
+    * cells/codes round-trip parquet; serving reads the loaded appended
+    * artifacts.
+    *
+    * The append CONTRACT — and what the oracle is: append must equal a
+    * REBUILD WITH THE FROZEN QUANTIZER over corpus ⊎ delta (the oracle
+    * trains its centroid CTEs on the corpus split only, then assigns,
+    * quantizes, and ranks over all vectors). Centroid RETRAINING under
+    * drift is a scheduled rebuild decision — the ANN analogue of
+    * re-banding a minhash corpus — never part of append; per-vector
+    * cell assignment is independent given the centroids, which is why
+    * append is exact under this contract (the same argument as d40's
+    * query-side-only ranking). Delta cost: assignment is
+    * |delta| × nCells dots against a broadcast kilobyte-scale centroid
+    * table, quantization is a per-row map — nothing touches the corpus
+    * side but the artifact append itself.
+    */
+  def ivfSq8IndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normCol)
+      .localCheckpoint(false)
+    val corpus = all.filter(col("vec_id") % 5 < 4)
+    val delta = all.filter(col("vec_id") % 5 >= 4)
+    // yesterday: train on the corpus split, persist
+    val idxDir0 = java.nio.file.Files.createTempDirectory("graft-ivf-append0").toString
+    writeIvfSq8Index(buildIvfSq8IndexFrom(corpus, nCells = 16, sampleN = 200), idxDir0)
+    val idx0 = readIvfSq8Index(s, idxDir0)
+    // today: frozen-quantizer assignment + SQ8 codes for the delta only
+    val deltaCells = ivfRanked(delta, idx0.centroids).filter(col("r") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val appended = IvfSq8Index(idx0.centroids,
+      idx0.cells.unionByName(deltaCells),
+      idx0.codes.unionByName(sq8CodesOf(delta)))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    writeIvfSq8Index(appended, idxDir)
+    val idx = readIvfSq8Index(s, idxDir)
+    ivfSq8KnnFromIndex(all.filter(col("vec_id") < 50), idx, nProbe = 2)
+  }
+
+  /** [[ivfSq8IndexAppend]]'s oracle: the frozen-quantizer rebuild —
+    * d31's SQL with the centroid training CTEs (seeds + Lloyd sample)
+    * restricted to the corpus split; assignment, quantization, and
+    * ranking run over ALL vectors.
+    */
+  val ivfSq8IndexAppendSql: String =
+    ivfCandidateCte(16, 2, 200,
+      seedsAnd = " AND vec_id % 5 < 4",
+      sampAnd = " AND s.vec_id % 5 < 4") + sq8RankSuffix
 
   /** The IVF grid gate: the retuned point the scale runs measured best
     * (64 cells, 4 probes — recall 0.93 at a 6% scan at the ×50 corpus,
