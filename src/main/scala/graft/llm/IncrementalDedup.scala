@@ -335,7 +335,11 @@ object IncrementalDedup {
   def appendDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val idxDir = java.nio.file.Files.createTempDirectory("graft-incidx").toString
-    writeIndex(buildIndex(docs.where(col("doc_id") % 5 < 4)), idxDir)
+    // nBuckets = 8 at the gate: bucket COUNT is a layout knob (it never
+    // changes the answer — the bucketed-join plan shape is pinned by
+    // spec at the default 32); at verify SFs 32 buckets × 4 artifacts
+    // is ~100 near-empty files of pure write/read overhead per run
+    writeIndex(buildIndex(docs.where(col("doc_id") % 5 < 4)), idxDir, nBuckets = 8)
     val idx = readIndex(s, idxDir)
     appendKept(docs, idx, docs.where(col("doc_id") % 5 >= 4))
   }

@@ -187,7 +187,8 @@ object IncrementalSig {
       .where(col("sig") =!= lit(graft.functions.SimHashSig.Empty))
     val corpusSigs = sigsOf(docs.where(col("doc_id") % 5 < 4))
     val idxDir = java.nio.file.Files.createTempDirectory("graft-incsim").toString
-    writeIndex(corpusSigs, buildPairs(corpusSigs, 32, 4, 7), idxDir, 32, 4)
+    // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
+    writeIndex(corpusSigs, buildPairs(corpusSigs, 32, 4, 7), idxDir, 32, 4, nBuckets = 8)
     appendPairs(readIndex(s, idxDir), sigsOf(docs.where(col("doc_id") % 5 >= 4)), 7)
   }
 
@@ -204,7 +205,8 @@ object IncrementalSig {
       .toDF().withColumnRenamed("phash", "sig")
     val corpusSigs = sigs.where(col("doc_id") % 5 < 4)
     val idxDir = java.nio.file.Files.createTempDirectory("graft-incph").toString
-    writeIndex(corpusSigs, buildPairs(corpusSigs, 60, 6, 5), idxDir, 60, 6)
+    // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
+    writeIndex(corpusSigs, buildPairs(corpusSigs, 60, 6, 5), idxDir, 60, 6, nBuckets = 8)
     appendPairs(readIndex(s, idxDir), sigs.where(col("doc_id") % 5 >= 4), 5)
   }
 
@@ -280,7 +282,8 @@ object IncrementalContam {
         val spansOld = SpanDedup.contamIslands(
           SpanDedup.contamHitsWithSketch(trainOld, bloom, bgrams, k), k)
         val d = java.nio.file.Files.createTempDirectory("graft-inccontam").toString
-        writeIndex(ContamIndex(bloom, bgrams, spansOld), d)
+        // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
+        writeIndex(ContamIndex(bloom, bgrams, spansOld), d, nBuckets = 8)
         d
       } finally bgrams.unpersist(false)
     val idx = readIndex(s, idxDir)
