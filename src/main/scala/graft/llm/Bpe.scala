@@ -273,14 +273,18 @@ object Bpe {
 
   /** The delta arm engages when the word table holds at least this many
     * distinct words — the MEASURED hybrid gate (SCALE_RESULTS_r15.jsonl):
-    * at 78k words the full re-aggregation wins (0.285 vs 0.376 s/round,
-    * `bpelearn` rows — the fold + extra jobs cost more than the
-    * vocab-sized explode they avoid), at 923k words the delta arm wins
-    * 2.5× (0.556 vs 1.407 s/round, `bperegime` rows — the ~7M-row
-    * symbol explode dominates). 300k splits the measured bracket; both
-    * arms are byte-identical in output (BpeSpec A/B pin), so the gate
-    * is a pure cost decision. The count that decides it is one scan of
-    * the already-checkpointed table.
+    * on the real ×500 word table (78k words) full re-aggregation wins
+    * (0.285 vs 0.376 s/round, `bpelearn` rows); on synthetic zipf
+    * tables the delta arm wins from ~99k words up (2× at 99k, 2.3× at
+    * 290k, 2.5× at 923k/256 merges, `bperegime` rows) — the crossover
+    * is structure-dependent (random-ish text spreads the argmax pair
+    * thin; natural language concentrates it), so 300k is the
+    * CONSERVATIVE choice: above it every measured point favors delta;
+    * below it the real-corpus point favors full, and full there never
+    * regresses a real verify-scale run (see SCALING.md §3g). Both arms
+    * are byte-identical in output (BpeSpec A/B pin), so the gate is a
+    * pure cost decision; the count that decides it is one scan of the
+    * already-checkpointed table.
     */
   val DeltaArmWords: Long = 300000L
 
