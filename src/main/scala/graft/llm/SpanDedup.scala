@@ -311,7 +311,7 @@ object SpanDedup {
     * side of the d36 verify join, and (r15) the gram table the
     * incremental corpus-append decontamination persists bucketed by gk.
     */
-  private[llm] def benchGrams(bench: DataFrame, k: Int): DataFrame =
+  private[graft] def benchGrams(bench: DataFrame, k: Int): DataFrame =
     bench
       .select(Hashing.tokens(col("text")).as("t"))
       .where(size(col("t")) >= k)
@@ -327,7 +327,7 @@ object SpanDedup {
     * seam the incremental append path loads its persisted artifacts
     * into.
     */
-  private[llm] def contamHitsWithSketch(train: DataFrame,
+  private[graft] def contamHitsWithSketch(train: DataFrame,
       bloom: org.apache.spark.util.sketch.BloomFilter,
       bgrams: DataFrame, k: Int): DataFrame =
     train
@@ -344,7 +344,7 @@ object SpanDedup {
   /** Step 4: merge per-document hit positions into contiguous-island
     * spans (the gaps-and-islands window).
     */
-  private[llm] def contamIslands(hits: DataFrame, k: Int): DataFrame = {
+  private[graft] def contamIslands(hits: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       .withColumn("isl", col("pos") - row_number().over(w))

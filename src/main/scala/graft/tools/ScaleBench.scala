@@ -1546,6 +1546,67 @@ object ScaleBench {
     }
   }
 
+  /** Round-15 `inccontam` — the d43 family's claim at scale: the
+    * incremental decontamination delta pass (delta docs probed through
+    * the PERSISTED Bloom sketch + bucketed gram table) vs the full
+    * corpus rerun. Per-doc spans are independent, so set_diff must be
+    * 0 — the one incremental family whose equivalence has no cap
+    * caveat at all.
+    */
+  private def incContamMode(s: SparkSession, dir: String, label: String): Unit = {
+    import graft.llm.{IncrementalContam, SpanDedup}
+    val k = 8
+    val docs = graft.Tables.documents(s, dir)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val trainOld = docs.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 5 =!= 4)
+    val delta = docs.where(col("doc_id") % 5 === 4)
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val (n, nd) = (docs.count(), delta.count())
+    val idxDir = java.nio.file.Files.createTempDirectory("inccontam").toString
+    try {
+      val bgrams = SpanDedup.benchGrams(bench, k)
+      bgrams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t0 = System.nanoTime()
+      val bloom =
+        try {
+          val b = bgrams.stat.bloomFilter("gk", math.max(bgrams.count(), 1L), 0.01)
+          val spansOld = SpanDedup.contamIslands(
+            SpanDedup.contamHitsWithSketch(trainOld, b, bgrams, k), k)
+          IncrementalContam.writeIndex(
+            IncrementalContam.ContamIndex(b, bgrams, spansOld), idxDir)
+          b
+        } finally bgrams.unpersist(false)
+      val buildWall = (System.nanoTime() - t0) / 1e9
+      sweep()
+      val idx = IncrementalContam.readIndex(s, idxDir)
+      val (deltaWall, nDeltaSpans) = timed2 {
+        SpanDedup.contamIslands(
+          SpanDedup.contamHitsWithSketch(delta, idx.bloom, idx.grams, k), k).count()
+      }
+      sweep()
+      val (fullWall, nFullSpans) = timed2 {
+        SpanDedup.contamSpansBloomDf(
+          docs.where(col("doc_id") % 10 =!= 0), bench, k).count()
+      }
+      sweep()
+      val inc = idx.spans.unionByName(
+        SpanDedup.contamIslands(
+          SpanDedup.contamHitsWithSketch(delta, idx.bloom, idx.grams, k), k))
+      val full = SpanDedup.contamSpansBloomDf(
+        docs.where(col("doc_id") % 10 =!= 0), bench, k)
+      val setDiff = inc.exceptAll(full).union(full.exceptAll(inc)).count()
+      sweep()
+      emit("corpus" -> label, "op" -> "inccontam",
+        "n_docs" -> n, "n_delta" -> nd,
+        "build_wall" -> buildWall, "delta_wall" -> deltaWall,
+        "full_wall" -> fullWall, "delta_spans" -> nDeltaSpans,
+        "full_spans" -> nFullSpans, "set_diff" -> setDiff)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(dir, label, mode) = args.take(3)
     val spark = SparkSession.builder()
@@ -1589,6 +1650,7 @@ object ScaleBench {
       case "cur4" => cur4(spark, dir, label)
       case "incdedup" => incDedupMode(spark, dir, label)
       case "incsig" => incSigMode(spark, dir, label)
+      case "inccontam" => incContamMode(spark, dir, label)
       case bl if bl.startsWith("bpelearn:") =>
         bpeLearnArm(spark, dir, label, bl.stripPrefix("bpelearn:"))
       case br if br.startsWith("bperegime:") =>
