@@ -447,6 +447,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static ANN serving: per-micro-batch answers equal the one-shot batch serve") {
+    import graft.llm.Similarity
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-annserve-idx").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-annserve-src").toString
+    try {
+      // the static side: the persisted index, written and reloaded
+      Similarity.writeIvfSq8Index(Similarity.buildIvfSq8Index(spark, sf), idxDir)
+      val idx = Similarity.readIvfSq8Index(spark, idxDir)
+      val queries = graft.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+        .where(col("vec_id") < 50)
+      val batchAnswer = Similarity.ivfSq8KnnFromIndex(
+          queries.withColumn("nrm",
+            sqrt(graft.functions.FloatVecDot(col("embedding"), col("embedding")))),
+          idx, nProbe = 2)
+        .as[(Long, Long, Int, Long)].collect().toSet
+      // the request stream: 3 part files, one micro-batch each
+      queries.repartition(3).write.mode("overwrite").parquet(srcDir)
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Int, Long)]()
+      val q = VecStream.annServed(
+        spark.readStream.schema(VecStream.vecSchema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        idx, nProbe = 2) { (res, _) =>
+        res.as[(Long, Long, Int, Long)].collect().foreach(got.add)
+      }
+      try {
+        q.processAllAvailable()
+        val streamed = got.asScala.toSet
+        assert(streamed == batchAnswer,
+          s"stream served ${streamed.size} rows != batch ${batchAnswer.size}")
+        assert(streamed.nonEmpty && streamed.map(_._1).size > 1)
+      } finally q.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
+    }
+  }
+
   test("stream-static corpus-append dedup: stream survivors equal the batch twin across micro-batches") {
     import graft.llm.IncrementalDedup
     // the IncrementalDedupSpec bridge fixture: corpus clusters {0,1} and
