@@ -243,6 +243,11 @@ object SparkEntry {
     // oracle = the frozen-quantizer rebuild (centroid CTEs trained on
     // the corpus split, everything else over all vectors)
     "d44_knn_index_append" -> (graft.llm.Similarity.ivfSq8IndexAppend _),
+    // d45: incremental corpus-append SEMANTIC dedup — the sign-LSH
+    // embedding family under the persisted-index pattern at PINNED
+    // geometry (an incremental index cannot re-derive AutoBits per
+    // append); oracle = the full rerun at the same fixed geometry
+    "d45_incremental_semantic" -> (graft.llm.IncrementalSemantic.semanticAppend _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -377,5 +382,6 @@ object SparkEntry {
     "d43_incremental_decontam" -> graft.llm.IncrementalContam.appendDecontamSql,
     "m08_incremental_phash" -> graft.llm.IncrementalSig.phashAppendSql,
     "d44_knn_index_append" -> graft.llm.Similarity.ivfSq8IndexAppendSql,
+    "d45_incremental_semantic" -> graft.llm.IncrementalSemantic.semanticAppendSql,
   )
 }

@@ -99,6 +99,45 @@ object DedupResolve {
       .join(losers, docs("doc_id") === losers("id"), "left_anti")
   }
 
+  /** TOUCHED-subgraph incremental resolution — the delta-proportional
+    * stage every corpus-append dedup family shares (d39/d45): given
+    * yesterday's resolved `labels` (id, cluster; cluster = component
+    * min, itself a member) and `newEdges0` of delta-involved evidence,
+    * resolve components over newEdges ∪ the label stars of clusters
+    * with ≥ 1 member incident to new evidence; untouched clusters keep
+    * yesterday's losers verbatim. Identical to a full resolution over
+    * (all label stars ∪ newEdges): a component either contains new
+    * evidence — then every one of its clusters is touched, by the path
+    * that enters it through an incident member — or is an untouched
+    * cluster unchanged. Output: kept ids of `allIds` (one `doc_id`
+    * column), doc_id-ordered.
+    */
+  private[llm] def incrementalKept(allIds: DataFrame, labels: DataFrame,
+      newEdges0: DataFrame): DataFrame = {
+    val newEdges = newEdges0.localCheckpoint(true)
+    val evNodes = newEdges.select(col("a_id").as("id"))
+      .unionByName(newEdges.select(col("b_id").as("id")))
+      .distinct()
+    val touched = labels.join(evNodes, Seq("id"))
+      .select(col("cluster")).distinct()
+      .localCheckpoint(true)
+    val touchedStars = labels
+      .join(broadcast(touched), Seq("cluster"))
+      .filter(col("id") =!= col("cluster"))
+      .select(col("cluster").as("a_id"), col("id").as("b_id"))
+    val subClusters = resolveClusters(newEdges.unionByName(touchedStars))
+    val subLosers = subClusters
+      .filter(col("id") =!= col("cluster")).select(col("id"))
+    val untouchedLosers = labels
+      .join(broadcast(touched), Seq("cluster"), "left_anti")
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id"))
+    val losers = subLosers.unionByName(untouchedLosers)
+    allIds
+      .join(losers, allIds("doc_id") === losers("id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** Full dedup pipeline through the verify gate: exact-Jaccard near-dup
     * pairs → connected components → keep one representative per cluster.
     * The oracle computes the same components with a recursive CTE

@@ -294,31 +294,12 @@ object IncrementalDedup {
 
     // 4. TOUCHED-subgraph components: new evidence + the label stars of
     // clusters with >= 1 member incident to it; untouched clusters keep
-    // yesterday's losers verbatim (identical components — class doc)
-    val newEdges = exactStars
-      .unionByName(verified.select(col("a_id"), col("b_id")))
-      .localCheckpoint(true)
-    val evNodes = newEdges.select(col("a_id").as("id"))
-      .unionByName(newEdges.select(col("b_id").as("id")))
-      .distinct()
-    val touched = idx.labels.join(evNodes, Seq("id"))
-      .select(col("cluster")).distinct()
-      .localCheckpoint(true)
-    val touchedStars = idx.labels
-      .join(broadcast(touched), Seq("cluster"))
-      .filter(col("id") =!= col("cluster"))
-      .select(col("cluster").as("a_id"), col("id").as("b_id"))
-    val subClusters = DedupResolve.resolveClusters(newEdges.unionByName(touchedStars))
-    val subLosers = subClusters
-      .filter(col("id") =!= col("cluster")).select(col("id"))
-    val untouchedLosers = idx.labels
-      .join(broadcast(touched), Seq("cluster"), "left_anti")
-      .filter(col("id") =!= col("cluster"))
-      .select(col("id"))
-    val losers = subLosers.unionByName(untouchedLosers)
-    allDocs.select(col("doc_id"))
-      .join(losers, col("doc_id") === losers("id"), "left_anti")
-      .orderBy(col("doc_id"))
+    // yesterday's losers verbatim (identical components — the shared
+    // [[DedupResolve.incrementalKept]] stage, proof sketch there)
+    DedupResolve.incrementalKept(
+      allDocs.select(col("doc_id")),
+      idx.labels,
+      exactStars.unionByName(verified.select(col("a_id"), col("b_id"))))
   }
 
   /** d39: the oracle-gated composition — corpus = the 80% doc_id split

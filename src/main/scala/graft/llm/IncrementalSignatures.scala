@@ -213,6 +213,159 @@ object IncrementalSig {
   val phashAppendSql: String = Multimodal.phashPairsSqlFor(5)
 }
 
+/** Incremental corpus-append SEMANTIC dedup (d45) — the sign-LSH
+  * embedding family (d16) under the d39 pattern: the corpus's
+  * (table_id, bucket) table persists bucketed on the probe key, its
+  * resolved component labels persist beside it, and the delta pass
+  * probes buckets (corpus side scan-only), cosine-verifies only
+  * candidates with ≥ 1 delta member, and resolves the TOUCHED subgraph
+  * ([[DedupResolve.incrementalKept]]).
+  *
+  * Geometry is PINNED (8 tables × 4 bits, cosine ≥ 0.35 — d16's
+  * historical fixed point): the shipped d16 derives bits from the
+  * corpus COUNT ([[Similarity.AutoBits]]), which is exactly what an
+  * incremental index cannot do — yesterday's 80% count and today's
+  * 100% count would derive different bucket geometries and the
+  * persisted bucket table would be unjoinable. A production deployment
+  * re-derives bits at index REBUILD time (the scheduled decision, like
+  * d44's centroid retrain), holds them fixed across appends, and that
+  * is the contract the oracle enforces: the full rerun at the SAME
+  * fixed geometry, hash-exact.
+  */
+object IncrementalSemantic {
+
+  private val NTables = 8
+  private val Bits = 4
+  private val MinCos = 0.35
+
+  private def withNrm(emb: DataFrame): DataFrame =
+    emb.withColumn("nrm",
+      sqrt(graft.functions.FloatVecDot(col("embedding"), col("embedding"))))
+
+  private def withSigs(e: DataFrame): DataFrame =
+    e.withColumn("sigs",
+      graft.functions.SignLshBuckets(col("embedding"), NTables, Bits))
+
+  private def bucketsOf(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(col("sigs")))
+      .withColumnRenamed("pos", "table_id")
+      .withColumnRenamed("col", "bucket")
+
+  /** Yesterday's run: bucket self-join + exact-cosine verify over the
+    * corpus at the pinned geometry (the same candidate/verify ladder as
+    * [[Similarity.signLshPairs]] at explicit bits).
+    */
+  private def corpusPairs(e: DataFrame): DataFrame = {
+    val buckets = bucketsOf(e).hint("shuffle_hash")
+    val ids = buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    Similarity.verifyCosineOn(e.select(col("vec_id"), col("embedding"), col("nrm")), ids, MinCos)
+  }
+
+  final case class SemIndex(buckets: DataFrame, labels: DataFrame)
+
+  private def tableFor(dir: String): String =
+    "graft_sem_buckets_" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+
+  def writeIndex(corpusE: DataFrame, labels: DataFrame, dir: String,
+      nBuckets: Int = 32): Unit = {
+    val s = corpusE.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS ${tableFor(dir)}")
+    bucketsOf(corpusE).write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "table_id", "bucket")
+      .option("path", s"$dir/buckets")
+      .saveAsTable(tableFor(dir))
+    labels.write.mode("overwrite").parquet(s"$dir/labels")
+    s.range(1).selectExpr(s"$nBuckets AS n_buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def readIndex(s: SparkSession, dir: String): SemIndex = {
+    val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(0)
+    val name = tableFor(dir)
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    // bucket is INT: SignLshBuckets emits array<int> (≤ 32 bits of
+    // bucket id by construction) — a BIGINT declaration here would read
+    // the int32 parquet column as null and silently empty every probe
+    s.sql(s"CREATE TABLE $name (vec_id BIGINT, table_id INT, bucket INT) " +
+      s"USING PARQUET CLUSTERED BY (table_id, bucket) INTO $nb BUCKETS LOCATION '$dir/buckets'")
+    SemIndex(s.table(name), s.read.parquet(s"$dir/labels"))
+  }
+
+  /** The incremental pass: delta buckets probe the bucketed corpus
+    * bucket table (corpus side: scan, no exchange) plus a delta-sized
+    * self-join; only candidates with ≥ 1 delta member reach the cosine
+    * verify (embeddings semi-join-pruned inside
+    * [[Similarity.verifyCosineOn]]); components resolve over the
+    * touched subgraph.
+    */
+  def appendKept(allE: DataFrame, idx: SemIndex, delta: DataFrame): DataFrame = {
+    val db = bucketsOf(withSigs(delta).localCheckpoint(true)).localCheckpoint(true)
+    val candCD = idx.buckets.alias("a")
+      .join(db.hint("shuffle_hash").alias("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"))
+    val candDD = db.hint("shuffle_hash").alias("a")
+      .join(db.alias("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+    val candIds = candCD.unionByName(candDD).distinct().localCheckpoint(true)
+    val verified = Similarity.verifyCosineOn(allE, candIds, MinCos)
+    DedupResolve.incrementalKept(
+        allE.select(col("vec_id").as("doc_id")), idx.labels, verified)
+      .select(col("doc_id").as("vec_id"))
+  }
+
+  /** d45: the oracle-gated composition — corpus = the 80% vec_id split,
+    * delta = the 20%; build + persist the bucketed index, reload, run
+    * the incremental pass. Oracle = the FULL-corpus rerun at the same
+    * pinned geometry ([[semanticAppendSql]]) — hash-matching it is the
+    * incremental ≡ full equivalence proof (exact here: fixed bits make
+    * corpus buckets count-independent, and the family is uncapped).
+    */
+  def semanticAppend(s: SparkSession, dir: String): DataFrame = {
+    val all = withNrm(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      .localCheckpoint(true)
+    val corpusE = withSigs(all.filter(col("vec_id") % 5 < 4)).localCheckpoint(true)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-incsem").toString
+    // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
+    writeIndex(corpusE, DedupResolve.resolveClusters(corpusPairs(corpusE)),
+      idxDir, nBuckets = 8)
+    appendKept(all, readIndex(s, idxDir), all.filter(col("vec_id") % 5 >= 4))
+  }
+
+  /** The frozen-geometry full rerun: d16's recursive-closure shape over
+    * [[Similarity.signLshPairsSqlFor]] at the pinned (8, 4, 0.35).
+    */
+  val semanticAppendSql: String = {
+    val pairsSql = Similarity.signLshPairsSqlFor(8, 4, 0.35)
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT a_id AS a, b_id AS b FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM lbl WHERE id <> cluster)
+       |ORDER BY vec_id""".stripMargin
+  }
+}
+
 /** Incremental corpus-append decontamination (d36's sketch ladder with
   * persisted artifacts — see [[IncrementalSig]]'s class doc).
   */

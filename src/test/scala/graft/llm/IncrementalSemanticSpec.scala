@@ -1,0 +1,51 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.mr.TestSession
+
+/** Semantics of the incremental semantic-dedup append (d45). */
+class IncrementalSemanticSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  test("d45: incremental kept set equals the fixed-geometry full rerun") {
+    val pairs = Similarity.signLshPairs(spark, sf, nTables = 8, bits = 4, minCos = 0.35)
+      .select(col("a_id"), col("b_id"))
+    val vecs = graft.Tables.embeddings(spark, sf).select(col("vec_id").as("doc_id"))
+    val fullKept = DedupResolve.dedupedDocIds(spark, vecs, pairs)
+      .as[Long].collect().toSet
+    val incKept = IncrementalSemantic.semanticAppend(spark, sf)
+      .as[Long].collect().toSet
+    assert(incKept == fullKept)
+    // and the delta pass did real cross-split work: at least one corpus
+    // member loses only through a delta-involved component
+    assert(incKept.size < vecs.count())
+  }
+
+  test("d45: the persisted bucket table round-trips with its exact column types") {
+    // regression pin for the silent-empty-probe failure class: a
+    // BIGINT DDL over SignLshBuckets' int32 bucket column read as null
+    // and emptied every corpus-delta probe (kept 370 vs 316) — the DDL
+    // must reproduce the written schema exactly
+    val all = graft.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(graft.functions.FloatVecDot(col("embedding"), col("embedding"))))
+    val corpusE = all.filter(col("vec_id") % 5 < 4)
+      .withColumn("sigs", graft.functions.SignLshBuckets(col("embedding"), 8, 4))
+      .localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("incsemtypes").toString
+    try {
+      IncrementalSemantic.writeIndex(corpusE,
+        DedupResolve.resolveClusters(
+          Similarity.signLshPairs(spark, sf, nTables = 8, bits = 4, minCos = 0.35)
+            .select(col("a_id"), col("b_id"))), tmp)
+      val idx = IncrementalSemantic.readIndex(spark, tmp)
+      val n = idx.buckets.where(col("bucket").isNotNull).count()
+      assert(n > 0 && n == idx.buckets.count(),
+        "bucket column read back null — DDL/parquet type mismatch")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+}
