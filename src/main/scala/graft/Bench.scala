@@ -143,15 +143,31 @@ object Bench {
     val noisy = rels.filter(_._2 > 0.25)
       .map { case (n, r) => "\"" + n.takeWhile(_ != '_') + "\":" + fmt(r) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"families":$fams,"sf":"$sfDir","runs":2,"agg":"min","degraded":$deg,"spread_med":${fmt(spreadMed)},"noisy":$noisy,"warmup":"sf0.001"}"""
-    println(line)
-    // the full line ALSO goes to a file: the driver captures stdout's
-    // tail, and r14's line outgrew the capture (BENCH_r14.json shipped
-    // parsed:null with 57 queries' values truncated away). The file is
-    // the durable per-query record (r14 VERDICT ask #3).
+    val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"families":$fams,"sf":"$sfDir","runs":2,"agg":"min","degraded":$deg,"spread_med":${fmt(spreadMed)},"noisy":$noisy,"warmup":"sf0.001"}"""
+    // STDOUT gets a SHORTER line than the file: the driver captures only
+    // stdout's ~2000-char TAIL, after which sbt's epilogue still follows
+    // — r15's full line (132 queries + the noisy map) overflowed the
+    // window and shipped parsed:null AGAIN despite the r14 file fix. The
+    // stdout line drops "noisy"/"agg"/"warmup" (provenance lives in the
+    // file) and trims per-query values to 2 decimals with trailing-zero
+    // strip (10 ms resolution — an order below the recorded host spread);
+    // the file keeps the full 3-decimal record.
+    def fmt2(v: Double): String =
+      if (v < 0) "-1"
+      else {
+        val t = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        val s0 = t.reverse.dropWhile(_ == '0').reverse
+        if (s0.endsWith(".")) s0 + "0" else s0
+      }
+    val qs2 = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
+      .mkString("{", ",", "}")
+    val stdoutLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2,"families":$fams,"sf":"$sfDir","runs":2,"degraded":$deg,"spread_med":${fmt(spreadMed)}}"""
+    println(stdoutLine)
+    // the full line goes to a file: the durable per-query record
+    // (r14 VERDICT ask #3).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_local_latest.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }

@@ -180,7 +180,12 @@ object SparkEntry {
     // gate a constant); every branch exercised per run
     "t19_lang_guess"     -> (graft.llm.TextAnalysis.langGuessPlanted _),
     // t20/t21: BPE vocabulary induction — learning over the word-frequency
-    // table (never the corpus), merge-by-merge oracle replay
+    // table (never the corpus), merge-by-merge oracle replay.
+    // ONE-SHOT CONTRACT (t21, t25): these frames ride the learn loop's
+    // retained checkpoint, released after the FIRST action that touches
+    // them (Bpe.learnRetained) — materialize once (as the harness does);
+    // a caller needing re-materialization should collect or write the
+    // first pass
     "t20_bpe_merges"     -> (graft.llm.Bpe.merges _),
     "t21_bpe_vocab"      -> (graft.llm.Bpe.vocab _),
     // t22: learned quality — integer-count NB-style scorer distilled from
@@ -248,6 +253,17 @@ object SparkEntry {
     // geometry (an incremental index cannot re-derive AutoBits per
     // append); oracle = the full rerun at the same fixed geometry
     "d45_incremental_semantic" -> (graft.llm.IncrementalSemantic.semanticAppend _),
+    // d46: MULTI-append through a MAINTAINED index — three chained 20%
+    // deltas, each written back INTO the persisted artifacts (bucketed
+    // appends + labels rewrite), each reading its predecessor's state;
+    // oracle = the same full-rerun SQL as d39 (k appends change the
+    // cost model, never the answer)
+    "d46_multi_append_dedup" -> (graft.llm.IncrementalDedup.multiAppendDedup _),
+    // d47: DELETION from the persisted index (takedowns) — tombstoned
+    // artifacts + touched-cluster re-resolution from the persisted pair
+    // evidence (labels alone can't split a cluster whose bridge died);
+    // oracle = the full rerun over the surviving corpus
+    "d47_incremental_delete" -> (graft.llm.IncrementalDedup.deleteDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -383,5 +399,7 @@ object SparkEntry {
     "m08_incremental_phash" -> graft.llm.IncrementalSig.phashAppendSql,
     "d44_knn_index_append" -> graft.llm.Similarity.ivfSq8IndexAppendSql,
     "d45_incremental_semantic" -> graft.llm.IncrementalSemantic.semanticAppendSql,
+    "d46_multi_append_dedup" -> graft.llm.IncrementalDedup.multiAppendDedupSql,
+    "d47_incremental_delete" -> graft.llm.IncrementalDedup.deleteDedupSql,
   )
 }

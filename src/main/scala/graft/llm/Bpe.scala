@@ -230,27 +230,54 @@ object Bpe {
     * drains shortly after the action returns, not synchronously —
     * BpeSpec polls for the drain.
     */
+  /** The retained checkpoints whose consume event has not fired yet, per
+    * session — the fallback release path (r15 ADVICE): a caller that
+    * never materializes the retained frame (watchdog expiry, schema-only
+    * inspection) would otherwise leak both the checkpoint block and a
+    * session-wide listener that scans every later query's analyzed plan.
+    * The next [[learnRetained]] call on the same session drains the
+    * previous entry — at most ONE unconsumed (listener, block) pair can
+    * exist per session, bounding the leak to a constant.
+    */
+  private val pendingRetained =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      (org.apache.spark.sql.util.QueryExecutionListener, org.apache.spark.rdd.RDD[_])]()
+
+  private[llm] def drainPendingRetained(s: SparkSession): Unit = {
+    val prev = pendingRetained.remove(s)
+    if (prev != null) {
+      try s.listenerManager.unregister(prev._1) catch { case _: Exception => () }
+      prev._2.unpersist(false)
+    }
+  }
+
   private def releaseOnConsume(s: SparkSession, cp: DataFrame): Unit =
     cp.queryExecution.logical match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         val rddId = l.rdd.id
         val lm = s.listenerManager
-        val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-          private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
-            val hit = qe.analyzed.exists {
-              case x: org.apache.spark.sql.execution.LogicalRDD => x.rdd.id == rddId
-              case _ => false
+        val listener: org.apache.spark.sql.util.QueryExecutionListener =
+          new org.apache.spark.sql.util.QueryExecutionListener {
+            private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+              val hit = qe.analyzed.exists {
+                case x: org.apache.spark.sql.execution.LogicalRDD => x.rdd.id == rddId
+                case _ => false
+              }
+              if (hit) {
+                l.rdd.unpersist(false)
+                lm.unregister(this)
+                pendingRetained.remove(s, (this, l.rdd))
+              }
             }
-            if (hit) { l.rdd.unpersist(false); lm.unregister(this) }
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+              maybe(qe)
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+              maybe(qe)
           }
-          override def onSuccess(funcName: String,
-              qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-            maybe(qe)
-          override def onFailure(funcName: String,
-              qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
-            maybe(qe)
-        }
         lm.register(listener)
+        pendingRetained.put(s, (listener, l.rdd))
       case other =>
         // no checkpoint to manage — nothing retained, nothing leaks
         org.apache.logging.log4j.LogManager.getLogger(Bpe.getClass).warn(
@@ -388,6 +415,9 @@ object Bpe {
   private[graft] def learnRetained(s: SparkSession, docs: DataFrame,
       onRound: (Int, Long, Double) => Unit = null,
       deltaArmWords: Long = DeltaArmWords): (Seq[Learned], DataFrame) = {
+    // fallback release of a PREVIOUS retained table nobody consumed —
+    // see [[pendingRetained]]
+    drainPendingRetained(s)
     val st = learnLoopAuto(wordSeqs(docs), Merges, onRound, deltaArmWords)
     val fin0 = st.pending match {
       case Some((a, b)) =>

@@ -118,14 +118,14 @@ object Dedup {
   private val h60Mask = (1L << 60) - 1
   private val b56Mask = (1L << 56) - 1
 
-  private def minhashesSqlK(k: Int): String =
+  private def minhashesSqlK(k: Int, docWhere: String = ""): String =
     s"""SELECT doc_id, ${(0 until k)
          .map(i => s"min((a + $i * b) & $h60Mask) AS h$i")
          .mkString(", ")}
        |FROM (SELECT doc_id, ${sqlHash60("s")} AS a,
        |        ${sqlHash60("'#'||s")} & $b56Mask AS b
        |  FROM (SELECT DISTINCT doc_id, s FROM (
-       |    SELECT doc_id, unnest(${sqlShingles("text", 5)}) AS s FROM documents)))
+       |    SELECT doc_id, unnest(${sqlShingles("text", 5)}) AS s FROM documents $docWhere)))
        |GROUP BY doc_id""".stripMargin
 
   /** Shared banded self-join over MinHash signatures: k-hash signature →
@@ -507,7 +507,8 @@ object Dedup {
       rowsPerBand: Int,
       estMin: Double,
       jaccardMin: Double,
-      bucketCap: Int = NoBucketCap): String = {
+      bucketCap: Int = NoBucketCap,
+      docWhere: String = ""): String = {
     val bandSelects = (0 until k / rowsPerBand).map { b =>
       val sig = (0 until rowsPerBand).map(j => s"h${b * rowsPerBand + j}").mkString("||':'||")
       s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
@@ -528,7 +529,7 @@ object Dedup {
            |      COUNT(*) OVER (PARTITION BY band, sig) AS bn
            |    FROM bands_all)
            |  WHERE bn <= $bucketCap)""".stripMargin
-    s"""WITH mh AS (${minhashesSqlK(k)}),
+    s"""WITH mh AS (${minhashesSqlK(k, docWhere)}),
        |$bandsCte,
        |cpairs AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -542,7 +543,7 @@ object Dedup {
        |grams AS (
        |  SELECT doc_id, list(${sqlHash60("g")}) AS gs FROM (
        |    SELECT DISTINCT doc_id, g FROM (
-       |      SELECT doc_id, unnest(${sqlShingles("text", 5)}) AS g FROM documents))
+       |      SELECT doc_id, unnest(${sqlShingles("text", 5)}) AS g FROM documents $docWhere))
        |  GROUP BY doc_id),
        |scored AS (
        |  SELECT c.a_id, c.b_id,
@@ -556,6 +557,13 @@ object Dedup {
   }
 
   val lshVerifiedPairsSql: String = lshVerifiedPairsSqlFor(vK, vRows, vEstMin, vJaccard)
+
+  /** [[lshVerifiedPairsSql]] restricted to documents matching `docWhere`
+    * (a full "WHERE ..." clause) — the survivor-side pair CTE of the
+    * deletion oracle (d47, [[DedupResolve.corpusDedupPipelineSqlWhere]]).
+    */
+  private[llm] def lshVerifiedPairsSqlWhere(docWhere: String): String =
+    lshVerifiedPairsSqlFor(vK, vRows, vEstMin, vJaccard, docWhere = docWhere)
 
   /** The higher-recall parameterization of the composed ladder, end to
     * end: k = 48, bandsFor(0.8, 48) = 6 bands of 8 — S-curve midpoint

@@ -99,20 +99,39 @@ object DedupResolve {
       .join(losers, docs("doc_id") === losers("id"), "left_anti")
   }
 
+  /** Broadcast budget for a touched-cluster list: ~32 MB of longs. The
+    * list is delta-proportional by contract, but the contract must be
+    * self-enforcing (r15 VERDICT #5) — a corpus-sized misuse would OOM
+    * the driver silently under an unconditional `broadcast()`.
+    */
+  private val MaxBroadcastClusters = 4L * 1000 * 1000
+
+  /** A `touched` cluster list shaped for joining: broadcast while it
+    * fits the budget (the expected, delta-proportional case — the probe
+    * is a `limit(max+1)` count over the already-checkpointed frame, the
+    * [[graft.runtime.SideData.broadcastMap]] pattern), a shuffle-hash
+    * side above it (completes instead of OOMing).
+    */
+  private[llm] def guardedByCluster(touched: DataFrame,
+      maxBroadcast: Long = MaxBroadcastClusters): DataFrame =
+    if (touched.limit((maxBroadcast + 1).toInt).count() <= maxBroadcast)
+      broadcast(touched)
+    else touched.hint("shuffle_hash")
+
   /** TOUCHED-subgraph incremental resolution — the delta-proportional
-    * stage every corpus-append dedup family shares (d39/d45): given
+    * stage every corpus-append dedup family shares (d39/d45/d46): given
     * yesterday's resolved `labels` (id, cluster; cluster = component
     * min, itself a member) and `newEdges0` of delta-involved evidence,
     * resolve components over newEdges ∪ the label stars of clusters
     * with ≥ 1 member incident to new evidence; untouched clusters keep
-    * yesterday's losers verbatim. Identical to a full resolution over
+    * yesterday's labels verbatim. Identical to a full resolution over
     * (all label stars ∪ newEdges): a component either contains new
     * evidence — then every one of its clusters is touched, by the path
     * that enters it through an incident member — or is an untouched
-    * cluster unchanged. Output: kept ids of `allIds` (one `doc_id`
-    * column), doc_id-ordered.
+    * cluster unchanged. Output: the UPDATED full label table (the
+    * artifact a maintained index rewrites — d46).
     */
-  private[llm] def incrementalKept(allIds: DataFrame, labels: DataFrame,
+  private[llm] def incrementalLabels(labels: DataFrame,
       newEdges0: DataFrame): DataFrame = {
     val newEdges = newEdges0.localCheckpoint(true)
     val evNodes = newEdges.select(col("a_id").as("id"))
@@ -121,22 +140,35 @@ object DedupResolve {
     val touched = labels.join(evNodes, Seq("id"))
       .select(col("cluster")).distinct()
       .localCheckpoint(true)
+    val tJoin = guardedByCluster(touched)
     val touchedStars = labels
-      .join(broadcast(touched), Seq("cluster"))
+      .join(tJoin, Seq("cluster"))
       .filter(col("id") =!= col("cluster"))
       .select(col("cluster").as("a_id"), col("id").as("b_id"))
     val subClusters = resolveClusters(newEdges.unionByName(touchedStars))
-    val subLosers = subClusters
-      .filter(col("id") =!= col("cluster")).select(col("id"))
-    val untouchedLosers = labels
-      .join(broadcast(touched), Seq("cluster"), "left_anti")
-      .filter(col("id") =!= col("cluster"))
-      .select(col("id"))
-    val losers = subLosers.unionByName(untouchedLosers)
+    val untouched = labels
+      .join(tJoin, Seq("cluster"), "left_anti")
+      .select(col("id"), col("cluster"))
+    untouched.unionByName(subClusters.select(col("id"), col("cluster")))
+  }
+
+  /** Kept ids of `allIds` under a label table: everything minus the
+    * non-representative cluster members (one `doc_id` column,
+    * doc_id-ordered — the d14 output contract).
+    */
+  private[graft] def keptFromLabels(allIds: DataFrame, labels: DataFrame): DataFrame = {
+    val losers = labels.filter(col("id") =!= col("cluster")).select(col("id"))
     allIds
       .join(losers, allIds("doc_id") === losers("id"), "left_anti")
       .orderBy(col("doc_id"))
   }
+
+  /** [[incrementalLabels]] composed with [[keptFromLabels]] — the
+    * one-shot (non-maintained) append's answer path (d39/d45).
+    */
+  private[llm] def incrementalKept(allIds: DataFrame, labels: DataFrame,
+      newEdges0: DataFrame): DataFrame =
+    keptFromLabels(allIds, incrementalLabels(labels, newEdges0))
 
   /** Full dedup pipeline through the verify gate: exact-Jaccard near-dup
     * pairs → connected components → keep one representative per cluster.
@@ -186,6 +218,29 @@ object DedupResolve {
     val pairs = Dedup.lshVerifiedPairs(s, dir, bucketCap = bucketCap)
       .select(col("a_id"), col("b_id"))
     dedupedDocIds(s, docs, pairs).orderBy(col("doc_id"))
+  }
+
+  /** [[corpusDedupPipelineSql]] restricted to documents matching
+    * `docWhere` (a bare predicate, e.g. "doc_id % 7 <> 3") — the
+    * full-rerun-on-survivors oracle of the deletion gate (d47). The
+    * default pipeline text is NOT routed through this builder so its
+    * oracle stays byte-identical to r15's.
+    */
+  def corpusDedupPipelineSqlWhere(docWhere: String): String = {
+    val pairsSql = Dedup.lshVerifiedPairsSqlWhere(s"WHERE $docWhere")
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT a_id AS a, b_id AS b FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+       |SELECT doc_id FROM documents
+       |WHERE $docWhere
+       |  AND doc_id NOT IN (SELECT id FROM lbl WHERE id <> cluster)
+       |ORDER BY doc_id""".stripMargin
   }
 
   val corpusDedupPipelineSql: String = {

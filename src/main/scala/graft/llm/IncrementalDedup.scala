@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.runtime.IndexStore
 
 /** Incremental corpus-append deduplication (d39) — the operator a daily
   * ingest pipeline runs most often: dedup a DELTA batch against the
@@ -10,7 +11,11 @@ import graft.Tables
   * without rescanning the corpus, and produce exactly the kept-set the
   * full-corpus rerun would (the reference's chained-step
   * prior-output-as-input pattern, reference runner.go:147-151, applied
-  * at the corpus boundary).
+  * at the corpus boundary). Round 16 closes the lifecycle: the index is
+  * MAINTAINED across appends ([[appendToIndex]], gated by d46 over three
+  * chained deltas) and supports DELETION ([[deleteFromIndex]], gated by
+  * d47) — takedowns are as routine as appends in a training-data
+  * pipeline.
   *
   * The persisted artifacts ([[CorpusIndex]]) are what yesterday's run
   * leaves behind. Round 15 made every corpus-side table BUCKETED on its
@@ -29,15 +34,28 @@ import graft.Tables
   *     makes the artifact joinable at all;
   *   - `bandcounts` — (band, bsig, cn), bucketed by (band, bsig): the
   *     per-bucket population, so the template-skew cap is enforced by
-  *     a delta-bucket-sized join instead of re-counting the corpus;
+  *     a delta-bucket-sized join instead of re-counting the corpus. A
+  *     MAINTAINED index appends one count row per (append, bucket);
+  *     readers SUM over the key (delta-touched keys only);
   *   - `sigs`    — (doc_id, sig), plain parquet: kept for index
   *     rebuilds and as the fallback band source;
+  *   - `pairs`   — (a_id, b_id), plain parquet: the verified similarity
+  *     EDGES (plus group-min exact stars from appends). Labels alone
+  *     cannot support deletion — star edges overstate connectivity when
+  *     a bridge document dies — so the edge evidence itself persists
+  *     (appends extend it with their delta-involved verified pairs);
   *   - `labels`  — (id, cluster): the corpus's resolved components.
   *     Star edges id→cluster preserve corpus-internal connectivity
   *     EXACTLY (a label edge set and the pair set it resolved from
   *     have the same transitive closure over corpus nodes), which is
   *     the identity that lets the incremental pass skip every
-  *     corpus-internal pair.
+  *     corpus-internal pair;
+  *   - `deleted` — (doc_id,), plain parquet, append-only tombstones:
+  *     [[readIndex]] anti-joins them out of every artifact (a broadcast
+  *     filter — the bucketed layout survives), so deleted documents can
+  *     neither pair with future deltas nor resurrect through an
+  *     exact-hash star. Physical removal is a REBUILD-time compaction,
+  *     the same scheduled decision as re-banding.
   *
   * The incremental pass ([[appendKept]]) touches, per stage:
   *   1. exact: the delta's DISTINCT content hashes probe the bucketed
@@ -82,16 +100,25 @@ import graft.Tables
   * untouched cluster verbatim). The kept set (min doc_id per component)
   * is therefore hash-identical — which is why d39's DuckDB oracle IS
   * the full-corpus rerun SQL ([[DedupResolve.corpusDedupPipelineSql]]):
-  * the incremental path must change the COST, never the answer.
+  * the incremental path must change the COST, never the answer. The
+  * argument composes inductively across MAINTAINED appends (d46): after
+  * append k the artifacts are exactly what a corpus run over
+  * base ⊎ delta₁ ⊎ … ⊎ deltaₖ would persist (same hashes/bands by
+  * per-doc determinism, same components by the step argument), so
+  * append k+1 faces a true index of its accumulated corpus.
   *
   * The one DOCUMENTED divergence: under a finite `bucketCap` (the
   * template-skew guard every capped path owns), the equivalence is to
   * yesterday's-population semantics, not today's — a bucket whose
   * membership crosses the cap only once the delta lands was capped
   * differently by the corpus-only run than a full rerun would cap it,
-  * so corpus-internal pairs from exactly those buckets can differ. This
-  * is inherent to capping + increments (the cap is a recall knob, as in
-  * d21/d25); the ScaleBench `incdedup` mode MEASURES the resulting
+  * so corpus-internal pairs from exactly those buckets can differ
+  * (appends keep pairs a rerun would drop; deletions are the mirror:
+  * a rerun finds pairs in buckets that fell back UNDER the cap). This
+  * is inherent to capping + increments: capped production appends are
+  * APPEND-CONSISTENT (each answer extends the previous run's), not
+  * rerun-consistent — see SCALING.md §3h. The cap is a recall knob, as
+  * in d21/d25; the ScaleBench `incdedup` mode MEASURES the resulting
   * kept-set drift at ×500 instead of hand-waving it, and its uncapped
   * arm certifies set_diff = 0 where the equivalence claim is exact.
   */
@@ -110,7 +137,9 @@ object IncrementalDedup {
       bands: Option[DataFrame] = None,
       bandCounts: Option[DataFrame] = None,
       bandK: Int = 0,
-      bandRows: Int = 0) {
+      bandRows: Int = 0,
+      pairs: Option[DataFrame] = None,
+      nBuckets: Int = 32) {
     /** Materialize the core artifacts (the in-plan stand-in for the
       * parquet the production pipeline persists — and the pushdown
       * fence that guarantees the incremental pass reads artifacts, not
@@ -122,8 +151,11 @@ object IncrementalDedup {
   }
 
   /** Build the artifacts the corpus run persists: content hashes,
-    * minhash signatures, and the resolved component labels of the
-    * corpus-internal verified pairs (yesterday's full run).
+    * minhash signatures, the verified pair set, and the resolved
+    * component labels of the corpus-internal verified pairs
+    * (yesterday's full run). Pairs are checkpointed once — both the
+    * resolution and the pairs artifact read them, and the LSH verify
+    * ladder must not run twice.
     */
   def buildIndex(
       corpus: DataFrame,
@@ -138,85 +170,107 @@ object IncrementalDedup {
       graft.functions.MinHashSig(col("text"), 5, k).as("sig"))
     val pairs = Dedup.lshVerifiedPairsDf(corpus, k, rowsPerBand, estMin, jaccardMin, bucketCap)
       .select(col("a_id"), col("b_id"))
-    CorpusIndex(hashes, sigs, DedupResolve.resolveClusters(pairs))
+      .localCheckpoint(true)
+    CorpusIndex(hashes, sigs, DedupResolve.resolveClusters(pairs), pairs = Some(pairs))
   }
 
-  // catalog names for the bucketed tables, stable per index directory
-  // (Spark's in-memory catalog is per-JVM; readIndex re-issues the DDL)
-  private def tableFor(prefix: String, dir: String): String =
-    prefix + java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+  private def hashTable(dir: String) = IndexStore.tableFor("graft_inc_hash_", dir)
+  private def bandTable(dir: String) = IndexStore.tableFor("graft_inc_bands_", dir)
+  private def bcntTable(dir: String) = IndexStore.tableFor("graft_inc_bcnt_", dir)
 
   /** Write the artifacts (the real persistence surface the ScaleBench
-    * `incdedup` mode and the d39 gate measure through). The probe-side
-    * tables are written BUCKETED on their probe keys — the write-once
-    * cost that buys every later delta pass its shuffle-free corpus
-    * side; `meta` records the band geometry so a reader can neither
-    * mis-band nor mis-bucket.
+    * `incdedup` mode and the d39/d46/d47 gates measure through). The
+    * probe-side tables are written BUCKETED on their probe keys — the
+    * write-once cost that buys every later delta pass its shuffle-free
+    * corpus side; `meta` records the band geometry so a reader can
+    * neither mis-band nor mis-bucket.
     */
   def writeIndex(idx: CorpusIndex, dir: String,
       k: Int = 32, rowsPerBand: Int = 8, nBuckets: Int = 32): Unit = {
     val s = idx.sigs.sparkSession
-    s.sql(s"DROP TABLE IF EXISTS ${tableFor("graft_inc_hash_", dir)}")
+    s.sql(s"DROP TABLE IF EXISTS ${hashTable(dir)}")
     idx.hashes.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "content_hash")
       .option("path", s"$dir/hashes")
-      .saveAsTable(tableFor("graft_inc_hash_", dir))
+      .saveAsTable(hashTable(dir))
     idx.sigs.write.mode("overwrite").parquet(s"$dir/sigs")
     idx.labels.write.mode("overwrite").parquet(s"$dir/labels")
+    idx.pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs"))
     val bands = Dedup.bandsOf(idx.sigs, k, rowsPerBand)
-    s.sql(s"DROP TABLE IF EXISTS ${tableFor("graft_inc_bands_", dir)}")
+    s.sql(s"DROP TABLE IF EXISTS ${bandTable(dir)}")
     bands.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "band", "bsig")
       .option("path", s"$dir/bands")
-      .saveAsTable(tableFor("graft_inc_bands_", dir))
-    s.sql(s"DROP TABLE IF EXISTS ${tableFor("graft_inc_bcnt_", dir)}")
+      .saveAsTable(bandTable(dir))
+    s.sql(s"DROP TABLE IF EXISTS ${bcntTable(dir)}")
     bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "band", "bsig")
       .option("path", s"$dir/bandcounts")
-      .saveAsTable(tableFor("graft_inc_bcnt_", dir))
+      .saveAsTable(bcntTable(dir))
     s.range(1).selectExpr(s"$k AS k", s"$rowsPerBand AS rows_per_band",
         s"$nBuckets AS n_buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  private def exists(dir: String, part: String): Boolean =
+    new java.io.File(s"$dir/$part").exists()
+
+  /** Load the index. Tombstoned documents (see class doc) are filtered
+    * out of every artifact with a broadcast anti-join — the tombstone
+    * list is delete-traffic-sized by contract, and the broadcast filter
+    * preserves the bucketed corpus-side layout (no exchange appears
+    * above the bucketed scans). Indexes that never saw a deletion load
+    * with byte-identical plans to r15's (the plan-pin spec's case).
+    */
   def readIndex(s: SparkSession, dir: String): CorpusIndex = {
     val meta = s.read.parquet(s"$dir/meta").collect()(0)
     val (k, rpb, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    def recreate(name: String, schema: String, clusterBy: String, path: String): DataFrame = {
-      s.sql(s"DROP TABLE IF EXISTS $name")
-      s.sql(s"CREATE TABLE $name ($schema) USING PARQUET " +
-        s"CLUSTERED BY ($clusterBy) INTO $nb BUCKETS LOCATION '$dir/$path'")
-      s.table(name)
+    val del: Option[DataFrame] =
+      if (exists(dir, "deleted")) Some(broadcast(s.read.parquet(s"$dir/deleted")))
+      else None
+    def minusDel(df: DataFrame, idCol: String): DataFrame = del match {
+      case Some(d) => df.join(d.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+      case None => df
     }
+    val pairs =
+      if (!exists(dir, "pairs")) None
+      else Some(minusDel(minusDel(
+        s.read.parquet(s"$dir/pairs"), "a_id"), "b_id"))
     CorpusIndex(
-      recreate(tableFor("graft_inc_hash_", dir),
-        "doc_id BIGINT, content_hash STRING", "content_hash", "hashes"),
-      s.read.parquet(s"$dir/sigs"),
+      minusDel(IndexStore.ensureBucketedTable(s, hashTable(dir),
+        "doc_id BIGINT, content_hash STRING", "content_hash", nb, s"$dir/hashes"), "doc_id"),
+      minusDel(s.read.parquet(s"$dir/sigs"), "doc_id"),
       s.read.parquet(s"$dir/labels"),
-      Some(recreate(tableFor("graft_inc_bands_", dir),
+      Some(minusDel(IndexStore.ensureBucketedTable(s, bandTable(dir),
         "doc_id BIGINT, sig ARRAY<BIGINT>, band INT, bsig STRING",
-        "band, bsig", "bands")),
-      Some(recreate(tableFor("graft_inc_bcnt_", dir),
-        "band INT, bsig STRING, cn BIGINT", "band, bsig", "bandcounts")),
-      k, rpb)
+        "band, bsig", nb, s"$dir/bands"), "doc_id")),
+      Some(IndexStore.ensureBucketedTable(s, bcntTable(dir),
+        "band INT, bsig STRING, cn BIGINT", "band, bsig", nb, s"$dir/bandcounts")),
+      k, rpb, pairs, nb)
   }
 
-  /** The incremental pass: kept doc_ids of corpus ⊎ delta (one column,
-    * doc_id-ordered — the d14 output contract). `allDocs` is the full
-    * documents table; the pass reads it ONLY for the final id list and
-    * the semi-join-pruned gram verify (see class doc).
+  /** The delta-side evidence of one append — everything stages 1–3 of
+    * the class doc produce, factored so the one-shot pass
+    * ([[appendKept]]) and the maintained-index pass ([[appendToIndex]])
+    * cannot drift. `edges` is LAZY (callers checkpoint it exactly once,
+    * before any artifact mutation); the delta frames are delta-sized.
     */
-  def appendKept(
+  private final case class DeltaEvidence(
+      deltaHash: DataFrame,
+      deltaSigs: DataFrame,
+      deltaBands: DataFrame,
+      edges: DataFrame)
+
+  private def deltaEvidence(
       allDocs: DataFrame,
       idx: CorpusIndex,
       delta: DataFrame,
-      k: Int = 32,
-      rowsPerBand: Int = 8,
-      estMin: Double = 0.6,
-      jaccardMin: Double = 0.8,
-      bucketCap: Int = Dedup.NoBucketCap): DataFrame = {
+      k: Int,
+      rowsPerBand: Int,
+      estMin: Double,
+      jaccardMin: Double,
+      bucketCap: Int): DeltaEvidence = {
     // 1. exact stars: each delta doc links to the min id of its
     // content-hash group (connectivity-equal to the clique, linear
     // cost). The corpus side is PROBED by the delta's distinct hashes —
@@ -255,9 +309,19 @@ object IncrementalDedup {
       else {
         require(bucketCap > 0,
           s"bucketCap must be positive or NoBucketCap, got $bucketCap")
-        val cCnt = idx.bandCounts.getOrElse(
+        val cCnt0 = idx.bandCounts.getOrElse(
           corpusBands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn")))
-        val dCnt = deltaBands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("dn"))
+        val dCnt = deltaBands.groupBy(col("band"), col("bsig"))
+          .agg(count(lit(1)).as("dn"))
+          .localCheckpoint(true) // read twice: the count probe + the over-join
+        // a MAINTAINED index appends one count row per (append, bucket):
+        // SUM over delta-touched keys only — probe the bucketed counts
+        // with the delta's bucket list first (corpus side exchange-free,
+        // aggregation input delta-bucket-sized)
+        val cCnt = cCnt0
+          .join(dCnt.select(col("band"), col("bsig")).hint("shuffle_hash"),
+            Seq("band", "bsig"))
+          .groupBy(col("band"), col("bsig")).agg(sum(col("cn")).as("cn"))
         val over = dCnt
           .join(cCnt, Seq("band", "bsig"), "left_outer")
           .filter(coalesce(col("cn"), lit(0L)) + col("dn") > bucketCap)
@@ -292,14 +356,161 @@ object IncrementalDedup {
       cand.filter(col("est") >= estMin).select(col("a_id"), col("b_id")),
       n = 5, minJaccard = jaccardMin)
 
-    // 4. TOUCHED-subgraph components: new evidence + the label stars of
-    // clusters with >= 1 member incident to it; untouched clusters keep
-    // yesterday's losers verbatim (identical components — the shared
-    // [[DedupResolve.incrementalKept]] stage, proof sketch there)
-    DedupResolve.incrementalKept(
-      allDocs.select(col("doc_id")),
-      idx.labels,
+    DeltaEvidence(deltaHash, deltaSigs, deltaBands,
       exactStars.unionByName(verified.select(col("a_id"), col("b_id"))))
+  }
+
+  /** The incremental pass: kept doc_ids of corpus ⊎ delta (one column,
+    * doc_id-ordered — the d14 output contract). `allDocs` is the full
+    * documents table; the pass reads it ONLY for the final id list and
+    * the semi-join-pruned gram verify (see class doc).
+    */
+  def appendKept(
+      allDocs: DataFrame,
+      idx: CorpusIndex,
+      delta: DataFrame,
+      k: Int = 32,
+      rowsPerBand: Int = 8,
+      estMin: Double = 0.6,
+      jaccardMin: Double = 0.8,
+      bucketCap: Int = Dedup.NoBucketCap): DataFrame = {
+    val ev = deltaEvidence(allDocs, idx, delta, k, rowsPerBand, estMin, jaccardMin, bucketCap)
+    // 4. TOUCHED-subgraph components (proof sketch in
+    // [[DedupResolve.incrementalLabels]])
+    DedupResolve.incrementalKept(allDocs.select(col("doc_id")), idx.labels, ev.edges)
+  }
+
+  /** One MAINTAINED append (d46): run the incremental pass AND write the
+    * delta's artifact rows back, so the directory again holds the exact
+    * index a full run over the accumulated corpus would persist —
+    * chaining is the pattern's whole point (the reference consumes step
+    * N−1's output as step N's input, reference runner.go:147-151).
+    * Per append:
+    *   - bucketed tables (`hashes`, `bands`, `bandcounts`) take an
+    *     APPEND of the delta's rows in the same bucket layout — write
+    *     cost ∝ delta;
+    *   - `sigs` and `pairs` parquet append the delta's rows/edges;
+    *   - `labels` is REWRITTEN from the touched-subgraph resolution
+    *     (cost ∝ dup-cluster membership, not corpus size — only ids
+    *     that appear in some pair carry a label row).
+    * All evidence is checkpointed BEFORE any table mutation: the
+    * evidence plans lazily probe the very tables being appended, and an
+    * unmaterialized plan re-executed after the append would see the
+    * delta on the corpus side (double-counted candidates).
+    * Returns the kept doc_ids of `allDocs` (the accumulated corpus),
+    * doc_id-ordered.
+    */
+  def appendToIndex(
+      s: SparkSession,
+      dir: String,
+      allDocs: DataFrame,
+      delta: DataFrame,
+      estMin: Double = 0.6,
+      jaccardMin: Double = 0.8,
+      bucketCap: Int = Dedup.NoBucketCap): DataFrame = {
+    val idx = readIndex(s, dir)
+    val (k, rpb, nb) = (idx.bandK, idx.bandRows, idx.nBuckets)
+    val ev = deltaEvidence(allDocs, idx, delta, k, rpb, estMin, jaccardMin, bucketCap)
+    val edges = ev.edges.localCheckpoint(true)
+    val newLabels = DedupResolve.incrementalLabels(idx.labels, edges)
+      .localCheckpoint(true) // materialize BEFORE overwriting its own input file
+    // artifact write-back (delta-proportional except the labels rewrite,
+    // which is dup-membership-proportional)
+    ev.deltaHash.write.mode("append").format("parquet")
+      .bucketBy(nb, "content_hash")
+      .option("path", s"$dir/hashes")
+      .saveAsTable(hashTable(dir))
+    ev.deltaBands.write.mode("append").format("parquet")
+      .bucketBy(nb, "band", "bsig")
+      .option("path", s"$dir/bands")
+      .saveAsTable(bandTable(dir))
+    ev.deltaBands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
+      .write.mode("append").format("parquet")
+      .bucketBy(nb, "band", "bsig")
+      .option("path", s"$dir/bandcounts")
+      .saveAsTable(bcntTable(dir))
+    ev.deltaSigs.write.mode("append").parquet(s"$dir/sigs")
+    edges.write.mode("append").parquet(s"$dir/pairs")
+    newLabels.write.mode("overwrite").parquet(s"$dir/labels")
+    DedupResolve.keptFromLabels(allDocs.select(col("doc_id")), newLabels)
+  }
+
+  /** Incremental DELETION (d47): remove `deleteIds0` from the corpus the
+    * index represents — tombstone their artifact rows and re-resolve
+    * exactly the clusters that lost a member. Connectivity may genuinely
+    * SPLIT when a bridge document dies, which is why labels alone are
+    * insufficient and the index persists the pair evidence: survivors of
+    * touched clusters re-resolve from
+    *   (persisted pairs restricted to touched clusters, minus deleted
+    *    endpoints) ∪ (exact-hash group-min stars recomputed from the
+    *    SURVIVING hash rows of touched documents)
+    * — the second term restores exact-dup connectivity that append-time
+    * star reduction would otherwise lose with the star's center (the
+    * {1,2,3} clique persisted as (1,2),(1,3): delete 1 and the stars
+    * alone would split {2,3}). Untouched clusters keep yesterday's
+    * labels verbatim (no path between survivor components runs through
+    * a cluster none of whose members died). Cost ∝ touched-cluster
+    * membership + delete traffic; the corpus side of every probe is the
+    * bucketed scan or a broadcast filter.
+    *
+    * Equivalence (the d47 gate): uncapped, a full rerun over
+    * corpus-minus-deleted bands every surviving doc identically, so its
+    * candidate set is yesterday's restricted to surviving endpoints, its
+    * verified pairs likewise, and its components are the union of
+    * untouched components and the re-resolved touched survivors — the
+    * oracle is the full-rerun SQL over the filtered corpus, hash-exact.
+    * Under a finite cap the mirror of the append caveat applies: a
+    * bucket falling back UNDER the cap re-admits pairs yesterday's run
+    * capped away (SCALING.md §3h).
+    *
+    * Returns the updated labels (checkpointed — callers derive kept sets
+    * from it without re-reading the overwritten file).
+    */
+  def deleteFromIndex(s: SparkSession, dir: String, deleteIds0: DataFrame): DataFrame = {
+    val del = deleteIds0.select(col("doc_id").cast("long").as("doc_id"))
+      .localCheckpoint(true)
+    // read BEFORE the tombstone append: this pass needs yesterday's view
+    val idx = readIndex(s, dir)
+    val pairs = idx.pairs.getOrElse(
+      sys.error(s"index at $dir persists no pair evidence; deletion needs it"))
+    val delId = del.select(col("doc_id").as("id"))
+    val touched = idx.labels.join(delId, Seq("id"))
+      .select(col("cluster")).distinct()
+      .localCheckpoint(true)
+    val touchedLabels = idx.labels
+      .join(DedupResolve.guardedByCluster(touched), Seq("cluster"))
+      .select(col("id"), col("cluster"))
+      .localCheckpoint(true)
+    // surviving pair evidence of touched clusters (an edge's endpoints
+    // share a component, so membership is decided by a_id's label)
+    val survPairs = pairs
+      .join(touchedLabels.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
+      .join(del.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_anti")
+      .join(del.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_anti")
+    // exact-dup stars recomputed from surviving hash rows of touched
+    // docs: probe the bucketed hash table by the touched ids (broadcast
+    // filter), regroup the SURVIVORS of their content-hash groups
+    val touchedHashes = idx.hashes
+      .join(broadcast(touchedLabels.select(col("id").as("doc_id"))), Seq("doc_id"), "left_semi")
+    val survGroups = idx.hashes
+      .join(touchedHashes.select(col("content_hash")).distinct().hint("shuffle_hash"),
+        Seq("content_hash"))
+      .join(del, Seq("doc_id"), "left_anti")
+    val survStars = survGroups
+      .join(survGroups.groupBy(col("content_hash")).agg(min(col("doc_id")).as("min_id")),
+        Seq("content_hash"))
+      .filter(col("doc_id") =!= col("min_id"))
+      .select(col("min_id").as("a_id"), col("doc_id").as("b_id"))
+    val subLabels = DedupResolve.resolveClusters(
+      survPairs.select(col("a_id"), col("b_id")).unionByName(survStars))
+    val untouched = idx.labels
+      .join(DedupResolve.guardedByCluster(touched), Seq("cluster"), "left_anti")
+      .select(col("id"), col("cluster"))
+    val newLabels = untouched.unionByName(subLabels.select(col("id"), col("cluster")))
+      .localCheckpoint(true) // materialize BEFORE overwriting its own input file
+    del.write.mode("append").parquet(s"$dir/deleted")
+    newLabels.write.mode("overwrite").parquet(s"$dir/labels")
+    newLabels
   }
 
   /** d39: the oracle-gated composition — corpus = the 80% doc_id split
@@ -310,12 +521,13 @@ object IncrementalDedup {
     * mirror is the FULL-CORPUS rerun
     * ([[DedupResolve.corpusDedupPipelineSql]]) — hash-matching it is
     * the incremental ≡ full equivalence proof, per query run. The
-    * per-invocation temp index is left to the OS tmp reaper: the
-    * returned plan reads it lazily.
+    * per-invocation temp index is deleted by a JVM shutdown hook
+    * ([[IndexStore.tempIndexDir]]): the returned plan reads it lazily,
+    * so deletion must outlast the harness's action.
     */
   def appendDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val idxDir = java.nio.file.Files.createTempDirectory("graft-incidx").toString
+    val idxDir = IndexStore.tempIndexDir("graft-incidx")
     // nBuckets = 8 at the gate: bucket COUNT is a layout knob (it never
     // changes the answer — the bucketed-join plan shape is pinned by
     // spec at the default 32); at verify SFs 32 buckets × 4 artifacts
@@ -326,4 +538,50 @@ object IncrementalDedup {
   }
 
   val appendDedupSql: String = DedupResolve.corpusDedupPipelineSql
+
+  /** d46: MULTI-append through a MAINTAINED index — base = the 40%
+    * doc_id split, then three chained 20% deltas, each appended INTO the
+    * persisted artifacts ([[appendToIndex]]) and each reading the index
+    * state its predecessor left behind. The final kept set must equal
+    * the full rerun over ALL documents — the same oracle as d39,
+    * unchanged ([[DedupResolve.corpusDedupPipelineSql]]): k chained
+    * appends must change the cost model, never the answer. The three
+    * appends run EAGERLY (artifact writes are actions); the returned
+    * frame reads only the final checkpointed labels.
+    */
+  def multiAppendDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idxDir = IndexStore.tempIndexDir("graft-incmulti")
+    // nBuckets = 8 at the gate (layout knob; see appendDedup)
+    writeIndex(buildIndex(docs.where(col("doc_id") % 5 < 2)), idxDir, nBuckets = 8)
+    var kept: DataFrame = null
+    (2 to 4).foreach { m =>
+      kept = appendToIndex(s, idxDir,
+        docs.where(col("doc_id") % 5 <= m),
+        docs.where(col("doc_id") % 5 === m))
+    }
+    kept
+  }
+
+  val multiAppendDedupSql: String = DedupResolve.corpusDedupPipelineSql
+
+  /** d47: the deletion gate — yesterday's index over the WHOLE corpus,
+    * then every doc_id ≡ 3 (mod 7) is taken down (≈ 14%, and by
+    * construction it hits cluster representatives, bridge members, and
+    * exact-dup group minima). Oracle: the full rerun over the surviving
+    * corpus ([[deleteDedupSql]]) — incremental delete ≡ full rerun on
+    * corpus-minus-deleted, hash-exact.
+    */
+  def deleteDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idxDir = IndexStore.tempIndexDir("graft-incdel")
+    // nBuckets = 8 at the gate (layout knob; see appendDedup)
+    writeIndex(buildIndex(docs), idxDir, nBuckets = 8)
+    val newLabels = deleteFromIndex(s, idxDir,
+      docs.where(col("doc_id") % 7 === 3).select(col("doc_id")))
+    DedupResolve.keptFromLabels(
+      docs.where(col("doc_id") % 7 =!= 3).select(col("doc_id")), newLabels)
+  }
+
+  val deleteDedupSql: String = DedupResolve.corpusDedupPipelineSqlWhere("doc_id % 7 <> 3")
 }

@@ -81,25 +81,22 @@ object IncrementalSig {
   final case class SigIndex(bands: DataFrame, pairs: DataFrame,
       bits: Int, nBands: Int, bandCounts: Option[DataFrame] = None)
 
-  private def tableFor(prefix: String, dir: String): String =
-    prefix + java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-
   def writeIndex(corpusSigs: DataFrame, pairs: DataFrame, dir: String,
       bits: Int, nBands: Int, nBuckets: Int = 32): Unit = {
+    import graft.runtime.IndexStore
     val s = corpusSigs.sparkSession
     val bands = bandsOfSig(corpusSigs, bits, nBands)
-    s.sql(s"DROP TABLE IF EXISTS ${tableFor("graft_sig_bands_", dir)}")
+    s.sql(s"DROP TABLE IF EXISTS ${IndexStore.tableFor("graft_sig_bands_", dir)}")
     bands.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "band", "bsig")
       .option("path", s"$dir/bands")
-      .saveAsTable(tableFor("graft_sig_bands_", dir))
-    s.sql(s"DROP TABLE IF EXISTS ${tableFor("graft_sig_bcnt_", dir)}")
+      .saveAsTable(IndexStore.tableFor("graft_sig_bands_", dir))
+    s.sql(s"DROP TABLE IF EXISTS ${IndexStore.tableFor("graft_sig_bcnt_", dir)}")
     bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "band", "bsig")
       .option("path", s"$dir/bandcounts")
-      .saveAsTable(tableFor("graft_sig_bcnt_", dir))
+      .saveAsTable(IndexStore.tableFor("graft_sig_bcnt_", dir))
     pairs.write.mode("overwrite").parquet(s"$dir/pairs")
     s.range(1).selectExpr(s"$bits AS bits", s"$nBands AS n_bands",
         s"$nBuckets AS n_buckets")
@@ -107,18 +104,16 @@ object IncrementalSig {
   }
 
   def readIndex(s: SparkSession, dir: String): SigIndex = {
+    import graft.runtime.IndexStore
     val meta = s.read.parquet(s"$dir/meta").collect()(0)
     val (bits, nBands, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    val name = tableFor("graft_sig_bands_", dir)
-    s.sql(s"DROP TABLE IF EXISTS $name")
-    s.sql(s"CREATE TABLE $name (doc_id BIGINT, sig BIGINT, band INT, bsig BIGINT) " +
-      s"USING PARQUET CLUSTERED BY (band, bsig) INTO $nb BUCKETS LOCATION '$dir/bands'")
-    val cname = tableFor("graft_sig_bcnt_", dir)
-    s.sql(s"DROP TABLE IF EXISTS $cname")
-    s.sql(s"CREATE TABLE $cname (band INT, bsig BIGINT, cn BIGINT) " +
-      s"USING PARQUET CLUSTERED BY (band, bsig) INTO $nb BUCKETS LOCATION '$dir/bandcounts'")
-    SigIndex(s.table(name), s.read.parquet(s"$dir/pairs"), bits, nBands,
-      Some(s.table(cname)))
+    SigIndex(
+      IndexStore.ensureBucketedTable(s, IndexStore.tableFor("graft_sig_bands_", dir),
+        "doc_id BIGINT, sig BIGINT, band INT, bsig BIGINT",
+        "band, bsig", nb, s"$dir/bands"),
+      s.read.parquet(s"$dir/pairs"), bits, nBands,
+      Some(IndexStore.ensureBucketedTable(s, IndexStore.tableFor("graft_sig_bcnt_", dir),
+        "band INT, bsig BIGINT, cn BIGINT", "band, bsig", nb, s"$dir/bandcounts")))
   }
 
   /** The incremental pass: delta bands probe the bucketed corpus band
@@ -186,7 +181,7 @@ object IncrementalSig {
       .select(col("doc_id"), graft.functions.SimHashSig(col("text"), 32).as("sig"))
       .where(col("sig") =!= lit(graft.functions.SimHashSig.Empty))
     val corpusSigs = sigsOf(docs.where(col("doc_id") % 5 < 4))
-    val idxDir = java.nio.file.Files.createTempDirectory("graft-incsim").toString
+    val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-incsim")
     // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
     writeIndex(corpusSigs, buildPairs(corpusSigs, 32, 4, 7), idxDir, 32, 4, nBuckets = 8)
     appendPairs(readIndex(s, idxDir), sigsOf(docs.where(col("doc_id") % 5 >= 4)), 7)
@@ -204,7 +199,7 @@ object IncrementalSig {
     val sigs = Multimodal.perceptualHash(Multimodal.mediaTable(s, dir))
       .toDF().withColumnRenamed("phash", "sig")
     val corpusSigs = sigs.where(col("doc_id") % 5 < 4)
-    val idxDir = java.nio.file.Files.createTempDirectory("graft-incph").toString
+    val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-incph")
     // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
     writeIndex(corpusSigs, buildPairs(corpusSigs, 60, 6, 5), idxDir, 60, 6, nBuckets = 8)
     appendPairs(readIndex(s, idxDir), sigs.where(col("doc_id") % 5 >= 4), 5)
@@ -242,20 +237,21 @@ object IncrementalSemantic {
     emb.withColumn("nrm",
       sqrt(graft.functions.FloatVecDot(col("embedding"), col("embedding"))))
 
-  private def withSigs(e: DataFrame): DataFrame =
+  private[graft] def withSigs(e: DataFrame,
+      nTables: Int = NTables, bits: Int = Bits): DataFrame =
     e.withColumn("sigs",
-      graft.functions.SignLshBuckets(col("embedding"), NTables, Bits))
+      graft.functions.SignLshBuckets(col("embedding"), nTables, bits))
 
-  private def bucketsOf(e: DataFrame): DataFrame =
+  private[graft] def bucketsOf(e: DataFrame): DataFrame =
     e.select(col("vec_id"), posexplode(col("sigs")))
       .withColumnRenamed("pos", "table_id")
       .withColumnRenamed("col", "bucket")
 
   /** Yesterday's run: bucket self-join + exact-cosine verify over the
-    * corpus at the pinned geometry (the same candidate/verify ladder as
+    * corpus at the index's geometry (the same candidate/verify ladder as
     * [[Similarity.signLshPairs]] at explicit bits).
     */
-  private def corpusPairs(e: DataFrame): DataFrame = {
+  private[graft] def corpusPairs(e: DataFrame, minCos: Double = MinCos): DataFrame = {
     val buckets = bucketsOf(e).hint("shuffle_hash")
     val ids = buckets.alias("a")
       .join(buckets.alias("b"),
@@ -264,17 +260,17 @@ object IncrementalSemantic {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
-    Similarity.verifyCosineOn(e.select(col("vec_id"), col("embedding"), col("nrm")), ids, MinCos)
+    Similarity.verifyCosineOn(e.select(col("vec_id"), col("embedding"), col("nrm")), ids, minCos)
   }
 
-  final case class SemIndex(buckets: DataFrame, labels: DataFrame)
+  final case class SemIndex(buckets: DataFrame, labels: DataFrame,
+      nTables: Int = NTables, bits: Int = Bits)
 
   private def tableFor(dir: String): String =
-    "graft_sem_buckets_" + java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    graft.runtime.IndexStore.tableFor("graft_sem_buckets_", dir)
 
   def writeIndex(corpusE: DataFrame, labels: DataFrame, dir: String,
-      nBuckets: Int = 32): Unit = {
+      nBuckets: Int = 32, nTables: Int = NTables, bits: Int = Bits): Unit = {
     val s = corpusE.sparkSession
     s.sql(s"DROP TABLE IF EXISTS ${tableFor(dir)}")
     bucketsOf(corpusE).write.mode("overwrite").format("parquet")
@@ -282,20 +278,26 @@ object IncrementalSemantic {
       .option("path", s"$dir/buckets")
       .saveAsTable(tableFor(dir))
     labels.write.mode("overwrite").parquet(s"$dir/labels")
-    s.range(1).selectExpr(s"$nBuckets AS n_buckets")
+    s.range(1).selectExpr(s"$nBuckets AS n_buckets",
+        s"$nTables AS n_tables", s"$bits AS bits")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   def readIndex(s: SparkSession, dir: String): SemIndex = {
-    val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(0)
-    val name = tableFor(dir)
-    s.sql(s"DROP TABLE IF EXISTS $name")
+    val meta = s.read.parquet(s"$dir/meta").collect()(0)
+    // geometry rode into meta in r16 (the scale arm runs count-calibrated
+    // bits); a pre-r16 meta has only n_buckets — fall back to the pinned
+    // constants it was written under
+    val nb = meta.getInt(0)
+    val (nt, bits) =
+      if (meta.length >= 3) (meta.getInt(1), meta.getInt(2)) else (NTables, Bits)
     // bucket is INT: SignLshBuckets emits array<int> (≤ 32 bits of
     // bucket id by construction) — a BIGINT declaration here would read
     // the int32 parquet column as null and silently empty every probe
-    s.sql(s"CREATE TABLE $name (vec_id BIGINT, table_id INT, bucket INT) " +
-      s"USING PARQUET CLUSTERED BY (table_id, bucket) INTO $nb BUCKETS LOCATION '$dir/buckets'")
-    SemIndex(s.table(name), s.read.parquet(s"$dir/labels"))
+    SemIndex(graft.runtime.IndexStore.ensureBucketedTable(s, tableFor(dir),
+        "vec_id BIGINT, table_id INT, bucket INT",
+        "table_id, bucket", nb, s"$dir/buckets"),
+      s.read.parquet(s"$dir/labels"), nt, bits)
   }
 
   /** The incremental pass: delta buckets probe the bucketed corpus
@@ -305,8 +307,10 @@ object IncrementalSemantic {
     * [[Similarity.verifyCosineOn]]); components resolve over the
     * touched subgraph.
     */
-  def appendKept(allE: DataFrame, idx: SemIndex, delta: DataFrame): DataFrame = {
-    val db = bucketsOf(withSigs(delta).localCheckpoint(true)).localCheckpoint(true)
+  def appendKept(allE: DataFrame, idx: SemIndex, delta: DataFrame,
+      minCos: Double = MinCos): DataFrame = {
+    val db = bucketsOf(withSigs(delta, idx.nTables, idx.bits).localCheckpoint(true))
+      .localCheckpoint(true)
     val candCD = idx.buckets.alias("a")
       .join(db.hint("shuffle_hash").alias("b"),
         col("a.table_id") === col("b.table_id") &&
@@ -322,7 +326,7 @@ object IncrementalSemantic {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
     val candIds = candCD.unionByName(candDD).distinct().localCheckpoint(true)
-    val verified = Similarity.verifyCosineOn(allE, candIds, MinCos)
+    val verified = Similarity.verifyCosineOn(allE, candIds, minCos)
     DedupResolve.incrementalKept(
         allE.select(col("vec_id").as("doc_id")), idx.labels, verified)
       .select(col("doc_id").as("vec_id"))
@@ -339,7 +343,7 @@ object IncrementalSemantic {
     val all = withNrm(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
       .localCheckpoint(true)
     val corpusE = withSigs(all.filter(col("vec_id") % 5 < 4)).localCheckpoint(true)
-    val idxDir = java.nio.file.Files.createTempDirectory("graft-incsem").toString
+    val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-incsem")
     // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
     writeIndex(corpusE, DedupResolve.resolveClusters(corpusPairs(corpusE)),
       idxDir, nBuckets = 8)
@@ -382,8 +386,7 @@ object IncrementalContam {
       spans: DataFrame)
 
   private def tableFor(dir: String): String =
-    "graft_contam_grams_" + java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    graft.runtime.IndexStore.tableFor("graft_contam_grams_", dir)
 
   def writeIndex(idx: ContamIndex, dir: String, nBuckets: Int = 32): Unit = {
     val s = idx.grams.sparkSession
@@ -405,11 +408,10 @@ object IncrementalContam {
     val bloom =
       try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
       finally in.close()
-    val name = tableFor(dir)
-    s.sql(s"DROP TABLE IF EXISTS $name")
-    s.sql(s"CREATE TABLE $name (gk BIGINT) USING PARQUET " +
-      s"CLUSTERED BY (gk) INTO $nb BUCKETS LOCATION '$dir/grams'")
-    ContamIndex(bloom, s.table(name), s.read.parquet(s"$dir/spans"))
+    ContamIndex(bloom,
+      graft.runtime.IndexStore.ensureBucketedTable(s, tableFor(dir),
+        "gk BIGINT", "gk", nb, s"$dir/grams"),
+      s.read.parquet(s"$dir/spans"))
   }
 
   /** d43: incremental corpus-append decontamination under the d29/d36
@@ -434,7 +436,7 @@ object IncrementalContam {
         val bloom = bgrams.stat.bloomFilter("gk", math.max(bgrams.count(), 1L), 0.01)
         val spansOld = SpanDedup.contamIslands(
           SpanDedup.contamHitsWithSketch(trainOld, bloom, bgrams, k), k)
-        val d = java.nio.file.Files.createTempDirectory("graft-inccontam").toString
+        val d = graft.runtime.IndexStore.tempIndexDir("graft-inccontam")
         // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
         writeIndex(ContamIndex(bloom, bgrams, spansOld), d, nBuckets = 8)
         d

@@ -95,6 +95,21 @@ object Similarity {
       |  FROM p)
       |WHERE rnk <= 5""".stripMargin
 
+  /** [[bruteKnn]] over explicit frames — the ground-truth arm of the
+    * ScaleBench recall measurements (`incvec`): exact cosine top-k of
+    * each `q` row (qid, qv, qn) against all of `e` (vec_id, embedding,
+    * nrm). Queries broadcast; the corpus side is one scan.
+    */
+  private[graft] def bruteKnnOn(e: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", dotCol / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    pairs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("rnk"))
+  }
+
   /** Int8 scalar-quantized exact kNN (d30) — the memory-compression arm
     * of the ANN family. Normalize-then-quantize, the production cosine
     * recipe: each vector is L2-normalized, then every coordinate maps to
@@ -733,7 +748,7 @@ object Similarity {
     * frame — the seam the incremental append path (d44) trains its
     * corpus-split index through.
     */
-  private def buildIvfSq8IndexFrom(e: DataFrame, nCells: Int, sampleN: Int): IvfSq8Index = {
+  private[graft] def buildIvfSq8IndexFrom(e: DataFrame, nCells: Int, sampleN: Int): IvfSq8Index = {
     val cent = ivfCentroids(e, nCells, sampleN)
     val cells = ivfRanked(e, cent).filter(col("r") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
@@ -768,7 +783,10 @@ object Similarity {
     * per-vector argmax is independent, so ranking just the query side
     * reproduces the trained path's probes exactly); candidates come from
     * the loaded cells, ranking from the loaded packed codes. No training
-    * stage, no corpus-embedding scan beyond the query rows.
+    * stage, no corpus-embedding scan beyond the query rows. `queries`
+    * carries (vec_id, embedding, nrm) — the request's own vectors are
+    * quantized in-plan, so a vector the index has never seen (the normal
+    * serving case) is answered, not silently dropped.
     */
   def ivfSq8KnnFromIndex(
       queries: DataFrame,
@@ -783,12 +801,15 @@ object Similarity {
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"))
       .distinct()
-    // query-side codes are the index codes of exactly the PASSED query
-    // ids (semi-join — r14 ADVICE: a hardcoded query convention here
-    // silently dropped rows for any other caller); the query set is
+    // query-side codes are quantized from the PASSED query frame itself
+    // (the same sq8CodesOf formula the index was built with, so an
+    // indexed vector gets bit-identical codes) — r15 ADVICE: the
+    // previous semi-join against idx.codes silently DROPPED any query
+    // vec_id absent from the index, which is precisely the normal
+    // serving case (a genuinely new request vector), and scored a
+    // changed embedding with its stale indexed code. The query set is
     // serve-request-sized, so the broadcast is bounded by the caller
-    val qcodes = idx.codes
-      .join(queries.select(col("vec_id")), "vec_id")
+    val qcodes = sq8CodesOf(queries)
       .select(col("vec_id").as("qid"), col("code").as("qcode"))
     val cands = candIds
       .join(idx.codes.select(col("vec_id").as("nid"), col("code").as("ncode")), "nid")
@@ -811,7 +832,7 @@ object Similarity {
     * at construction would break the later materialization.
     */
   def ivfSq8KnnLoaded(s: SparkSession, dir: String): DataFrame = {
-    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-ivf-index")
     writeIvfSq8Index(buildIvfSq8Index(s, dir, nCells = 16, sampleN = 200), idxDir)
     val idx = readIvfSq8Index(s, idxDir)
     val queries = Tables.embeddings(s, dir)
@@ -845,6 +866,20 @@ object Similarity {
     * table, quantization is a per-row map — nothing touches the corpus
     * side but the artifact append itself.
     */
+  /** Frozen-quantizer append (the d44 contract, shared by the gate and
+    * the ScaleBench `incvec` arm): assign the delta to the index's
+    * EXISTING centroids (the same [[ivfRanked]] argmax the build used)
+    * and quantize with the same SQ8 formula — nothing touches the
+    * corpus side but the artifact append itself.
+    */
+  private[graft] def appendToIvfSq8Index(idx: IvfSq8Index, delta: DataFrame): IvfSq8Index = {
+    val deltaCells = ivfRanked(delta, idx.centroids).filter(col("r") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    IvfSq8Index(idx.centroids,
+      idx.cells.unionByName(deltaCells),
+      idx.codes.unionByName(sq8CodesOf(delta)))
+  }
+
   def ivfSq8IndexAppend(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
@@ -853,16 +888,12 @@ object Similarity {
     val corpus = all.filter(col("vec_id") % 5 < 4)
     val delta = all.filter(col("vec_id") % 5 >= 4)
     // yesterday: train on the corpus split, persist
-    val idxDir0 = java.nio.file.Files.createTempDirectory("graft-ivf-append0").toString
+    val idxDir0 = graft.runtime.IndexStore.tempIndexDir("graft-ivf-append0")
     writeIvfSq8Index(buildIvfSq8IndexFrom(corpus, nCells = 16, sampleN = 200), idxDir0)
     val idx0 = readIvfSq8Index(s, idxDir0)
     // today: frozen-quantizer assignment + SQ8 codes for the delta only
-    val deltaCells = ivfRanked(delta, idx0.centroids).filter(col("r") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-    val appended = IvfSq8Index(idx0.centroids,
-      idx0.cells.unionByName(deltaCells),
-      idx0.codes.unionByName(sq8CodesOf(delta)))
-    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    val appended = appendToIvfSq8Index(idx0, delta)
+    val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-ivf-append")
     writeIvfSq8Index(appended, idxDir)
     val idx = readIvfSq8Index(s, idxDir)
     ivfSq8KnnFromIndex(all.filter(col("vec_id") < 50), idx, nProbe = 2)
@@ -877,6 +908,35 @@ object Similarity {
     ivfCandidateCte(16, 2, 200,
       seedsAnd = " AND vec_id % 5 < 4",
       sampAnd = " AND s.vec_id % 5 < 4") + sq8RankSuffix
+
+  /** When to RETRAIN the frozen coarse quantizer — the rebuild decision
+    * d44 defers, derived as computation (the d24/m05 calibration-as-code
+    * pattern applied to WHEN instead of HOW). The ScaleBench `incvec`
+    * mode measures recall@5 of the frozen-centroid index against exact
+    * brute-force ground truth as appended mass grows, head-to-head with
+    * a retrained index at each point (SCALING.md §3i, ×500 embeddings,
+    * appends drawn from rep-rotated — i.e. distribution-shifted —
+    * vectors, the adversarial drift case). The measured curve sets
+    * [[RebuildAppendRatio]]: below it the frozen index's recall stays
+    * within noise of the retrained one's; above it retraining pays.
+    * The predicate is the production loop's guard:
+    * append while `!shouldRebuild`, schedule a rebuild otherwise.
+    */
+  def shouldRebuild(indexedN: Long, appendedN: Long,
+      maxAppendRatio: Double = RebuildAppendRatio): Boolean = {
+    require(indexedN > 0, s"indexedN must be positive, got $indexedN")
+    require(appendedN >= 0, s"appendedN must be non-negative, got $appendedN")
+    appendedN.toDouble > maxAppendRatio * indexedN.toDouble
+  }
+
+  /** The measured trigger point (see [[shouldRebuild]]): appended mass
+    * up to ~50% of the indexed mass left frozen-centroid recall within
+    * noise of a retrain on the r16 `incvec` curve; beyond it the
+    * frozen quantizer's cell populations no longer reflect the data and
+    * the recall gap opens. Conservative side of the measured curve, the
+    * [[graft.llm.Bpe.DeltaArmWords]] discipline.
+    */
+  val RebuildAppendRatio: Double = 0.5
 
   /** The IVF grid gate: the retuned point the scale runs measured best
     * (64 cells, 4 probes — recall 0.93 at a 6% scan at the ×50 corpus,

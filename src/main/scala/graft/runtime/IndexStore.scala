@@ -1,0 +1,80 @@
+package graft.runtime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared plumbing for the persisted-index families (d39/d42–d47/m08):
+  * per-invocation temp directories with a bounded lifetime, collision-
+  * safe catalog names, and idempotent bucketed-table registration.
+  *
+  * All three exist because the incremental operators return LAZY plans
+  * over on-disk artifacts — the artifact must outlive the returned
+  * DataFrame (so deletion waits for JVM exit), the catalog entry must
+  * be unique per directory (so two indexes in one JVM cannot alias),
+  * and re-registration must be a no-op when the entry already points at
+  * the right files (so two readers of the same index do not race each
+  * other's DROP/CREATE — r15 ADVICE).
+  */
+object IndexStore {
+
+  /** Create a per-invocation temp index dir, deleted by a JVM shutdown
+    * hook. Deleting earlier would break the caller's lazy reads (the
+    * returned plan materializes at the harness's action, long after the
+    * gate function returns); never deleting leaked dozens of dirs per
+    * three-SF Verify/Bench campaign (r15 VERDICT #4).
+    */
+  def tempIndexDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    val f = p.toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(f)
+      catch { case _: Exception => () }))
+    p.toString
+  }
+
+  /** Catalog table name for an index directory: the FULL 64 bits of two
+    * independent murmur passes. The previous 32-bit truncation made a
+    * cross-directory collision plausible within one long-lived JVM
+    * (birthday bound ~2¹⁶ dirs — a Verify sweep creates dozens per run),
+    * and a collision re-points the first index's live catalog table at
+    * the second's files, silently serving wrong rows (r15 ADVICE).
+    */
+  def tableFor(prefix: String, dir: String): String = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(dir)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(dir, 0x9747b28c)
+    prefix + java.lang.Long.toHexString((h1.toLong << 32) | (h2.toLong & 0xffffffffL))
+  }
+
+  private def existingLocation(s: SparkSession, name: String): Option[String] =
+    if (!s.catalog.tableExists(name)) None
+    else
+      try s.sql(s"DESCRIBE TABLE EXTENDED $name").collect()
+        .find(r => r.getString(0) == "Location")
+        .map(_.getString(1))
+      catch { case _: Exception => None }
+
+  /** Register (or reuse) the external bucketed table backing an index
+    * artifact. When the catalog already has `name` pointing at exactly
+    * `location`, the existing entry is returned untouched — the DROP/
+    * CREATE the old readIndex issued unconditionally raced concurrent
+    * readers of the same directory (a plan mid-resolution by name saw
+    * the table vanish). A name pointing anywhere else is re-created.
+    */
+  def ensureBucketedTable(
+      s: SparkSession,
+      name: String,
+      schema: String,
+      clusterBy: String,
+      nBuckets: Int,
+      location: String): DataFrame = {
+    val samePath = existingLocation(s, name).exists { loc =>
+      loc.stripPrefix("file:") == location ||
+        loc == location
+    }
+    if (!samePath) {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      s.sql(s"CREATE TABLE $name ($schema) USING PARQUET " +
+        s"CLUSTERED BY ($clusterBy) INTO $nBuckets BUCKETS LOCATION '$location'")
+    }
+    s.table(name)
+  }
+}

@@ -1607,6 +1607,384 @@ object ScaleBench {
     }
   }
 
+  /** Round-16 `incsig` recalibration — the r15 row measured ZERO pairs on
+    * BOTH arms (vacuous equivalence): at 2.55M docs an 8-band/4-bit-wide
+    * 32-bit simhash puts ~160k docs in EVERY bucket, so cap 64 dropped
+    * every bucket and the walls measured banding an empty candidate set.
+    * The non-vacuous posture derives band WIDTH from the corpus count
+    * exactly like sign-LSH bits ([[graft.llm.LshCalibration.bitsFor]]):
+    * a 60-bit signature in nBands = 60/bitsFor(n, target) bands keeps
+    * E[bucket] ≈ target as the corpus grows, the planted twins' pairs
+    * survive, and the mode ASSERTS pairs_full > 0 (the round-12
+    * silent-zero lesson applied to the measurement itself). Two arms:
+    * cap 64 (production skew guard; set_diff is the measured
+    * cap-crossing drift) and uncapped (set_diff MUST be 0 — asserted).
+    */
+  private def incSig16Mode(s: SparkSession, dir: String, label: String): Unit = {
+    import graft.llm.IncrementalSig
+    val docs = graft.Tables.documents(s, dir)
+    val bits = 60
+    val n = docs.count()
+    val width0 = graft.llm.LshCalibration.bitsFor(n, targetBucket = 4, minBits = 4)
+    val nBands = math.max(2, bits / width0) // bandsOfSig needs nBands | bits
+    val maxHam = 7
+    def sigsOf(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), graft.functions.SimHashSig(col("text"), bits).as("sig"))
+      .where(col("sig") =!= lit(graft.functions.SimHashSig.Empty))
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val corpus = docs.where(col("doc_id") % 50 =!= 7)
+    val delta = docs.where(col("doc_id") % 50 === 7)
+    val nd = delta.count()
+    for ((cap, name, mustBeExact) <- Seq(
+        (64, "cap64_d2pct", false),
+        (Dedup.NoBucketCap, "uncapped_d2pct", true))) {
+      val idxDir = java.nio.file.Files.createTempDirectory("incsig16").toString
+      try {
+        val t0 = System.nanoTime()
+        IncrementalSig.writeIndex(sigsOf(corpus),
+          IncrementalSig.buildPairs(sigsOf(corpus), bits, nBands, maxHam, cap),
+          idxDir, bits, nBands)
+        val buildWall = (System.nanoTime() - t0) / 1e9
+        sweep()
+        val idx = IncrementalSig.readIndex(s, idxDir)
+        val (deltaWall, nInc) = timed2 {
+          IncrementalSig.appendPairs(idx, sigsOf(delta), maxHam, cap).count()
+        }
+        sweep()
+        val (fullWall, nFull) = timed2 {
+          IncrementalSig.buildPairs(sigsOf(docs), bits, nBands, maxHam, cap).count()
+        }
+        sweep()
+        val inc = IncrementalSig.appendPairs(idx, sigsOf(delta), maxHam, cap)
+        val full = IncrementalSig.buildPairs(sigsOf(docs), bits, nBands, maxHam, cap)
+        val setDiff = inc.exceptAll(full).union(full.exceptAll(inc)).count()
+        sweep()
+        emit("corpus" -> label, "op" -> "incsig", "arm" -> name,
+          "n_docs" -> n, "n_delta" -> nd, "bits" -> bits, "n_bands" -> nBands,
+          "band_width" -> (bits / nBands), "bucket_cap" -> cap,
+          "build_wall" -> buildWall, "delta_wall" -> deltaWall,
+          "full_wall" -> fullWall, "pairs_inc" -> nInc, "pairs_full" -> nFull,
+          "set_diff" -> setDiff)
+        require(nFull > 0 && nInc > 0,
+          s"VACUOUS incsig measurement (pairs_full=$nFull, pairs_inc=$nInc): " +
+            "the arms moved no pair data — recalibrate the banding")
+        require(!mustBeExact || setDiff == 0,
+          s"uncapped incremental simhash diverged from the full rerun (set_diff=$setDiff)")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+      }
+    }
+  }
+
+  /** Round-16 `incphash` — the m08 family at scale, same count-calibrated
+    * banding discipline as [[incSig16Mode]] over the 60-bit perceptual
+    * hash of the media corpus. Uncapped (the pigeonhole-lossless m08
+    * posture is cap-free), so set_diff MUST be 0 and pairs_full > 0 is
+    * asserted (the planted twins differ by two payload bytes).
+    */
+  private def incPhashMode(s: SparkSession, dir: String, label: String): Unit = {
+    import graft.llm.IncrementalSig
+    val sigs = Multimodal.perceptualHash(Multimodal.mediaTable(s, dir))
+      .toDF().withColumnRenamed("phash", "sig")
+      .localCheckpoint(true)
+    val bits = 60
+    val n = sigs.count()
+    val width0 = graft.llm.LshCalibration.bitsFor(n, targetBucket = 4, minBits = 4)
+    val nBands = math.max(2, bits / width0)
+    val maxHam = 5
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val corpus = sigs.where(col("doc_id") % 50 =!= 7)
+    val delta = sigs.where(col("doc_id") % 50 === 7)
+    val nd = delta.count()
+    val idxDir = java.nio.file.Files.createTempDirectory("incphash").toString
+    try {
+      val t0 = System.nanoTime()
+      IncrementalSig.writeIndex(corpus,
+        IncrementalSig.buildPairs(corpus, bits, nBands, maxHam), idxDir, bits, nBands)
+      val buildWall = (System.nanoTime() - t0) / 1e9
+      sweep()
+      val idx = IncrementalSig.readIndex(s, idxDir)
+      val (deltaWall, nInc) = timed2 {
+        IncrementalSig.appendPairs(idx, delta, maxHam).count()
+      }
+      sweep()
+      val (fullWall, nFull) = timed2 {
+        IncrementalSig.buildPairs(sigs, bits, nBands, maxHam).count()
+      }
+      sweep()
+      val inc = IncrementalSig.appendPairs(idx, delta, maxHam)
+      val full = IncrementalSig.buildPairs(sigs, bits, nBands, maxHam)
+      val setDiff = inc.exceptAll(full).union(full.exceptAll(inc)).count()
+      sweep()
+      emit("corpus" -> label, "op" -> "incphash",
+        "n_docs" -> n, "n_delta" -> nd, "bits" -> bits, "n_bands" -> nBands,
+        "band_width" -> (bits / nBands),
+        "build_wall" -> buildWall, "delta_wall" -> deltaWall,
+        "full_wall" -> fullWall, "pairs_inc" -> nInc, "pairs_full" -> nFull,
+        "set_diff" -> setDiff)
+      require(nFull > 0 && nInc > 0,
+        s"VACUOUS incphash measurement (pairs_full=$nFull, pairs_inc=$nInc)")
+      require(setDiff == 0,
+        s"uncapped incremental phash diverged from the full rerun (set_diff=$setDiff)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    }
+  }
+
+  /** Round-16 `incsem` — the d45 family at scale. The gate pins geometry
+    * (8 tables × 4 bits); at ×500 those buckets are quadratic, so the
+    * scale arm runs the geometry a production REBUILD would derive for
+    * this count (bits = bitsFor(n, 8), the d16 AutoBits discipline) and
+    * holds it fixed across the append — exactly the rebuild-then-append
+    * contract d45 documents. Uncapped ⇒ set_diff MUST be 0; non-vacuity
+    * asserted via dropped > 0 (the planted cos ≈ 0.999 twins must lose).
+    */
+  private def incSemMode(s: SparkSession, dir: String, label: String): Unit = {
+    import graft.llm.IncrementalSemantic
+    val all = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm",
+        sqrt(graft.functions.FloatVecDot(col("embedding"), col("embedding"))))
+      .localCheckpoint(true)
+    val n = all.count()
+    val nTables = 8
+    val bitsScaled = graft.llm.LshCalibration.bitsFor(n, targetBucket = 8)
+    val minCos = 0.35
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val corpusE = IncrementalSemantic.withSigs(
+        all.filter(col("vec_id") % 50 =!= 7), nTables, bitsScaled)
+      .localCheckpoint(true)
+    val delta = all.filter(col("vec_id") % 50 === 7).localCheckpoint(true)
+    val nd = delta.count()
+    val idxDir = java.nio.file.Files.createTempDirectory("incsem").toString
+    try {
+      val t0 = System.nanoTime()
+      IncrementalSemantic.writeIndex(corpusE,
+        DedupResolve.resolveClusters(IncrementalSemantic.corpusPairs(corpusE, minCos)),
+        idxDir, nBuckets = 32, nTables = nTables, bits = bitsScaled)
+      val buildWall = (System.nanoTime() - t0) / 1e9
+      sweep()
+      val idx = IncrementalSemantic.readIndex(s, idxDir)
+      val (deltaWall, keptInc) = timed2 {
+        IncrementalSemantic.appendKept(all, idx, delta, minCos).count()
+      }
+      sweep()
+      val (fullWall, keptFull) = timed2 {
+        val allSigs = IncrementalSemantic.withSigs(all, nTables, bitsScaled)
+        DedupResolve.dedupedDocIds(s,
+            all.select(col("vec_id").as("doc_id")),
+            IncrementalSemantic.corpusPairs(allSigs, minCos))
+          .count()
+      }
+      sweep()
+      val inc = IncrementalSemantic.appendKept(all, idx, delta, minCos)
+        .select(col("vec_id").as("doc_id"))
+      val allSigs = IncrementalSemantic.withSigs(all, nTables, bitsScaled)
+      val full = DedupResolve.dedupedDocIds(s,
+        all.select(col("vec_id").as("doc_id")),
+        IncrementalSemantic.corpusPairs(allSigs, minCos))
+      val setDiff = inc.exceptAll(full).union(full.exceptAll(inc)).count()
+      sweep()
+      emit("corpus" -> label, "op" -> "incsem",
+        "n_vecs" -> n, "n_delta" -> nd, "tables" -> nTables, "bits" -> bitsScaled,
+        "build_wall" -> buildWall, "delta_wall" -> deltaWall,
+        "full_wall" -> fullWall, "kept_inc" -> keptInc, "kept_full" -> keptFull,
+        "dropped" -> (n - keptFull), "set_diff" -> setDiff)
+      require(keptFull < n,
+        s"VACUOUS incsem measurement: nothing deduped (kept=$keptFull of $n)")
+      require(setDiff == 0,
+        s"incremental semantic append diverged from the full rerun (set_diff=$setDiff)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    }
+  }
+
+  /** Round-16 `incvec` — the d44 recall curve that derives the
+    * [[Similarity.RebuildAppendRatio]] trigger: a frozen-quantizer index
+    * trained on reps 0-9 takes appends of GROWING distribution-shifted
+    * mass (later reps are orthogonally rotated — adversarial drift), and
+    * each point measures recall@5 against exact brute-force ground truth
+    * for the FROZEN index vs a RETRAINED index over the same vectors,
+    * with queries drawn from the appended (drifted) mass — the vectors a
+    * stale quantizer serves worst. The measured gap-vs-ratio curve is
+    * the rebuild policy's evidence (SCALING.md §3i).
+    */
+  private def incVecMode(s: SparkSession, dir: String, label: String): Unit = {
+    val all = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm",
+        sqrt(graft.functions.FloatVecDot(col("embedding"), col("embedding"))))
+      .localCheckpoint(true)
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val (nCells, nProbe, sampleN) = (64, 4, 2000)
+    val indexed = all.filter(col("vec_id") < 10L * Stride).localCheckpoint(true)
+    val nIdx = indexed.count()
+    val t0 = System.nanoTime()
+    val baseIdx = {
+      val i = Similarity.buildIvfSq8IndexFrom(indexed, nCells, sampleN)
+      Similarity.IvfSq8Index(i.centroids.localCheckpoint(true),
+        i.cells.localCheckpoint(true), i.codes.localCheckpoint(true))
+    }
+    val buildWall = (System.nanoTime() - t0) / 1e9
+    for ((upToRep, name) <- Seq(
+        (12L, "ratio0.2"), (15L, "ratio0.5"), (20L, "ratio1.0"),
+        (30L, "ratio2.0"), (50L, "ratio4.0"))) {
+      val delta = all.filter(col("vec_id") >= 10L * Stride &&
+        col("vec_id") < upToRep * Stride).localCheckpoint(true)
+      val nDelta = delta.count()
+      val cur = indexed.unionByName(delta)
+      // queries: a deterministic sample of the DRIFTED mass
+      val queries = delta.filter(col("vec_id") % 100000 === 3)
+        .orderBy(col("vec_id")).limit(100).localCheckpoint(true)
+      val nQ = queries.count()
+      require(nQ > 0, s"VACUOUS incvec point $name: no query rows sampled")
+      val truth = Similarity.bruteKnnOn(cur,
+          queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("nrm").as("qn")), 5)
+        .localCheckpoint(true)
+      val truthN = truth.count()
+      require(truthN > 0, s"VACUOUS incvec point $name: empty ground truth")
+      val (appendWall, frozenRows) = {
+        val t = System.nanoTime()
+        val idx = Similarity.appendToIvfSq8Index(baseIdx, delta)
+        val served = Similarity.ivfSq8KnnFromIndex(queries, idx, nProbe)
+          .localCheckpoint(true)
+        ((System.nanoTime() - t) / 1e9, served)
+      }
+      val frozenHits = truth.join(frozenRows.select(col("qid"), col("nid")),
+        Seq("qid", "nid"), "left_semi").count()
+      sweep()
+      val (retrainWall, retrainedRows) = {
+        val t = System.nanoTime()
+        val idx = Similarity.buildIvfSq8IndexFrom(cur, nCells, sampleN)
+        val served = Similarity.ivfSq8KnnFromIndex(queries, idx, nProbe)
+          .localCheckpoint(true)
+        ((System.nanoTime() - t) / 1e9, served)
+      }
+      val retrainedHits = truth.join(retrainedRows.select(col("qid"), col("nid")),
+        Seq("qid", "nid"), "left_semi").count()
+      emit("corpus" -> label, "op" -> "incvec", "arm" -> name,
+        "n_indexed" -> nIdx, "n_appended" -> nDelta,
+        "append_ratio" -> (nDelta.toDouble / nIdx),
+        "n_queries" -> nQ, "build_wall" -> buildWall,
+        "append_serve_wall" -> appendWall, "retrain_serve_wall" -> retrainWall,
+        "recall_frozen" -> (frozenHits.toDouble / truthN),
+        "recall_retrained" -> (retrainedHits.toDouble / truthN))
+      sweep()
+    }
+  }
+
+  /** Round-16 `incmulti` — the d46 claim at scale: k = 3 chained appends
+    * through the MAINTAINED index, measuring cost-per-append (must stay
+    * ∝ delta, flat over k — the artifacts grow but the probe stays
+    * bucketed) and the final equivalence certificate (uncapped ⇒
+    * set_diff vs the full rerun MUST be 0, asserted).
+    */
+  private def incMultiMode(s: SparkSession, dir: String, label: String): Unit = {
+    import graft.llm.IncrementalDedup
+    val docs = graft.Tables.documents(s, dir)
+    val n = docs.count()
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val idxDir = java.nio.file.Files.createTempDirectory("incmulti").toString
+    try {
+      val corpus = docs.where(col("doc_id") % 25 < 22)
+      val t0 = System.nanoTime()
+      IncrementalDedup.writeIndex(IncrementalDedup.buildIndex(corpus), idxDir)
+      val buildWall = (System.nanoTime() - t0) / 1e9
+      sweep()
+      var kept = -1L
+      val walls = (22 to 24).map { m =>
+        val allSoFar = docs.where(col("doc_id") % 25 <= m)
+        val delta = docs.where(col("doc_id") % 25 === m)
+        val nd = delta.count()
+        val (w, k) = timed2 {
+          IncrementalDedup.appendToIndex(s, idxDir, allSoFar, delta).count()
+        }
+        sweep()
+        kept = k
+        emit("corpus" -> label, "op" -> "incmulti", "arm" -> s"append${m - 21}",
+          "n_docs_so_far" -> allSoFar.count(), "n_delta" -> nd,
+          "append_wall" -> w, "kept" -> k)
+        w
+      }
+      val (fullWall, keptFull) = timed2 {
+        val pairs = Dedup.lshVerifiedPairsDf(docs)
+          .select(col("a_id"), col("b_id"))
+        DedupResolve.dedupedDocIds(s, docs, pairs).count()
+      }
+      sweep()
+      // final-state equivalence: the maintained index's labels vs the
+      // full rerun over all docs
+      val idx = IncrementalDedup.readIndex(s, idxDir)
+      val incKept = DedupResolve.keptFromLabels(docs.select(col("doc_id")), idx.labels)
+      val pairs = Dedup.lshVerifiedPairsDf(docs).select(col("a_id"), col("b_id"))
+      val fullKept = DedupResolve.dedupedDocIds(s, docs, pairs)
+      val setDiff = incKept.exceptAll(fullKept).union(fullKept.exceptAll(incKept)).count()
+      sweep()
+      emit("corpus" -> label, "op" -> "incmulti", "arm" -> "final",
+        "n_docs" -> n, "build_wall" -> buildWall,
+        "append_walls" -> walls.map(w =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(w))).mkString("[", ",", "]"),
+        "full_wall" -> fullWall, "kept_inc" -> kept, "kept_full" -> keptFull,
+        "set_diff" -> setDiff)
+      require(kept > 0 && kept < n,
+        s"VACUOUS incmulti measurement: kept=$kept of $n")
+      require(setDiff == 0,
+        s"maintained multi-append diverged from the full rerun (set_diff=$setDiff)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    }
+  }
+
+  /** `bpereal:<inc|full>` — the r15 crossover gap: the measured
+    * delta-arm wins were all on synthetic zipf-hex tables; the one REAL
+    * corpus point (×500, 78k words) sat below the crossover. This arm
+    * builds a ≥ 400k-distinct-word REAL-ish table by vocabulary
+    * expansion of the ×500 corpus — every word is suffixed with a
+    * doc_id-derived class tag (6 classes), which multiplies the cipher
+    * vocabulary ×6 while preserving real-text zipf structure and
+    * co-occurrence (each word splits into 6 sub-words whose counts sum
+    * to the original's) — and learns ≥ 1k merges on BOTH arms. Auto-arm
+    * identity: vocab ≥ [[graft.llm.Bpe.DeltaArmWords]] ⇒ learnLoopAuto
+    * picks delta; the totals row records which arm won at this, the
+    * production-shaped, point.
+    */
+  private def bpeRealArm(s: SparkSession, dir: String, label: String, arm: String): Unit = {
+    val nMerges = sys.env.getOrElse("SPARK_GRAFT_REAL_MERGES", "1024").toInt
+    val docs = graft.Tables.documents(s, dir)
+    val expanded = docs.select(col("doc_id"), expr(
+      "array_join(transform(filter(split(text, ' '), w -> w <> ''), " +
+        "w -> concat(w, 'x', cast(doc_id % 6 as string))), ' ')").as("text"))
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val seqs = graft.llm.Bpe.wordSeqs(expanded)
+    val nWords = seqs.count()
+    require(nWords >= 400000L,
+      s"bpereal corpus too small: $nWords distinct words (need >= 400k)")
+    var total = 0.0
+    var rounds = 0
+    def probe(k: Int, hit: Long, w: Double): Unit = {
+      total += w
+      rounds += 1
+      if (k <= 4 || k % 64 == 0)
+        emit("corpus" -> label, "op" -> s"bpe_real_$arm", "round" -> k,
+          "affected_words" -> hit, "wall" -> w)
+    }
+    if (arm == "inc") graft.llm.Bpe.learnDeltaArm(seqs, nMerges, probe)
+    else graft.llm.Bpe.learnFullArm(seqs, nMerges, probe)
+    emit("corpus" -> label, "op" -> s"bpe_real_${arm}_total",
+      "n_words" -> nWords, "merges" -> nMerges, "rounds" -> rounds,
+      "total_wall" -> total,
+      "per_round" -> (if (rounds == 0) -1.0 else total / rounds),
+      "auto_picks_delta" -> (nWords >= graft.llm.Bpe.DeltaArmWords))
+    sweep()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(dir, label, mode) = args.take(3)
     val spark = SparkSession.builder()
@@ -1650,7 +2028,14 @@ object ScaleBench {
       case "cur4" => cur4(spark, dir, label)
       case "incdedup" => incDedupMode(spark, dir, label)
       case "incsig" => incSigMode(spark, dir, label)
+      case "incsig16" => incSig16Mode(spark, dir, label)
+      case "incphash" => incPhashMode(spark, dir, label)
+      case "incsem" => incSemMode(spark, dir, label)
+      case "incvec" => incVecMode(spark, dir, label)
+      case "incmulti" => incMultiMode(spark, dir, label)
       case "inccontam" => incContamMode(spark, dir, label)
+      case br if br.startsWith("bpereal:") =>
+        bpeRealArm(spark, dir, label, br.stripPrefix("bpereal:"))
       case bl if bl.startsWith("bpelearn:") =>
         bpeLearnArm(spark, dir, label, bl.stripPrefix("bpelearn:"))
       case br if br.startsWith("bperegime:") =>

@@ -125,6 +125,27 @@ class BpeSpec extends AnyFunSuite {
     assert(residue(Bpe.mergeList(spark, sf)).isEmpty, "mergeList leaked")
   }
 
+  test("unconsumed retained tables drain on the next learnRetained call (fallback release)") {
+    // r15 ADVICE: a caller that never materializes the retained frame
+    // (watchdog expiry, schema-only inspection) must not pin its
+    // checkpoint block and listener forever — the NEXT learnRetained on
+    // the session drains the abandoned pair, bounding the leak to one
+    val docs = graft.Tables.documents(spark, sf)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val (_, abandoned) = Bpe.learnRetained(spark, docs)
+    abandoned.schema // inspected, never materialized
+    assert((spark.sparkContext.getPersistentRDDs.keySet.toSet -- before).nonEmpty,
+      "the retained checkpoint should be live while unconsumed")
+    val (_, fin2) = Bpe.learnRetained(spark, docs)
+    fin2.collect() // consume the second — its own listener releases it
+    def mine = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (System.nanoTime() < deadline && mine.nonEmpty)
+      Thread.sleep(50)
+    assert(mine.isEmpty,
+      "abandoned retained checkpoint did not drain on the next learnRetained call")
+  }
+
   test("hybrid gate: the delta loop's retained-final-table path equals the full loop's") {
     // DeltaArmWords = 0 forces the AUTO gate onto the delta loop at
     // fixture scale, exercising the pending-merge + retained-checkpoint

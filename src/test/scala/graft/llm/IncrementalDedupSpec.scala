@@ -152,4 +152,116 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val full = DedupResolve.corpusDedupPipeline(spark, sf).as[Long].collect().toSeq
     assert(inc == full, "d39 diverged from the full-corpus rerun")
   }
+
+  // ------------------------------------------------ r16: maintained index
+
+  test("d46 fixture: three chained maintained appends equal the full rerun, artifact state included") {
+    // deltas: {4} (the bridge), {9, 24} and {14, 19} — split so a LATER
+    // append pairs against an EARLIER append's write-back (9's exact twin
+    // 5 is corpus, 24's near-dup 19 arrives in the LAST delta, pairing
+    // against the SECOND delta's appended band rows)
+    val tmp = java.nio.file.Files.createTempDirectory("incmulti").toString
+    try {
+      val corpus = docsDf.where(col("doc_id").isin(0L, 1L, 2L, 3L, 5L))
+      IncrementalDedup.writeIndex(
+        IncrementalDedup.buildIndex(corpus, rowsPerBand = 4), tmp, rowsPerBand = 4)
+      val d1 = docsDf.where(col("doc_id") === 4L)
+      val d2 = docsDf.where(col("doc_id").isin(9L, 24L))
+      val d3 = docsDf.where(col("doc_id").isin(14L, 19L))
+      val all1 = corpus.unionByName(d1)
+      val all2 = all1.unionByName(d2)
+      val all3 = all2.unionByName(d3)
+      IncrementalDedup.appendToIndex(spark, tmp, all1, d1).count()
+      IncrementalDedup.appendToIndex(spark, tmp, all2, d2).count()
+      val kept = IncrementalDedup.appendToIndex(spark, tmp, all3, d3)
+        .as[Long].collect().toSet
+      assert(kept == Set(0L, 5L, 14L, 19L), s"kept after 3 appends: $kept")
+      assert(kept == keptFull, "maintained multi-append diverged from the full rerun")
+      // the maintained artifacts now cover the accumulated corpus: a
+      // FRESH one-shot append over them must also match (the induction
+      // step of the d46 argument, checked on the persisted state itself)
+      val idx = IncrementalDedup.readIndex(spark, tmp)
+      assert(idx.pairs.nonEmpty, "maintained index must persist pair evidence")
+      val sigCount = idx.sigs.count()
+      assert(sigCount == 10L, s"sigs should cover all 10 docs, got $sigCount")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("d47 fixture: deletion splits a bridged cluster and survives exact-star center loss") {
+    val tmp = java.nio.file.Files.createTempDirectory("incdel").toString
+    try {
+      IncrementalDedup.writeIndex(
+        IncrementalDedup.buildIndex(docsDf, rowsPerBand = 4), tmp, rowsPerBand = 4)
+      // delete the bridge E=4: {0,1} and {2,3} must SPLIT back into two
+      // clusters (labels alone cannot do this — the persisted pair
+      // evidence can); also delete exact-rep 5 so its twin 9 survives
+      // as its group's new representative
+      val newLabels = IncrementalDedup.deleteFromIndex(spark, tmp,
+        Seq(4L, 5L).toDF("doc_id"))
+      val remaining = docsDf.where(!col("doc_id").isin(4L, 5L)).select(col("doc_id"))
+      val kept = DedupResolve.keptFromLabels(remaining, newLabels)
+        .as[Long].collect().toSet
+      // full rerun over the survivors
+      val fullPairs = Dedup.lshVerifiedPairsDf(
+          docsDf.where(!col("doc_id").isin(4L, 5L)), rowsPerBand = 4)
+        .select(col("a_id"), col("b_id"))
+      val fullKept = DedupResolve.dedupedDocIds(spark,
+          docsDf.where(!col("doc_id").isin(4L, 5L)), fullPairs)
+        .as[Long].collect().toSet
+      assert(kept == fullKept, s"incremental delete $kept != full rerun $fullKept")
+      assert(kept == Set(0L, 2L, 9L, 14L, 19L), s"kept after delete: $kept")
+      // tombstones reach the loaded artifacts: deleted ids are gone from
+      // every probe surface
+      val idx = IncrementalDedup.readIndex(spark, tmp)
+      assert(idx.hashes.filter(col("doc_id").isin(4L, 5L)).count() == 0)
+      assert(idx.bands.get.filter(col("doc_id").isin(4L, 5L)).count() == 0)
+      assert(idx.sigs.filter(col("doc_id").isin(4L, 5L)).count() == 0)
+      assert(idx.pairs.get.filter(
+        col("a_id").isin(4L, 5L) || col("b_id").isin(4L, 5L)).count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("append after delete: a deleted doc cannot resurrect through the index") {
+    val tmp = java.nio.file.Files.createTempDirectory("incdelapp").toString
+    try {
+      val corpus = docsDf.where(col("doc_id") <= 5L)
+      IncrementalDedup.writeIndex(
+        IncrementalDedup.buildIndex(corpus, rowsPerBand = 4), tmp, rowsPerBand = 4)
+      // take down doc 5, then append its exact twin 9: with 5 tombstoned
+      // the twin must be KEPT (its only duplicate is gone), not dropped
+      // against a ghost hash row
+      IncrementalDedup.deleteFromIndex(spark, tmp, Seq(5L).toDF("doc_id"))
+      val all = corpus.where(col("doc_id") =!= 5L)
+        .unionByName(docsDf.where(col("doc_id") === 9L))
+      val kept = IncrementalDedup.appendToIndex(spark, tmp, all,
+          docsDf.where(col("doc_id") === 9L))
+        .as[Long].collect().toSet
+      assert(kept.contains(9L), s"tombstoned 5 resurrected and dropped its twin: $kept")
+      assert(!kept.contains(5L), "deleted doc must not appear in the kept set")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("touched-cluster broadcast is guarded: above the bound the join degrades to shuffle, same answer") {
+    val touched = Seq(0L, 2L).toDF("cluster")
+    val pSmall = DedupResolve.guardedByCluster(touched)
+      .queryExecution.analyzed.toString
+    assert(pSmall.toLowerCase.contains("broadcast"),
+      s"small side should carry the broadcast hint:\n$pSmall")
+    val pBig = DedupResolve.guardedByCluster(touched, maxBroadcast = 1L)
+      .queryExecution.analyzed.toString
+    assert(!pBig.toLowerCase.contains("broadcast"),
+      s"over-bound side must not broadcast:\n$pBig")
+    // and the guarded fallback still joins correctly
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L)).toDF("id", "cluster")
+    val viaShuffle = labels
+      .join(DedupResolve.guardedByCluster(touched, maxBroadcast = 1L), Seq("cluster"))
+      .count()
+    assert(viaShuffle == 4L)
+  }
 }

@@ -406,4 +406,57 @@ class LlmSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
     }
   }
+
+  test("serve path answers a query vector the index has NEVER seen (r15 ADVICE)") {
+    // the normal serving case is a NEW request vector; the r15 serve path
+    // derived query codes by joining idx.codes on vec_id, silently
+    // returning zero rows for any non-member. Queries now quantize their
+    // own passed embeddings.
+    val idxDir = java.nio.file.Files.createTempDirectory("ivfnew").toString
+    try {
+      Similarity.writeIvfSq8Index(
+        Similarity.buildIvfSq8Index(spark, sf), idxDir)
+      val idx = Similarity.readIvfSq8Index(spark, idxDir)
+      val e = graft.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm",
+          sqrt(graft.functions.FloatVecDot(col("embedding"), col("embedding"))))
+      // a genuinely new vector: an indexed embedding under a FRESH id the
+      // index has no row for
+      val newQ = e.filter(col("vec_id") === 7L)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"), col("nrm"))
+      val served = Similarity.ivfSq8KnnFromIndex(newQ, idx, nProbe = 2)
+        .collect()
+      assert(served.length == 5,
+        s"new query vector must get a full top-5, got ${served.length} rows")
+      // and it ranks EXACTLY like its indexed twin (same embedding ⇒ same
+      // quantized code ⇒ same integer dots): the twin itself tops the
+      // list (self-dot is maximal; the non-identity filter knows only the
+      // aliased id), and the remaining neighbors are the twin's own top-4
+      val servedByRank = served.sortBy(_.getAs[Int]("rnk"))
+      assert(servedByRank.head.getAs[Long]("nid") == 7L,
+        s"the identical indexed vector should rank first: ${servedByRank.toSeq}")
+      val twinTop4 = Similarity.ivfSq8KnnFromIndex(
+          e.filter(col("vec_id") === 7L), idx, nProbe = 2)
+        .filter(col("rnk") <= 4).select(col("nid"))
+        .collect().map(_.getLong(0)).toSet
+      val servedRest = servedByRank.tail.map(_.getAs[Long]("nid")).toSet
+      assert(servedRest == twinTop4,
+        s"new-vector neighbors $servedRest != indexed twin's top-4 $twinTop4")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    }
+  }
+
+  test("AutoRebuild: the trigger fires exactly above the measured append ratio") {
+    // the d44 rebuild decision as computation (SCALING.md §3i): appends
+    // accumulate while appended/indexed <= RebuildAppendRatio; the first
+    // append crossing it schedules a retrain
+    assert(!Similarity.shouldRebuild(1000L, 0L))
+    assert(!Similarity.shouldRebuild(1000L,
+      (Similarity.RebuildAppendRatio * 1000).toLong))
+    assert(Similarity.shouldRebuild(1000L,
+      (Similarity.RebuildAppendRatio * 1000).toLong + 1L))
+    intercept[IllegalArgumentException](Similarity.shouldRebuild(0L, 1L))
+  }
 }
