@@ -748,12 +748,24 @@ object Similarity {
     * frame — the seam the incremental append path (d44) trains its
     * corpus-split index through.
     */
-  private[graft] def buildIvfSq8IndexFrom(e: DataFrame, nCells: Int, sampleN: Int): IvfSq8Index = {
-    val cent = ivfCentroids(e, nCells, sampleN)
+  private[graft] def buildIvfSq8IndexFrom(e: DataFrame, nCells: Int, sampleN: Int): IvfSq8Index =
+    buildIvfSq8IndexWith(e, ivfCentroids(e, nCells, sampleN))
+
+  /** Index build over EXPLICIT centroids — the seam the ScaleBench
+    * `incvec` retrain arm needs: [[ivfCentroids]] seeds and samples by
+    * the LOW vec_ids (a deterministic, oracle-replayable convention), so
+    * "retraining" over corpus ∪ delta would sample only the old corpus
+    * and silently reproduce the frozen quantizer; the measurement trains
+    * centroids on an id-remapped view and assigns the real ids here.
+    */
+  private[graft] def buildIvfSq8IndexWith(e: DataFrame, cent: DataFrame): IvfSq8Index = {
     val cells = ivfRanked(e, cent).filter(col("r") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
     IvfSq8Index(cent, cells, sq8CodesOf(e))
   }
+
+  private[graft] def ivfCentroidsOf(e: DataFrame, nCells: Int, sampleN: Int): DataFrame =
+    ivfCentroids(e, nCells, sampleN)
 
   /** The one SQ8 packed-code formula (normalize → ×127 → round → pack)
     * — shared by index build and the d44 delta append so the two paths

@@ -1693,8 +1693,13 @@ object ScaleBench {
     val width0 = graft.llm.LshCalibration.bitsFor(n, targetBucket = 4, minBits = 4)
     val nBands = math.max(2, bits / width0)
     val maxHam = 5
+    // protect the mode's own base checkpoint: unpersisting it between
+    // stages truncates its lineage and poisons every later stage
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    val protectedIds = s.sparkContext.getPersistentRDDs.keySet
     def sweep(): Unit =
-      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      s.sparkContext.getPersistentRDDs
+        .foreach { case (id, r) => if (!protectedIds(id)) r.unpersist(true) }
     val corpus = sigs.where(col("doc_id") % 50 =!= 7)
     val delta = sigs.where(col("doc_id") % 50 === 7)
     val nd = delta.count()
@@ -1751,13 +1756,22 @@ object ScaleBench {
     val n = all.count()
     val nTables = 8
     val bitsScaled = graft.llm.LshCalibration.bitsFor(n, targetBucket = 8)
-    val minCos = 0.35
-    def sweep(): Unit =
-      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    // near-dup threshold (the planted cos ≈ 0.999 twins' regime): the
+    // arm measures the APPEND SEAM's cost and equivalence; the gate's
+    // 0.35 point over these label-clustered synthetics makes 70% of the
+    // corpus one dense dup-graph and the wall measures resolution of a
+    // by-construction-degenerate graph instead of the seam (x5 probe:
+    // 97 s build, 7290/10200 dropped)
+    val minCos = 0.8
     val corpusE = IncrementalSemantic.withSigs(
         all.filter(col("vec_id") % 50 =!= 7), nTables, bitsScaled)
       .localCheckpoint(true)
     val delta = all.filter(col("vec_id") % 50 === 7).localCheckpoint(true)
+    // protect the base checkpoints (see incPhashMode)
+    val protectedIds = s.sparkContext.getPersistentRDDs.keySet
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs
+        .foreach { case (id, r) => if (!protectedIds(id)) r.unpersist(true) }
     val nd = delta.count()
     val idxDir = java.nio.file.Files.createTempDirectory("incsem").toString
     try {
@@ -1818,10 +1832,13 @@ object ScaleBench {
       .withColumn("nrm",
         sqrt(graft.functions.FloatVecDot(col("embedding"), col("embedding"))))
       .localCheckpoint(true)
-    def sweep(): Unit =
-      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val (nCells, nProbe, sampleN) = (64, 4, 2000)
-    val indexed = all.filter(col("vec_id") < 10L * Stride).localCheckpoint(true)
+    // indexed = the first fifth of the corpus's reps (reps 0-9 at ×500);
+    // append points at 0.2/0.5/1/2/4× the indexed mass, clipped to the
+    // corpus and deduped so the mode also runs on smaller replica counts
+    val maxRep = all.agg(max(col("vec_id"))).first().getLong(0) / Stride
+    val idxReps = math.max(1L, (maxRep + 1) / 5)
+    val indexed = all.filter(col("vec_id") < idxReps * Stride).localCheckpoint(true)
     val nIdx = indexed.count()
     val t0 = System.nanoTime()
     val baseIdx = {
@@ -1830,15 +1847,22 @@ object ScaleBench {
         i.cells.localCheckpoint(true), i.codes.localCheckpoint(true))
     }
     val buildWall = (System.nanoTime() - t0) / 1e9
-    for ((upToRep, name) <- Seq(
-        (12L, "ratio0.2"), (15L, "ratio0.5"), (20L, "ratio1.0"),
-        (30L, "ratio2.0"), (50L, "ratio4.0"))) {
-      val delta = all.filter(col("vec_id") >= 10L * Stride &&
+    // protect the base checkpoints (see incPhashMode)
+    val protectedIds = s.sparkContext.getPersistentRDDs.keySet
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs
+        .foreach { case (id, r) => if (!protectedIds(id)) r.unpersist(true) }
+    val points = Seq(0.2, 0.5, 1.0, 2.0, 4.0)
+      .map(r => math.min(maxRep + 1, idxReps + math.max(1L, math.round(r * idxReps))))
+      .distinct
+    for (upToRep <- points; name = s"upto_rep$upToRep") {
+      val delta = all.filter(col("vec_id") >= idxReps * Stride &&
         col("vec_id") < upToRep * Stride).localCheckpoint(true)
       val nDelta = delta.count()
       val cur = indexed.unionByName(delta)
-      // queries: a deterministic sample of the DRIFTED mass
-      val queries = delta.filter(col("vec_id") % 100000 === 3)
+      // queries: a deterministic sample of the DRIFTED mass (~20 ids per
+      // replica at the sf0.1 base density), capped at 100
+      val queries = delta.filter(col("vec_id") % 100 === 3)
         .orderBy(col("vec_id")).limit(100).localCheckpoint(true)
       val nQ = queries.count()
       require(nQ > 0, s"VACUOUS incvec point $name: no query rows sampled")
@@ -1857,10 +1881,20 @@ object ScaleBench {
       }
       val frozenHits = truth.join(frozenRows.select(col("qid"), col("nid")),
         Seq("qid", "nid"), "left_semi").count()
-      sweep()
+      // no sweep here: truth/queries/delta checkpoints feed the retrained
+      // arm below — sweeping mid-point would truncate their lineage
       val (retrainWall, retrainedRows) = {
         val t = System.nanoTime()
-        val idx = Similarity.buildIvfSq8IndexFrom(cur, nCells, sampleN)
+        // genuine retrain: ivfCentroids seeds/samples by LOW vec_id, and
+        // cur's low ids are all OLD corpus — remap ids with a
+        // deterministic interleave so the training sample spans the
+        // drifted mass, then assign the real ids against those centroids
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(pmod(col("vec_id"), lit(9973L)), col("vec_id"))
+        val remapped = cur.withColumn("vec_id",
+          row_number().over(w).cast("long") - 1)
+        val cent = Similarity.ivfCentroidsOf(remapped, nCells, sampleN)
+        val idx = Similarity.buildIvfSq8IndexWith(cur, cent)
         val served = Similarity.ivfSq8KnnFromIndex(queries, idx, nProbe)
           .localCheckpoint(true)
         ((System.nanoTime() - t) / 1e9, served)
@@ -1946,9 +1980,9 @@ object ScaleBench {
     * corpus point (×500, 78k words) sat below the crossover. This arm
     * builds a ≥ 400k-distinct-word REAL-ish table by vocabulary
     * expansion of the ×500 corpus — every word is suffixed with a
-    * doc_id-derived class tag (6 classes), which multiplies the cipher
-    * vocabulary ×6 while preserving real-text zipf structure and
-    * co-occurrence (each word splits into 6 sub-words whose counts sum
+    * doc_id-derived class tag (24 classes), which multiplies the cipher
+    * vocabulary to ~443k while preserving real-text zipf structure and
+    * co-occurrence (each word splits into up-to-24 sub-words whose counts sum
     * to the original's) — and learns ≥ 1k merges on BOTH arms. Auto-arm
     * identity: vocab ≥ [[graft.llm.Bpe.DeltaArmWords]] ⇒ learnLoopAuto
     * picks delta; the totals row records which arm won at this, the
@@ -1959,7 +1993,7 @@ object ScaleBench {
     val docs = graft.Tables.documents(s, dir)
     val expanded = docs.select(col("doc_id"), expr(
       "array_join(transform(filter(split(text, ' '), w -> w <> ''), " +
-        "w -> concat(w, 'x', cast(doc_id % 6 as string))), ' ')").as("text"))
+        "w -> concat(w, 'x', cast(doc_id % 24 as string))), ' ')").as("text"))
     def sweep(): Unit =
       s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val seqs = graft.llm.Bpe.wordSeqs(expanded)
