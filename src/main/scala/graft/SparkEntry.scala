@@ -264,6 +264,10 @@ object SparkEntry {
     // evidence (labels alone can't split a cluster whose bridge died);
     // oracle = the full rerun over the surviving corpus
     "d47_incremental_delete" -> (graft.llm.IncrementalDedup.deleteDedup _),
+    // d48: deletion from the SIGNATURE index — the pair list is the
+    // artifact (no cluster stage to repair), so takedown = tombstone +
+    // filtered load; oracle = the full rerun over the surviving corpus
+    "d48_signature_delete" -> (graft.llm.IncrementalSig.simhashDelete _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -401,5 +405,6 @@ object SparkEntry {
     "d45_incremental_semantic" -> graft.llm.IncrementalSemantic.semanticAppendSql,
     "d46_multi_append_dedup" -> graft.llm.IncrementalDedup.multiAppendDedupSql,
     "d47_incremental_delete" -> graft.llm.IncrementalDedup.deleteDedupSql,
+    "d48_signature_delete" -> graft.llm.IncrementalSig.simhashDeleteSql,
   )
 }

@@ -254,7 +254,7 @@ object Dedup {
       .select(col("doc_id"), graft.functions.SimHashSig(col("text"), 32).as("simhash"))
       .where(col("simhash") =!= graft.functions.SimHashSig.Empty)
 
-  val simhashSql: String = {
+  private[llm] def simhashSqlWhere(docWhere: String): String = {
     val bits = 32
     val votes = (0 until bits)
       .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
@@ -264,10 +264,12 @@ object Dedup {
       .mkString(" + ")
     s"""WITH toks AS (
        |  SELECT doc_id, ${sqlHash60("t")} AS h FROM (
-       |    SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents)),
+       |    SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents $docWhere)),
        |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
        |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes""".stripMargin
   }
+
+  val simhashSql: String = simhashSqlWhere("")
 
   /** SimHash near-dup pairs: band the 32-bit signature into `bands` equal
     * slices; docs sharing any full band are candidates (pigeonhole: a pair
@@ -317,7 +319,8 @@ object Dedup {
       .distinct()
   }
 
-  def simhashPairsSqlFor(bands: Int, maxHamming: Int, bucketCap: Int = NoBucketCap): String = {
+  def simhashPairsSqlFor(bands: Int, maxHamming: Int, bucketCap: Int = NoBucketCap,
+      docWhere: String = ""): String = {
     val width = 32 / bands
     val mask = (1L << width) - 1
     // the cap replays Dedup.capBuckets exactly (the d21 pattern): count per
@@ -338,7 +341,7 @@ object Dedup {
            |      COUNT(*) OVER (PARTITION BY band, bsig) AS bn
            |    FROM bands_all)
            |  WHERE bn <= $bucketCap)""".stripMargin
-    s"""WITH sh AS ($simhashSql),
+    s"""WITH sh AS (${simhashSqlWhere(docWhere)}),
        |$bandsCte,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,

@@ -230,7 +230,12 @@ object IncrementalDedup {
       if (exists(dir, "deleted")) Some(broadcast(s.read.parquet(s"$dir/deleted")))
       else None
     def minusDel(df: DataFrame, idCol: String): DataFrame = del match {
-      case Some(d) => df.join(d.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+      // re-select the original order: a USING-key anti-join moves the key
+      // column first, which would silently swap (a_id, b_id) in the pair
+      // artifact for positional consumers
+      case Some(d) =>
+        df.join(d.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+          .select(df.columns.map(col).toIndexedSeq: _*)
       case None => df
     }
     val pairs =

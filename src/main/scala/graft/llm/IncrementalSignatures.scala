@@ -103,18 +103,56 @@ object IncrementalSig {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Load the index. Tombstones (see [[deleteDocs]]) are filtered out of
+    * the band table and the pair list with broadcast anti-joins — the
+    * bucketed layout survives, deleted docs can neither pair with future
+    * deltas nor linger in the answer. Tombstone-free indexes load with
+    * plans identical to r15's.
+    */
   def readIndex(s: SparkSession, dir: String): SigIndex = {
     import graft.runtime.IndexStore
     val meta = s.read.parquet(s"$dir/meta").collect()(0)
     val (bits, nBands, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val del: Option[DataFrame] =
+      if (new java.io.File(s"$dir/deleted").exists())
+        Some(broadcast(s.read.parquet(s"$dir/deleted")))
+      else None
+    def minusDel(df: DataFrame, idCol: String): DataFrame = del match {
+      // re-select the original order: a USING-key anti-join moves the key
+      // column first, which would silently swap (a_id, b_id) in the pair
+      // artifact for positional consumers
+      case Some(d) =>
+        df.join(d.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+          .select(df.columns.map(col).toIndexedSeq: _*)
+      case None => df
+    }
     SigIndex(
-      IndexStore.ensureBucketedTable(s, IndexStore.tableFor("graft_sig_bands_", dir),
+      minusDel(IndexStore.ensureBucketedTable(s, IndexStore.tableFor("graft_sig_bands_", dir),
         "doc_id BIGINT, sig BIGINT, band INT, bsig BIGINT",
-        "band, bsig", nb, s"$dir/bands"),
-      s.read.parquet(s"$dir/pairs"), bits, nBands,
+        "band, bsig", nb, s"$dir/bands"), "doc_id"),
+      minusDel(minusDel(s.read.parquet(s"$dir/pairs"), "a_id"), "b_id"),
+      bits, nBands,
       Some(IndexStore.ensureBucketedTable(s, IndexStore.tableFor("graft_sig_bcnt_", dir),
         "band INT, bsig BIGINT, cn BIGINT", "band, bsig", nb, s"$dir/bandcounts")))
   }
+
+  /** Deletion from a signature index (the d47 lifecycle applied to the
+    * bit-signature families): the PAIR LIST is the resolvable artifact —
+    * there is no cluster stage to repair — so takedown is exactly a
+    * tombstone append; [[readIndex]] filters every artifact by it.
+    * Equivalence (uncapped): surviving docs band identically in a rerun
+    * over corpus-minus-deleted, so the rerun's pairs are precisely
+    * yesterday's restricted to surviving endpoints — the filtered load.
+    * Under a finite cap the mirror of the append caveat applies
+    * (buckets falling back under the cap re-admit pairs; SCALING.md
+    * §3h). The persisted per-bucket counts intentionally keep counting
+    * tombstoned rows: the cap guards the PHYSICAL bucket population the
+    * probe join touches, and dead band rows still sit in those buckets
+    * until rebuild-time compaction.
+    */
+  def deleteDocs(s: SparkSession, dir: String, deleteIds: DataFrame): Unit =
+    deleteIds.select(col("doc_id").cast("long").as("doc_id"))
+      .write.mode("append").parquet(s"$dir/deleted")
 
   /** The incremental pass: delta bands probe the bucketed corpus band
     * table (corpus side: scan, no exchange) for corpus–delta pairs,
@@ -188,6 +226,27 @@ object IncrementalSig {
   }
 
   val simhashAppendSql: String = Dedup.simhashPairsSql
+
+  /** d48: DELETION from the signature index — yesterday's index over the
+    * whole corpus at d12's grid point (4 bands, Hamming ≤ 7, uncapped ⇒
+    * the equivalence is exact), then every doc_id ≡ 3 (mod 7) is taken
+    * down; the answer is the tombstone-filtered pair artifact. Oracle:
+    * the full rerun over the surviving corpus.
+    */
+  def simhashDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sigs = docs
+      .select(col("doc_id"), graft.functions.SimHashSig(col("text"), 32).as("sig"))
+      .where(col("sig") =!= lit(graft.functions.SimHashSig.Empty))
+    val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-incsimdel")
+    // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
+    writeIndex(sigs, buildPairs(sigs, 32, 4, 7), idxDir, 32, 4, nBuckets = 8)
+    deleteDocs(s, idxDir, docs.where(col("doc_id") % 7 === 3).select(col("doc_id")))
+    readIndex(s, idxDir).pairs
+  }
+
+  val simhashDeleteSql: String =
+    Dedup.simhashPairsSqlFor(4, 7, docWhere = "WHERE doc_id % 7 <> 3")
 
   /** m08: incremental pHash near-dup pairs over the media corpus
     * (60-bit fingerprint, 6 bands, Hamming ≤ 5 — the pigeonhole-

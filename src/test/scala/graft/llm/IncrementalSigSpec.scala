@@ -84,6 +84,38 @@ class IncrementalSigSpec extends AnyFunSuite {
     }
   }
 
+  test("d48: tombstoned docs leave every artifact, and appends cannot resurrect them") {
+    val docs = graft.Tables.documents(spark, sf)
+    val sigs = simSigs(docs)
+    val tmp = java.nio.file.Files.createTempDirectory("sigdel").toString
+    try {
+      IncrementalSig.writeIndex(sigs, IncrementalSig.buildPairs(sigs, 32, 4, 7),
+        tmp, 32, 4, nBuckets = 8)
+      val del = docs.where(col("doc_id") % 7 === 3).select(col("doc_id"))
+      IncrementalSig.deleteDocs(spark, tmp, del)
+      val idx = IncrementalSig.readIndex(spark, tmp)
+      // deletion == full rerun on survivors (uncapped banding is
+      // per-doc deterministic, so survivor pairs are exactly the
+      // restriction)
+      val survivors = docs.where(col("doc_id") % 7 =!= 3)
+      val full = IncrementalSig.buildPairs(simSigs(survivors), 32, 4, 7)
+        .as[(Long, Long, Int)].collect().toSet
+      val inc = idx.pairs.as[(Long, Long, Int)].collect().toSet
+      assert(inc == full, "tombstone-filtered pairs diverged from the survivor rerun")
+      // the band table no longer serves deleted docs: a later APPEND of
+      // a delta cannot pair against them
+      assert(idx.bands.filter(col("doc_id") % 7 === 3).count() == 0)
+      val appended = IncrementalSig.appendPairs(idx,
+          simSigs(docs.where(col("doc_id") % 7 =!= 3)
+            .limit(0)) // empty delta: append must return exactly the filtered state
+          , 7)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(appended == full, "empty append changed the tombstone-filtered answer")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("d43: incremental decontamination equals the exact full-rerun spans") {
     val docs = graft.Tables.documents(spark, sf)
     val inc = IncrementalContam.appendDecontam(spark, sf)
