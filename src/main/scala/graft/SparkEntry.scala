@@ -268,6 +268,15 @@ object SparkEntry {
     // artifact (no cluster stage to repair), so takedown = tombstone +
     // filtered load; oracle = the full rerun over the surviving corpus
     "d48_signature_delete" -> (graft.llm.IncrementalSig.simhashDelete _),
+    // d49: deletion from the SEMANTIC index — tombstoned buckets +
+    // touched-cluster re-resolution from persisted pair evidence (the
+    // d47 machinery, minus text's exact-hash channel); oracle = the
+    // full rerun over surviving vectors at the pinned geometry
+    "d49_semantic_delete" -> (graft.llm.IncrementalSemantic.semanticDelete _),
+    // d50: MULTI-append through a MAINTAINED signature index — three
+    // chained deltas written back into the band/count/pair artifacts;
+    // oracle = the unchanged full-rerun banded-join SQL
+    "d50_signature_multi_append" -> (graft.llm.IncrementalSig.simhashMultiAppend _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -406,5 +415,7 @@ object SparkEntry {
     "d46_multi_append_dedup" -> graft.llm.IncrementalDedup.multiAppendDedupSql,
     "d47_incremental_delete" -> graft.llm.IncrementalDedup.deleteDedupSql,
     "d48_signature_delete" -> graft.llm.IncrementalSig.simhashDeleteSql,
+    "d49_semantic_delete" -> graft.llm.IncrementalSemantic.semanticDeleteSql,
+    "d50_signature_multi_append" -> graft.llm.IncrementalSig.simhashMultiAppendSql,
   )
 }

@@ -299,21 +299,27 @@ object Bpe {
       pending: Option[(String, String)])
 
   /** The delta arm engages when the word table holds at least this many
-    * distinct words — the MEASURED hybrid gate (SCALE_RESULTS_r15.jsonl):
-    * on the real ×500 word table (78k words) full re-aggregation wins
-    * (0.285 vs 0.376 s/round, `bpelearn` rows); on synthetic zipf
-    * tables the delta arm wins from ~99k words up (2× at 99k, 2.3× at
-    * 290k, 2.5× at 923k/256 merges, `bperegime` rows) — the crossover
-    * is structure-dependent (random-ish text spreads the argmax pair
-    * thin; natural language concentrates it), so 300k is the
-    * CONSERVATIVE choice: above it every measured point favors delta;
-    * below it the real-corpus point favors full, and full there never
-    * regresses a real verify-scale run (see SCALING.md §3g). Both arms
-    * are byte-identical in output (BpeSpec A/B pin), so the gate is a
-    * pure cost decision; the count that decides it is one scan of the
-    * already-checkpointed table.
+    * distinct words — the MEASURED hybrid gate, corrected TWICE by
+    * real-corpus measurement (SCALE_RESULTS_r15/r16.jsonl):
+    *   - synthetic zipf tables: delta wins from ~99k words up (2× at
+    *     99k, 2.3× at 290k, 2.5× at 923k/256 merges, r15 `bperegime`);
+    *   - REAL-structured tables: full re-aggregation wins at 78k words
+    *     (0.285 vs 0.376 s/round, r15 `bpelearn`) AND STILL at 443k
+    *     words / 1024 merges (0.854 vs 0.914 s/round, r16 `bpe_real` on
+    *     the vocabulary-expanded ×500 corpus) — r15's 300k gate, set
+    *     from the synthetic bracketing, was falsified by the first
+    *     real point above it.
+    * The crossover is structure-dependent (random-ish text spreads the
+    * argmax pair's occurrences thin, natural language concentrates
+    * them) and on real corpora sits ABOVE 443k; the gap is narrowing
+    * (32% at 78k/12 merges → 7% at 443k/1024 merges), so 1M is the
+    * conservative reading: below it every measured REAL point favors
+    * full; above it only the synthetic regime is measured, and it
+    * favors delta 2.5×. Both arms are byte-identical in output (BpeSpec
+    * A/B pin), so the gate is a pure cost decision; the count that
+    * decides it is one scan of the already-checkpointed table.
     */
-  val DeltaArmWords: Long = 300000L
+  val DeltaArmWords: Long = 1000000L
 
   /** The merge loop at full pair re-aggregation: one symbol-explode +
     * (a,b) aggregation over the vocab-sized checkpointed table and one

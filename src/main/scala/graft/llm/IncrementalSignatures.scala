@@ -168,16 +168,35 @@ object IncrementalSig {
     * crossings; the uncapped gates stay exact.
     */
   def appendPairs(idx: SigIndex, deltaSigs: DataFrame,
-      maxHamming: Int, bucketCap: Int = Dedup.NoBucketCap): DataFrame = {
+      maxHamming: Int, bucketCap: Int = Dedup.NoBucketCap): DataFrame =
+    idx.pairs.unionByName(deltaPairs(idx, deltaSigs, maxHamming, bucketCap)._2)
+
+  /** The delta-involved pairs of one append (the shared core of the
+    * one-shot [[appendPairs]] and the maintained [[appendToIndex]]):
+    * corpus–delta via the bucketed band probe, delta–delta via the
+    * delta-sized self-join, exact Hamming verify, `a < b` distinct.
+    * Returns (delta band rows — checkpointed, the write-back payload —
+    * and the LAZY new-pair frame).
+    */
+  private def deltaPairs(idx: SigIndex, deltaSigs: DataFrame,
+      maxHamming: Int, bucketCap: Int): (DataFrame, DataFrame) = {
     val db0 = bandsOfSig(deltaSigs, idx.bits, idx.nBands).localCheckpoint(true)
     val (cb, db) =
       if (bucketCap == Dedup.NoBucketCap) (idx.bands, db0)
       else {
         require(bucketCap > 0,
           s"bucketCap must be positive or NoBucketCap, got $bucketCap")
-        val cCnt = idx.bandCounts.getOrElse(
+        val cCnt0 = idx.bandCounts.getOrElse(
           idx.bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn")))
-        val dCnt = db0.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("dn"))
+        val dCnt = db0.groupBy(col("band"), col("bsig"))
+          .agg(count(lit(1)).as("dn"))
+          .localCheckpoint(true)
+        // a MAINTAINED index appends one count row per (append, bucket):
+        // SUM over delta-touched keys only (the d46 pattern)
+        val cCnt = cCnt0
+          .join(dCnt.select(col("band"), col("bsig")).hint("shuffle_hash"),
+            Seq("band", "bsig"))
+          .groupBy(col("band"), col("bsig")).agg(sum(col("cn")).as("cn"))
         val over = dCnt
           .join(cCnt, Seq("band", "bsig"), "left_outer")
           .filter(coalesce(col("cn"), lit(0L)) + col("dn") > bucketCap)
@@ -201,10 +220,41 @@ object IncrementalSig {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         ham.as("hamming"))
-    idx.pairs.unionByName(
+    (db0,
       candCD.unionByName(candDD)
         .filter(col("hamming") <= maxHamming)
         .distinct())
+  }
+
+  /** One MAINTAINED append (the d46 lifecycle for the signature
+    * families): compute the delta-involved pairs, then write the delta's
+    * rows BACK — band rows appended in the same bucket layout, one count
+    * row per (append, bucket) (readers sum over delta-touched keys),
+    * new pairs appended to the pair artifact — so the directory again
+    * holds what a full run over the accumulated corpus would persist.
+    * New pairs are checkpointed BEFORE any table mutation (their plan
+    * lazily probes the very band table being appended). Returns the
+    * artifact's pair state re-read from disk — old ∪ new, tombstone-
+    * filtered, exactly what the next reader sees.
+    */
+  def appendToIndex(s: SparkSession, dir: String, deltaSigs: DataFrame,
+      maxHamming: Int, bucketCap: Int = Dedup.NoBucketCap): DataFrame = {
+    import graft.runtime.IndexStore
+    val idx = readIndex(s, dir)
+    val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(2)
+    val (db0, newPairs0) = deltaPairs(idx, deltaSigs, maxHamming, bucketCap)
+    val newPairs = newPairs0.localCheckpoint(true)
+    db0.write.mode("append").format("parquet")
+      .bucketBy(nb, "band", "bsig")
+      .option("path", s"$dir/bands")
+      .saveAsTable(IndexStore.tableFor("graft_sig_bands_", dir))
+    db0.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
+      .write.mode("append").format("parquet")
+      .bucketBy(nb, "band", "bsig")
+      .option("path", s"$dir/bandcounts")
+      .saveAsTable(IndexStore.tableFor("graft_sig_bcnt_", dir))
+    newPairs.write.mode("append").parquet(s"$dir/pairs")
+    readIndex(s, dir).pairs
   }
 
   /** d42: incremental SimHash near-dup pairs at d12's grid point
@@ -247,6 +297,33 @@ object IncrementalSig {
 
   val simhashDeleteSql: String =
     Dedup.simhashPairsSqlFor(4, 7, docWhere = "WHERE doc_id % 7 <> 3")
+
+  /** d50: MULTI-append through a MAINTAINED signature index — base = the
+    * 25% doc_id split, then three chained 25% deltas, each written back
+    * into the band/count/pair artifacts ([[appendToIndex]]), each
+    * reading its predecessor's state. Oracle: the UNCHANGED full-rerun
+    * banded-join SQL (d42's) — k appends must change the cost model,
+    * never the answer (the induction: banding is per-doc deterministic,
+    * so after append k the artifacts equal a full run's over the
+    * accumulated corpus).
+    */
+  def simhashMultiAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def sigsOf(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), graft.functions.SimHashSig(col("text"), 32).as("sig"))
+      .where(col("sig") =!= lit(graft.functions.SimHashSig.Empty))
+    val base = sigsOf(docs.where(col("doc_id") % 4 === 0))
+    val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-simmulti")
+    // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
+    writeIndex(base, buildPairs(base, 32, 4, 7), idxDir, 32, 4, nBuckets = 8)
+    var pairs: DataFrame = null
+    (1 to 3).foreach { m =>
+      pairs = appendToIndex(s, idxDir, sigsOf(docs.where(col("doc_id") % 4 === m)), 7)
+    }
+    pairs
+  }
+
+  val simhashMultiAppendSql: String = Dedup.simhashPairsSql
 
   /** m08: incremental pHash near-dup pairs over the media corpus
     * (60-bit fingerprint, 6 bands, Hamming ≤ 5 — the pigeonhole-
@@ -323,13 +400,15 @@ object IncrementalSemantic {
   }
 
   final case class SemIndex(buckets: DataFrame, labels: DataFrame,
-      nTables: Int = NTables, bits: Int = Bits)
+      nTables: Int = NTables, bits: Int = Bits,
+      pairs: Option[DataFrame] = None)
 
   private def tableFor(dir: String): String =
     graft.runtime.IndexStore.tableFor("graft_sem_buckets_", dir)
 
   def writeIndex(corpusE: DataFrame, labels: DataFrame, dir: String,
-      nBuckets: Int = 32, nTables: Int = NTables, bits: Int = Bits): Unit = {
+      nBuckets: Int = 32, nTables: Int = NTables, bits: Int = Bits,
+      pairs: Option[DataFrame] = None): Unit = {
     val s = corpusE.sparkSession
     s.sql(s"DROP TABLE IF EXISTS ${tableFor(dir)}")
     bucketsOf(corpusE).write.mode("overwrite").format("parquet")
@@ -337,11 +416,17 @@ object IncrementalSemantic {
       .option("path", s"$dir/buckets")
       .saveAsTable(tableFor(dir))
     labels.write.mode("overwrite").parquet(s"$dir/labels")
+    pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs"))
     s.range(1).selectExpr(s"$nBuckets AS n_buckets",
         s"$nTables AS n_tables", s"$bits AS bits")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Load the index. Tombstones (see [[deleteVectors]]) are filtered out
+    * of the bucket table and the pair evidence with broadcast anti-joins
+    * (the bucketed layout survives); tombstone-free indexes load with
+    * plans identical to r15's.
+    */
   def readIndex(s: SparkSession, dir: String): SemIndex = {
     val meta = s.read.parquet(s"$dir/meta").collect()(0)
     // geometry rode into meta in r16 (the scale arm runs count-calibrated
@@ -350,13 +435,65 @@ object IncrementalSemantic {
     val nb = meta.getInt(0)
     val (nt, bits) =
       if (meta.length >= 3) (meta.getInt(1), meta.getInt(2)) else (NTables, Bits)
+    val del: Option[DataFrame] =
+      if (new java.io.File(s"$dir/deleted").exists())
+        Some(broadcast(s.read.parquet(s"$dir/deleted")))
+      else None
+    def minusDel(df: DataFrame, idCol: String): DataFrame = del match {
+      case Some(d) =>
+        df.join(d.withColumnRenamed("vec_id", idCol), Seq(idCol), "left_anti")
+          .select(df.columns.map(col).toIndexedSeq: _*)
+      case None => df
+    }
+    val pairs =
+      if (!new java.io.File(s"$dir/pairs").exists()) None
+      else Some(minusDel(minusDel(s.read.parquet(s"$dir/pairs"), "a_id"), "b_id"))
     // bucket is INT: SignLshBuckets emits array<int> (≤ 32 bits of
     // bucket id by construction) — a BIGINT declaration here would read
     // the int32 parquet column as null and silently empty every probe
-    SemIndex(graft.runtime.IndexStore.ensureBucketedTable(s, tableFor(dir),
+    SemIndex(minusDel(graft.runtime.IndexStore.ensureBucketedTable(s, tableFor(dir),
         "vec_id BIGINT, table_id INT, bucket INT",
-        "table_id, bucket", nb, s"$dir/buckets"),
-      s.read.parquet(s"$dir/labels"), nt, bits)
+        "table_id, bucket", nb, s"$dir/buckets"), "vec_id"),
+      s.read.parquet(s"$dir/labels"), nt, bits, pairs)
+  }
+
+  /** Incremental DELETION from the semantic index (d49 — the d47
+    * lifecycle for the embedding family, minus the exact-hash channel
+    * text has and embeddings don't): tombstone the vectors, re-resolve
+    * exactly the clusters that lost a member from the PERSISTED pair
+    * evidence restricted to touched clusters minus deleted endpoints
+    * (connectivity splits when a bridge vector dies — labels alone
+    * cannot recover that), keep untouched labels verbatim. Uncapped and
+    * geometry-pinned, so the equivalence to the full rerun over
+    * surviving vectors is exact (per-vector bucketing is deterministic:
+    * the rerun's candidates are yesterday's restricted to survivors).
+    * Returns the updated labels (checkpointed).
+    */
+  def deleteVectors(s: SparkSession, dir: String, deleteIds0: DataFrame): DataFrame = {
+    val del = deleteIds0.select(col("vec_id").cast("long").as("vec_id"))
+      .localCheckpoint(true)
+    val idx = readIndex(s, dir) // yesterday's view (tombstones not yet appended)
+    val pairs = idx.pairs.getOrElse(
+      sys.error(s"semantic index at $dir persists no pair evidence; deletion needs it"))
+    val touched = idx.labels.join(del.select(col("vec_id").as("id")), Seq("id"))
+      .select(col("cluster")).distinct()
+      .localCheckpoint(true)
+    val touchedLabels = idx.labels
+      .join(DedupResolve.guardedByCluster(touched), Seq("cluster"))
+      .select(col("id"), col("cluster"))
+    val survPairs = pairs
+      .join(touchedLabels.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
+      .join(del.withColumnRenamed("vec_id", "a_id"), Seq("a_id"), "left_anti")
+      .join(del.withColumnRenamed("vec_id", "b_id"), Seq("b_id"), "left_anti")
+    val subLabels = DedupResolve.resolveClusters(survPairs.select(col("a_id"), col("b_id")))
+    val untouched = idx.labels
+      .join(DedupResolve.guardedByCluster(touched), Seq("cluster"), "left_anti")
+      .select(col("id"), col("cluster"))
+    val newLabels = untouched.unionByName(subLabels.select(col("id"), col("cluster")))
+      .localCheckpoint(true) // materialize BEFORE overwriting its own input file
+    del.write.mode("append").parquet(s"$dir/deleted")
+    newLabels.write.mode("overwrite").parquet(s"$dir/labels")
+    newLabels
   }
 
   /** The incremental pass: delta buckets probe the bucketed corpus
@@ -407,6 +544,51 @@ object IncrementalSemantic {
     writeIndex(corpusE, DedupResolve.resolveClusters(corpusPairs(corpusE)),
       idxDir, nBuckets = 8)
     appendKept(all, readIndex(s, idxDir), all.filter(col("vec_id") % 5 >= 4))
+  }
+
+  /** d49: DELETION from the semantic index — yesterday's index over the
+    * whole vector corpus at the pinned geometry (pairs persisted beside
+    * the labels: deletion's evidence), then every vec_id ≡ 3 (mod 7) is
+    * taken down. Oracle: the full rerun over surviving vectors at the
+    * same geometry ([[semanticDeleteSql]]), hash-exact.
+    */
+  def semanticDelete(s: SparkSession, dir: String): DataFrame = {
+    val all = withNrm(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      .localCheckpoint(true)
+    val corpusE = withSigs(all).localCheckpoint(true)
+    val pairs = corpusPairs(corpusE).localCheckpoint(true)
+    val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-semdel")
+    // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
+    writeIndex(corpusE, DedupResolve.resolveClusters(pairs), idxDir,
+      nBuckets = 8, pairs = Some(pairs))
+    val newLabels = deleteVectors(s, idxDir,
+      all.where(col("vec_id") % 7 === 3).select(col("vec_id")))
+    DedupResolve.keptFromLabels(
+        all.where(col("vec_id") % 7 =!= 3).select(col("vec_id").as("doc_id")),
+        newLabels)
+      .select(col("doc_id").as("vec_id"))
+  }
+
+  /** The frozen-geometry full rerun over survivors: d45's closure shape
+    * with the takedown predicate threaded through both the pair CTE and
+    * the kept select.
+    */
+  val semanticDeleteSql: String = {
+    val pairsSql = Similarity.signLshPairsSqlFor(8, 4, 0.35,
+      vecWhere = "WHERE vec_id % 7 <> 3")
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT a_id AS a, b_id AS b FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id % 7 <> 3
+       |  AND vec_id NOT IN (SELECT id FROM lbl WHERE id <> cluster)
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** The frozen-geometry full rerun: d16's recursive-closure shape over

@@ -81,6 +81,27 @@ object LshCalibration {
       math.round(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
   }
 
+  /** LSH index REBUILD trigger — the geometry twin of
+    * [[graft.llm.Similarity.shouldRebuild]] (which covers the trained
+    * IVF quantizer): an incremental LSH index holds its bucket width
+    * FIXED across appends (a persisted bucket table at a different
+    * width is unjoinable — IncrementalSemantic's pinned-geometry
+    * contract), while [[bitsFor]] says the width a FRESH build would
+    * choose tracks log₂(corpus). The rebuild is due exactly when those
+    * diverge: the moment appended mass moves the count-derived width
+    * off the indexed one, E[bucket] has drifted ≥ ~2× from target and
+    * the self-join volume per delta grows with it (the measured
+    * quadratic-at-fixed-bits regime, SCALING.md §3b). Pure and
+    * driver-side, like everything in this object — the production
+    * append loop's guard is one integer comparison.
+    */
+  def rebuildNeeded(indexedBits: Int, indexedN: Long, appendedN: Long,
+      targetBucket: Int = 125, minBits: Int = 4): Boolean = {
+    require(indexedBits >= 1, s"indexedBits must be >= 1, got $indexedBits")
+    require(indexedN >= 1 && appendedN >= 0, s"bad counts ($indexedN, $appendedN)")
+    bitsFor(indexedN + appendedN, targetBucket, minBits) != indexedBits
+  }
+
   /** Oversized-bucket cap calibration — SCALING.md §3b's prescription
     * (production pipelines cap at O(10·E[bucket])) as code: `factor`× the
     * expected bucket population, floored at `floor` so tiny corpora don't

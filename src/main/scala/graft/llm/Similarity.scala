@@ -1026,12 +1026,13 @@ object Similarity {
     * [[lshKnnSql]], both join sides unbounded), generated from the SAME
     * (nTables, bits, minCos) arguments as the Spark side.
     */
-  def signLshPairsSqlFor(nTables: Int, bits: Int, minCos: Double): String =
+  def signLshPairsSqlFor(nTables: Int, bits: Int, minCos: Double,
+      vecWhere: String = ""): String =
     s"""SELECT a_id, b_id FROM (
        |  WITH e AS (
        |    SELECT vec_id, embedding::DOUBLE[] AS v,
        |      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |    FROM embeddings),
+       |    FROM embeddings $vecWhere),
        |  planes AS (
        |    SELECT j, i,
        |      (((${Hashing.sqlHash60("j||':'||i")}) % 2000) - 1000)/1000.0 AS w

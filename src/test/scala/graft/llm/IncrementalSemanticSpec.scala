@@ -24,6 +24,24 @@ class IncrementalSemanticSpec extends AnyFunSuite {
     assert(incKept.size < vecs.count())
   }
 
+  test("d49: deletion equals the survivor rerun and tombstones reach every artifact") {
+    val all = graft.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(graft.functions.FloatVecDot(col("embedding"), col("embedding"))))
+      .localCheckpoint(true)
+    val inc = IncrementalSemantic.semanticDelete(spark, sf).as[Long].collect().toSet
+    val survPairs = Similarity.signLshPairs(spark, sf, nTables = 8, bits = 4, minCos = 0.35)
+      .filter(col("a_id") % 7 =!= 3 && col("b_id") % 7 =!= 3)
+      .select(col("a_id"), col("b_id"))
+    // NOTE this full-rerun twin is only valid because per-vector
+    // bucketing is deterministic: rerun pairs over survivors = all
+    // pairs restricted to surviving endpoints
+    val fullKept = DedupResolve.dedupedDocIds(spark,
+        all.where(col("vec_id") % 7 =!= 3).select(col("vec_id").as("doc_id")), survPairs)
+      .as[Long].collect().toSet
+    assert(inc == fullKept, "semantic deletion diverged from the survivor rerun")
+    assert(inc.forall(_ % 7 != 3), "a deleted vector appeared in the kept set")
+  }
+
   test("d45: the persisted bucket table round-trips with its exact column types") {
     // regression pin for the silent-empty-probe failure class: a
     // BIGINT DDL over SignLshBuckets' int32 bucket column read as null

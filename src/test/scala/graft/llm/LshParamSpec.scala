@@ -124,6 +124,24 @@ class LshParamSpec extends AnyFunSuite {
     assert(d17.size >= d13.size)
   }
 
+  test("rebuildNeeded fires exactly when appended mass moves the derived width") {
+    // the geometry rebuild trigger (r16): an index built at
+    // bitsFor(n) needs a rebuild when bitsFor(n + appended) diverges —
+    // i.e. when E[bucket] has drifted ~2x off target
+    val n = 100000L
+    val bits = LshCalibration.bitsFor(n)
+    assert(!LshCalibration.rebuildNeeded(bits, n, 0L))
+    // appends within the same width bracket: no rebuild
+    assert(!LshCalibration.rebuildNeeded(bits, n, (n * 0.3).toLong))
+    // past the bracket boundary (~sqrt(2)x for round()), the derived
+    // width moves and the trigger fires
+    assert(LshCalibration.rebuildNeeded(bits, n, n * 2))
+    // a freshly rebuilt index at the new width is again quiescent
+    val bits2 = LshCalibration.bitsFor(n * 3)
+    assert(!LshCalibration.rebuildNeeded(bits2, n * 3, 0L))
+    intercept[IllegalArgumentException](LshCalibration.rebuildNeeded(0, n, 0L))
+  }
+
   test("capFor implements the 10·E[bucket] cap prescription with a floor") {
     import LshCalibration._
     // the calibrated-band point (E[bucket] = 1) lands on the measured
