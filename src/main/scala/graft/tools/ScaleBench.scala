@@ -1975,6 +1975,66 @@ object ScaleBench {
     }
   }
 
+  /** Round-16 `incdel` — the d47 claim at scale: deleting a 2% doc set
+    * from the maintained index (tombstones + touched-cluster
+    * re-resolution from the persisted pair evidence) must cost ∝ the
+    * delete traffic, not the corpus, and produce EXACTLY the full rerun
+    * over survivors (uncapped ⇒ set_diff = 0, asserted). Non-vacuity:
+    * the deleted set intersects dup clusters by construction (planted
+    * twins land on %50 ids), so the re-resolution does real work.
+    */
+  private def incDelMode(s: SparkSession, dir: String, label: String): Unit = {
+    import graft.llm.IncrementalDedup
+    val docs = graft.Tables.documents(s, dir)
+    val n = docs.count()
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val idxDir = java.nio.file.Files.createTempDirectory("incdel").toString
+    try {
+      val t0 = System.nanoTime()
+      IncrementalDedup.writeIndex(IncrementalDedup.buildIndex(docs), idxDir)
+      val buildWall = (System.nanoTime() - t0) / 1e9
+      sweep()
+      val del = docs.where(col("doc_id") % 50 === 7).select(col("doc_id"))
+      val nDel = del.count()
+      val survivors = docs.where(col("doc_id") % 50 =!= 7).select(col("doc_id"))
+      var kept = -1L
+      val (delWall, _) = timed2 {
+        val newLabels = IncrementalDedup.deleteFromIndex(s, idxDir, del)
+        kept = DedupResolve.keptFromLabels(survivors, newLabels).count()
+        kept
+      }
+      sweep()
+      val (fullWall, keptFull) = timed2 {
+        val pairs = Dedup.lshVerifiedPairsDf(docs.where(col("doc_id") % 50 =!= 7))
+          .select(col("a_id"), col("b_id"))
+        DedupResolve.dedupedDocIds(s,
+          docs.where(col("doc_id") % 50 =!= 7), pairs).count()
+      }
+      sweep()
+      // set_diff over the PERSISTED post-delete state (what the next
+      // reader sees), not the in-flight frame
+      val idx = IncrementalDedup.readIndex(s, idxDir)
+      val incKept = DedupResolve.keptFromLabels(survivors, idx.labels)
+      val pairs = Dedup.lshVerifiedPairsDf(docs.where(col("doc_id") % 50 =!= 7))
+        .select(col("a_id"), col("b_id"))
+      val fullKept = DedupResolve.dedupedDocIds(s,
+        docs.where(col("doc_id") % 50 =!= 7), pairs)
+      val setDiff = incKept.exceptAll(fullKept).union(fullKept.exceptAll(incKept)).count()
+      sweep()
+      emit("corpus" -> label, "op" -> "incdel",
+        "n_docs" -> n, "n_deleted" -> nDel, "build_wall" -> buildWall,
+        "delete_wall" -> delWall, "full_wall" -> fullWall,
+        "kept_inc" -> kept, "kept_full" -> keptFull, "set_diff" -> setDiff)
+      require(kept > 0 && kept < n - nDel,
+        s"VACUOUS incdel measurement: kept=$kept of ${n - nDel} survivors")
+      require(setDiff == 0,
+        s"incremental delete diverged from the survivor rerun (set_diff=$setDiff)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    }
+  }
+
   /** `bpereal:<inc|full>` — the r15 crossover gap: the measured
     * delta-arm wins were all on synthetic zipf-hex tables; the one REAL
     * corpus point (×500, 78k words) sat below the crossover. This arm
@@ -2067,6 +2127,7 @@ object ScaleBench {
       case "incsem" => incSemMode(spark, dir, label)
       case "incvec" => incVecMode(spark, dir, label)
       case "incmulti" => incMultiMode(spark, dir, label)
+      case "incdel" => incDelMode(spark, dir, label)
       case "inccontam" => incContamMode(spark, dir, label)
       case br if br.startsWith("bpereal:") =>
         bpeRealArm(spark, dir, label, br.stripPrefix("bpereal:"))
