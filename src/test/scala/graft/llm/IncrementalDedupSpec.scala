@@ -147,6 +147,43 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("the bucketed probe plan SURVIVES maintained appends (still one exchange)") {
+    // the delta-proportionality claim must hold for the MAINTAINED
+    // index too: bucketed-table appends add files per bucket, and if
+    // Spark stopped honoring the bucket spec after an append, every
+    // later delta pass would silently re-shuffle the corpus side —
+    // answers identical, scaling claim gone
+    val tmp = java.nio.file.Files.createTempDirectory("incmultiplan").toString
+    try {
+      val corpus = docsDf.where(col("doc_id").isin(0L, 1L, 2L, 3L, 5L))
+      IncrementalDedup.writeIndex(
+        IncrementalDedup.buildIndex(corpus, rowsPerBand = 4), tmp, rowsPerBand = 4)
+      val all1 = corpus.unionByName(docsDf.where(col("doc_id") === 4L))
+      IncrementalDedup.appendToIndex(spark, tmp, all1,
+        docsDf.where(col("doc_id") === 4L)).count()
+      val all2 = all1.unionByName(docsDf.where(col("doc_id").isin(9L, 24L)))
+      IncrementalDedup.appendToIndex(spark, tmp, all2,
+        docsDf.where(col("doc_id").isin(9L, 24L))).count()
+      val loaded = IncrementalDedup.readIndex(spark, tmp)
+      val deltaBands = Dedup.bandsOf(
+        docsDf.where(col("doc_id").isin(14L, 19L)).select(col("doc_id"),
+          graft.functions.MinHashSig(col("text"), 5, 32).as("sig")), 32, 4)
+      val j = loaded.bands.get.alias("a")
+        .join(deltaBands.hint("shuffle_hash").alias("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+      val p = j.queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("ReusedExchange"))
+      assert(exchanges == 1,
+        s"post-append probe should still have ONE exchange (the delta side), plan:\n$p")
+      assert(p.contains("Bucketed: true"),
+        s"post-append corpus band scan is not a bucketed read, plan:\n$p")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("d39 on the shipped corpus: incremental equals the full d14 pipeline") {
     val inc = IncrementalDedup.appendDedup(spark, sf).as[Long].collect().toSeq
     val full = DedupResolve.corpusDedupPipeline(spark, sf).as[Long].collect().toSeq

@@ -30,13 +30,15 @@ $JAVA graft.tools.ScaleBench scale/x500 x500 incvec > /tmp/r16_incvec.log 2>&1
 echo "incvec done $(date +%T)"
 $JAVA graft.tools.ScaleBench scale/x500 x500 incmulti > /tmp/r16_incmulti.log 2>&1
 echo "incmulti done $(date +%T)"
+$JAVA graft.tools.ScaleBench scale/x500 x500 incdel > /tmp/r16_incdel.log 2>&1
+echo "incdel done $(date +%T)"
 $JAVA graft.tools.ScaleBench scale/x500 x500 bpereal:inc > /tmp/r16_bpereal_inc.log 2>&1
 echo "bpereal:inc done $(date +%T)"
 $JAVA graft.tools.ScaleBench scale/x500 x500 bpereal:full > /tmp/r16_bpereal_full.log 2>&1
 echo "bpereal:full done $(date +%T)"
 
 grep -h '\[scale\]' /tmp/r16_incsig.log /tmp/r16_incphash.log \
-  /tmp/r16_incsem.log /tmp/r16_incvec.log /tmp/r16_incmulti.log \
+  /tmp/r16_incsem.log /tmp/r16_incvec.log /tmp/r16_incmulti.log /tmp/r16_incdel.log \
   /tmp/r16_bpereal_inc.log /tmp/r16_bpereal_full.log 2>/dev/null \
   | sed 's/^\[scale\] //' >> SCALE_RESULTS_r16.jsonl || true
 awk '!seen[$0]++' SCALE_RESULTS_r16.jsonl > SCALE_RESULTS_r16.jsonl.tmp \
