@@ -518,6 +518,36 @@ object IncrementalDedup {
     newLabels
   }
 
+  /** Rebuild-time COMPACTION — the scheduled physical half of deletion
+    * (tombstones make takedowns O(delete traffic); compaction makes the
+    * artifacts small again): rewrite every artifact minus its
+    * tombstoned rows and drop the tombstone list. Answer-invariant by
+    * construction — [[readIndex]] already served the filtered view; the
+    * rewrite only changes what is on disk — so there is no oracle gate,
+    * just the spec pinning read-before ≡ read-after. Bands and counts
+    * are RE-DERIVED from the compacted sigs (the same [[writeIndex]]
+    * path a fresh build uses), which also collapses the maintained
+    * index's per-append count rows back to one row per bucket. Cost is
+    * a full artifact rewrite — corpus-proportional, which is WHY it is
+    * a scheduled rebuild-time decision and not part of the delete path
+    * (the same scheduling as centroid retrain / re-banding). All
+    * filtered views are materialized BEFORE the overwrite (they read
+    * the very files being replaced).
+    */
+  def compactIndex(s: SparkSession, dir: String): Unit = {
+    if (!exists(dir, "deleted")) return
+    val meta = s.read.parquet(s"$dir/meta").collect()(0)
+    val (k, rpb, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val idx = readIndex(s, dir)
+    val compacted = CorpusIndex(
+      idx.hashes.localCheckpoint(true),
+      idx.sigs.localCheckpoint(true),
+      idx.labels.localCheckpoint(true),
+      pairs = idx.pairs.map(_.localCheckpoint(true)))
+    writeIndex(compacted, dir, k, rpb, nb)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/deleted"))
+  }
+
   /** d39: the oracle-gated composition — corpus = the 80% doc_id split
     * ("yesterday"), delta = the 20% ("today's batch"); build the corpus
     * artifacts, WRITE them as the real bucketed parquet index, read the

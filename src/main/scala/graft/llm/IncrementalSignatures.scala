@@ -154,6 +154,35 @@ object IncrementalSig {
     deleteIds.select(col("doc_id").cast("long").as("doc_id"))
       .write.mode("append").parquet(s"$dir/deleted")
 
+  /** Rebuild-time compaction (see [[IncrementalDedup.compactIndex]]):
+    * rewrite the band table and pair list minus tombstoned rows,
+    * recount buckets (collapsing the maintained index's per-append
+    * count rows), drop the tombstone list. Answer-invariant — the spec
+    * pins read-before ≡ read-after.
+    */
+  def compactIndex(s: SparkSession, dir: String): Unit = {
+    import graft.runtime.IndexStore
+    if (!new java.io.File(s"$dir/deleted").exists()) return
+    val meta = s.read.parquet(s"$dir/meta").collect()(0)
+    val nb = meta.getInt(2)
+    val idx = readIndex(s, dir) // tombstone-filtered views
+    val bands = idx.bands.localCheckpoint(true)
+    val pairs = idx.pairs.localCheckpoint(true)
+    s.sql(s"DROP TABLE IF EXISTS ${IndexStore.tableFor("graft_sig_bands_", dir)}")
+    bands.write.mode("overwrite").format("parquet")
+      .bucketBy(nb, "band", "bsig")
+      .option("path", s"$dir/bands")
+      .saveAsTable(IndexStore.tableFor("graft_sig_bands_", dir))
+    s.sql(s"DROP TABLE IF EXISTS ${IndexStore.tableFor("graft_sig_bcnt_", dir)}")
+    bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nb, "band", "bsig")
+      .option("path", s"$dir/bandcounts")
+      .saveAsTable(IndexStore.tableFor("graft_sig_bcnt_", dir))
+    pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/deleted"))
+  }
+
   /** The incremental pass: delta bands probe the bucketed corpus band
     * table (corpus side: scan, no exchange) for corpus–delta pairs,
     * plus a delta-sized self-join for delta–delta pairs; exact Hamming
@@ -526,6 +555,27 @@ object IncrementalSemantic {
     DedupResolve.incrementalKept(
         allE.select(col("vec_id").as("doc_id")), idx.labels, verified)
       .select(col("doc_id").as("vec_id"))
+  }
+
+  /** Rebuild-time compaction (see [[IncrementalDedup.compactIndex]]):
+    * rewrite the bucket table and pair evidence minus tombstoned rows,
+    * drop the tombstone list. Labels were already rewritten at delete
+    * time. Answer-invariant.
+    */
+  def compactIndex(s: SparkSession, dir: String): Unit = {
+    if (!new java.io.File(s"$dir/deleted").exists()) return
+    val meta = s.read.parquet(s"$dir/meta").collect()(0)
+    val nb = meta.getInt(0)
+    val idx = readIndex(s, dir)
+    val buckets = idx.buckets.localCheckpoint(true)
+    val pairs = idx.pairs.map(_.localCheckpoint(true))
+    s.sql(s"DROP TABLE IF EXISTS ${tableFor(dir)}")
+    buckets.write.mode("overwrite").format("parquet")
+      .bucketBy(nb, "table_id", "bucket")
+      .option("path", s"$dir/buckets")
+      .saveAsTable(tableFor(dir))
+    pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/deleted"))
   }
 
   /** d45: the oracle-gated composition — corpus = the 80% vec_id split,

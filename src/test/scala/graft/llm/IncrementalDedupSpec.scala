@@ -284,6 +284,38 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction: physically removes tombstoned rows, preserves the answer, collapses count rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("inccompact").toString
+    try {
+      IncrementalDedup.writeIndex(
+        IncrementalDedup.buildIndex(docsDf, rowsPerBand = 4), tmp, rowsPerBand = 4)
+      IncrementalDedup.deleteFromIndex(spark, tmp, Seq(4L, 5L).toDF("doc_id"))
+      val before = DedupResolve.keptFromLabels(
+          docsDf.where(!col("doc_id").isin(4L, 5L)).select(col("doc_id")),
+          IncrementalDedup.readIndex(spark, tmp).labels)
+        .as[Long].collect().toSet
+      IncrementalDedup.compactIndex(spark, tmp)
+      assert(!new java.io.File(s"$tmp/deleted").exists(), "tombstones should be gone")
+      val idx = IncrementalDedup.readIndex(spark, tmp)
+      // the deleted rows are physically absent, not filter-hidden
+      assert(idx.hashes.count() == 8L, "hashes should hold exactly the 8 survivors")
+      assert(idx.sigs.count() == 8L)
+      assert(idx.pairs.get.filter(
+        col("a_id").isin(4L, 5L) || col("b_id").isin(4L, 5L)).count() == 0)
+      // counts collapse back to one row per bucket key
+      val dupKeys = idx.bandCounts.get
+        .groupBy(col("band"), col("bsig")).count().filter(col("count") > 1).count()
+      assert(dupKeys == 0, "compaction should collapse per-append count rows")
+      // and the answer is untouched
+      val after = DedupResolve.keptFromLabels(
+          docsDf.where(!col("doc_id").isin(4L, 5L)).select(col("doc_id")), idx.labels)
+        .as[Long].collect().toSet
+      assert(after == before, "compaction changed the kept set")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("touched-cluster broadcast is guarded: above the bound the join degrades to shuffle, same answer") {
     val touched = Seq(0L, 2L).toDF("cluster")
     val pSmall = DedupResolve.guardedByCluster(touched)

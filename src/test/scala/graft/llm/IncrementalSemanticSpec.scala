@@ -42,6 +42,37 @@ class IncrementalSemanticSpec extends AnyFunSuite {
     assert(inc.forall(_ % 7 != 3), "a deleted vector appeared in the kept set")
   }
 
+  test("d49 compaction: tombstones physically removed, kept set unchanged") {
+    val all = graft.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(graft.functions.FloatVecDot(col("embedding"), col("embedding"))))
+      .localCheckpoint(true)
+    val corpusE = all
+      .withColumn("sigs", graft.functions.SignLshBuckets(col("embedding"), 8, 4))
+      .localCheckpoint(true)
+    val pairs = IncrementalSemantic.corpusPairs(corpusE).localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("semcompact").toString
+    try {
+      IncrementalSemantic.writeIndex(corpusE, DedupResolve.resolveClusters(pairs),
+        tmp, nBuckets = 8, pairs = Some(pairs))
+      val newLabels = IncrementalSemantic.deleteVectors(spark, tmp,
+        all.where(col("vec_id") % 7 === 3).select(col("vec_id")))
+      val before = DedupResolve.keptFromLabels(
+          all.where(col("vec_id") % 7 =!= 3).select(col("vec_id").as("doc_id")), newLabels)
+        .as[Long].collect().toSet
+      IncrementalSemantic.compactIndex(spark, tmp)
+      assert(!new java.io.File(s"$tmp/deleted").exists())
+      val idx = IncrementalSemantic.readIndex(spark, tmp)
+      assert(idx.buckets.filter(col("vec_id") % 7 === 3).count() == 0,
+        "compaction left tombstoned bucket rows on disk")
+      val after = DedupResolve.keptFromLabels(
+          all.where(col("vec_id") % 7 =!= 3).select(col("vec_id").as("doc_id")), idx.labels)
+        .as[Long].collect().toSet
+      assert(after == before, "compaction changed the kept set")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("d45: the persisted bucket table round-trips with its exact column types") {
     // regression pin for the silent-empty-probe failure class: a
     // BIGINT DDL over SignLshBuckets' int32 bucket column read as null

@@ -111,6 +111,14 @@ class IncrementalSigSpec extends AnyFunSuite {
           , 7)
         .as[(Long, Long, Int)].collect().toSet
       assert(appended == full, "empty append changed the tombstone-filtered answer")
+      // compaction: same answer, tombstones physically gone
+      IncrementalSig.compactIndex(spark, tmp)
+      assert(!new java.io.File(s"$tmp/deleted").exists())
+      val idx2 = IncrementalSig.readIndex(spark, tmp)
+      assert(idx2.pairs.as[(Long, Long, Int)].collect().toSet == full,
+        "compaction changed the pair answer")
+      assert(idx2.bands.filter(col("doc_id") % 7 === 3).count() == 0,
+        "compaction left tombstoned band rows on disk")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
