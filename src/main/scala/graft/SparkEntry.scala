@@ -277,6 +277,11 @@ object SparkEntry {
     // chained deltas written back into the band/count/pair artifacts;
     // oracle = the unchanged full-rerun banded-join SQL
     "d50_signature_multi_append" -> (graft.llm.IncrementalSig.simhashMultiAppend _),
+    // d51: CAPPED maintained appends with a persisted cap ledger — the
+    // capped posture's rerun-reproducible definition (r16 VERDICT #2):
+    // three chained capped appends; oracle = the epoch-capped full
+    // rerun (suppression re-derived from running bucket populations)
+    "d51_capped_ledger_append" -> (graft.llm.IncrementalSig.cappedMultiAppend _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -417,5 +422,6 @@ object SparkEntry {
     "d48_signature_delete" -> graft.llm.IncrementalSig.simhashDeleteSql,
     "d49_semantic_delete" -> graft.llm.IncrementalSemantic.semanticDeleteSql,
     "d50_signature_multi_append" -> graft.llm.IncrementalSig.simhashMultiAppendSql,
+    "d51_capped_ledger_append" -> graft.llm.IncrementalSig.cappedMultiAppendSql,
   )
 }

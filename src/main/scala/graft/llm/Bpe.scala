@@ -235,19 +235,58 @@ object Bpe {
     * never materializes the retained frame (watchdog expiry, schema-only
     * inspection) would otherwise leak both the checkpoint block and a
     * session-wide listener that scans every later query's analyzed plan.
-    * The next [[learnRetained]] call on the same session drains the
-    * previous entry — at most ONE unconsumed (listener, block) pair can
-    * exist per session, bounding the leak to a constant.
+    * The next [[learnRetained]] call on the same session drains a
+    * previous entry ONLY when it is provably abandoned (weak-ref gate;
+    * see [[drainPendingRetained]]) and refuses loudly otherwise — at
+    * most ONE outstanding (listener, block) pair can exist per session,
+    * enforced instead of assumed (r16 ADVICE).
     */
   private val pendingRetained =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      (org.apache.spark.sql.util.QueryExecutionListener, org.apache.spark.rdd.RDD[_])]()
+      (org.apache.spark.sql.util.QueryExecutionListener, org.apache.spark.rdd.RDD[_],
+        java.lang.ref.WeakReference[DataFrame])]()
 
+  /** Drain the previous retained entry ONLY when it is provably safe
+    * (r16 ADVICE): the old unconditional unpersist truncated a LIVE
+    * caller's checkpoint lineage — if that caller materialized its
+    * frame afterwards, its action failed hard (missing checkpoint
+    * block) instead of the prior benign leak. The ladder:
+    *   1. wait briefly for an in-flight consume event (the SQL listener
+    *      bus is async — the common Verify/Bench case is a consumed
+    *      frame whose event hasn't dispatched yet);
+    *   2. weak-ref gate: if no strong reference to the retained
+    *      DataFrame survives (the abandoned-caller case — watchdog
+    *      expiry, schema-only inspection), nobody can materialize it,
+    *      so the drain is safe;
+    *   3. otherwise the frame is still REACHABLE and unconsumed —
+    *      refuse loudly. One retained frame per session is the
+    *      contract; enforcing it beats silently breaking the first
+    *      caller.
+    */
   private[llm] def drainPendingRetained(s: SparkSession): Unit = {
-    val prev = pendingRetained.remove(s)
-    if (prev != null) {
-      try s.listenerManager.unregister(prev._1) catch { case _: Exception => () }
-      prev._2.unpersist(false)
+    if (!pendingRetained.containsKey(s)) return
+    // 1. in-flight consume event
+    val deadline = System.nanoTime() + 2000L * 1000 * 1000
+    while (pendingRetained.containsKey(s) && System.nanoTime() < deadline &&
+        { Thread.sleep(25); pendingRetained.containsKey(s) }) ()
+    val prev = pendingRetained.get(s)
+    if (prev == null) return
+    // 2. abandoned? (weak ref cleared once the caller dropped the frame)
+    var tries = 0
+    while (prev._3.get() != null && tries < 8) { System.gc(); Thread.sleep(50); tries += 1 }
+    if (prev._3.get() == null) {
+      if (pendingRetained.remove(s, prev)) {
+        try s.listenerManager.unregister(prev._1) catch { case _: Exception => () }
+        prev._2.unpersist(false)
+      }
+    } else {
+      // 3. live and unconsumed — a second learnRetained here would have
+      // to choose between leaking and corrupting the first caller
+      throw new IllegalStateException(
+        "learnRetained: the previous retained segmentation table on this session " +
+          "is still reachable and has not been consumed — materialize it (or drop " +
+          "all references to it) before calling learnRetained again; retained " +
+          "tables are single-outstanding per session")
     }
   }
 
@@ -266,7 +305,8 @@ object Bpe {
               if (hit) {
                 l.rdd.unpersist(false)
                 lm.unregister(this)
-                pendingRetained.remove(s, (this, l.rdd))
+                val cur = pendingRetained.get(s)
+                if (cur != null && (cur._1 eq this)) pendingRetained.remove(s, cur)
               }
             }
             override def onSuccess(funcName: String,
@@ -277,7 +317,8 @@ object Bpe {
               maybe(qe)
           }
         lm.register(listener)
-        pendingRetained.put(s, (listener, l.rdd))
+        pendingRetained.put(s,
+          (listener, l.rdd, new java.lang.ref.WeakReference(cp)))
       case other =>
         // no checkpoint to manage — nothing retained, nothing leaks
         org.apache.logging.log4j.LogManager.getLogger(Bpe.getClass).warn(

@@ -113,10 +113,15 @@ object DedupResolve {
     * side above it (completes instead of OOMing).
     */
   private[llm] def guardedByCluster(touched: DataFrame,
-      maxBroadcast: Long = MaxBroadcastClusters): DataFrame =
-    if (touched.limit((maxBroadcast + 1).toInt).count() <= maxBroadcast)
+      maxBroadcast: Long = MaxBroadcastClusters): DataFrame = {
+    // clamp: a bound ≥ Int.MaxValue would overflow to a NEGATIVE limit
+    // (r16 ADVICE) — and any bound that large is already "never
+    // broadcast", which the clamped probe still decides correctly
+    val probeLimit = math.min(maxBroadcast + 1, Int.MaxValue.toLong).toInt
+    if (touched.limit(probeLimit).count() <= maxBroadcast)
       broadcast(touched)
     else touched.hint("shuffle_hash")
+  }
 
   /** TOUCHED-subgraph incremental resolution — the delta-proportional
     * stage every corpus-append dedup family shares (d39/d45/d46): given

@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.runtime.IndexStore
+import graft.runtime.{IndexManifest, IndexStatePublisher, IndexStore}
 
 /** Incremental corpus-append deduplication (d39) — the operator a daily
   * ingest pipeline runs most often: dedup a DELTA batch against the
@@ -50,12 +50,22 @@ import graft.runtime.IndexStore
   *     have the same transitive closure over corpus nodes), which is
   *     the identity that lets the incremental pass skip every
   *     corpus-internal pair;
-  *   - `deleted` — (doc_id,), plain parquet, append-only tombstones:
-  *     [[readIndex]] anti-joins them out of every artifact (a broadcast
-  *     filter — the bucketed layout survives), so deleted documents can
-  *     neither pair with future deltas nor resurrect through an
-  *     exact-hash star. Physical removal is a REBUILD-time compaction,
-  *     the same scheduled decision as re-banding.
+  *   - `deleted` — (doc_id,), plain parquet tombstones, the FULL
+  *     surviving list rewritten per generation: [[readIndex]] anti-joins
+  *     them out of every artifact (a broadcast filter — the bucketed
+  *     layout survives), so deleted documents can neither pair with
+  *     future deltas nor resurrect through an exact-hash star. Physical
+  *     removal is a REBUILD-time compaction, the same scheduled
+  *     decision as re-banding.
+  *
+  * PUBLICATION (round 17, r16 VERDICT #1/#7): all of the above is
+  * versioned through [[graft.runtime.IndexStatePublisher]] — rewritten
+  * artifacts in generation directories, appended ones in epoch
+  * directories, one immutable manifest file per generation, publication
+  * by atomic compare-and-swap, mutations under a writer lock. A reader
+  * resolves the manifest once and then touches only immutable
+  * directories: concurrent appends/deletes/compactions can never tear
+  * its view, and two writers can never interleave.
   *
   * The incremental pass ([[appendKept]]) touches, per stage:
   *   1. exact: the delta's DISTINCT content hashes probe the bucketed
@@ -174,61 +184,88 @@ object IncrementalDedup {
     CorpusIndex(hashes, sigs, DedupResolve.resolveClusters(pairs), pairs = Some(pairs))
   }
 
-  private def hashTable(dir: String) = IndexStore.tableFor("graft_inc_hash_", dir)
-  private def bandTable(dir: String) = IndexStore.tableFor("graft_inc_bands_", dir)
-  private def bcntTable(dir: String) = IndexStore.tableFor("graft_inc_bcnt_", dir)
+  private def hashTable(loc: String) = IndexStore.tableFor("graft_inc_hash_", loc)
+  private def bandTable(loc: String) = IndexStore.tableFor("graft_inc_bands_", loc)
+  private def bcntTable(loc: String) = IndexStore.tableFor("graft_inc_bcnt_", loc)
 
   /** Write the artifacts (the real persistence surface the ScaleBench
-    * `incdedup` mode and the d39/d46/d47 gates measure through). The
-    * probe-side tables are written BUCKETED on their probe keys — the
-    * write-once cost that buys every later delta pass its shuffle-free
-    * corpus side; `meta` records the band geometry so a reader can
-    * neither mis-band nor mis-bucket.
+    * `incdedup` mode and the d39/d46/d47 gates measure through) and
+    * PUBLISH them as manifest generation 0 ([[IndexStatePublisher]] —
+    * r16 VERDICT #1: readers resolve the manifest and then touch only
+    * immutable directories, so no concurrent mutation can tear a read).
+    * The probe-side tables are written BUCKETED on their probe keys —
+    * the write-once cost that buys every later delta pass its
+    * shuffle-free corpus side; `meta` records the band geometry so a
+    * reader can neither mis-band nor mis-bucket. Rewritten-per-mutation
+    * artifacts (`labels`, tombstones) live in generation directories;
+    * appended artifacts (`sigs`, `pairs`) in epoch directories.
     */
   def writeIndex(idx: CorpusIndex, dir: String,
       k: Int = 32, rowsPerBand: Int = 8, nBuckets: Int = 32): Unit = {
     val s = idx.sigs.sparkSession
-    s.sql(s"DROP TABLE IF EXISTS ${hashTable(dir)}")
-    idx.hashes.write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, "content_hash")
-      .option("path", s"$dir/hashes")
-      .saveAsTable(hashTable(dir))
-    idx.sigs.write.mode("overwrite").parquet(s"$dir/sigs")
-    idx.labels.write.mode("overwrite").parquet(s"$dir/labels")
-    idx.pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs"))
-    val bands = Dedup.bandsOf(idx.sigs, k, rowsPerBand)
-    s.sql(s"DROP TABLE IF EXISTS ${bandTable(dir)}")
-    bands.write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, "band", "bsig")
-      .option("path", s"$dir/bands")
-      .saveAsTable(bandTable(dir))
-    s.sql(s"DROP TABLE IF EXISTS ${bcntTable(dir)}")
-    bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, "band", "bsig")
-      .option("path", s"$dir/bandcounts")
-      .saveAsTable(bcntTable(dir))
+    writeBucketedArtifacts(s, dir, idx.hashes, Dedup.bandsOf(idx.sigs, k, rowsPerBand),
+      "hashes", "bands", "bandcounts", nBuckets)
+    idx.sigs.write.mode("overwrite").parquet(s"$dir/sigs/epoch-0")
+    idx.labels.write.mode("overwrite").parquet(s"$dir/labels/gen-0")
+    idx.pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs/epoch-0"))
     s.range(1).selectExpr(s"$k AS k", s"$rowsPerBand AS rows_per_band",
         s"$nBuckets AS n_buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    val entries = Map(
+      "hashes" -> "hashes", "bands" -> "bands", "bandcounts" -> "bandcounts",
+      "sigs" -> "sigs", "labels" -> "labels/gen-0") ++
+      (if (idx.pairs.nonEmpty) Map("pairs" -> "pairs") else Map.empty)
+    val epochs = Map("sigs" -> 0) ++
+      (if (idx.pairs.nonEmpty) Map("pairs" -> 0) else Map.empty)
+    IndexStatePublisher.publish(dir, IndexManifest(0L, entries, epochs))
   }
 
-  private def exists(dir: String, part: String): Boolean =
-    new java.io.File(s"$dir/$part").exists()
-
-  /** Load the index. Tombstoned documents (see class doc) are filtered
-    * out of every artifact with a broadcast anti-join — the tombstone
-    * list is delete-traffic-sized by contract, and the broadcast filter
-    * preserves the bucketed corpus-side layout (no exchange appears
-    * above the bucketed scans). Indexes that never saw a deletion load
-    * with byte-identical plans to r15's (the plan-pin spec's case).
+  /** The three bucketed probe tables, written fresh at `relHashes` /
+    * `relBands` / `relCounts` — shared by the initial build and the
+    * compaction rewrite (which targets fresh generation-suffixed names
+    * so in-flight readers keep their files).
     */
-  def readIndex(s: SparkSession, dir: String): CorpusIndex = {
+  private def writeBucketedArtifacts(s: SparkSession, dir: String,
+      hashes: DataFrame, bands: DataFrame,
+      relHashes: String, relBands: String, relCounts: String,
+      nBuckets: Int): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS ${hashTable(s"$dir/$relHashes")}")
+    hashes.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "content_hash")
+      .option("path", s"$dir/$relHashes")
+      .saveAsTable(hashTable(s"$dir/$relHashes"))
+    s.sql(s"DROP TABLE IF EXISTS ${bandTable(s"$dir/$relBands")}")
+    bands.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "band", "bsig")
+      .option("path", s"$dir/$relBands")
+      .saveAsTable(bandTable(s"$dir/$relBands"))
+    s.sql(s"DROP TABLE IF EXISTS ${bcntTable(s"$dir/$relCounts")}")
+    bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "band", "bsig")
+      .option("path", s"$dir/$relCounts")
+      .saveAsTable(bcntTable(s"$dir/$relCounts"))
+  }
+
+  /** Load the index at its CURRENT published generation. One manifest
+    * resolution up front pins a consistent snapshot: every directory the
+    * returned plans read is immutable (generations/epochs are
+    * write-once), so a reader can never see a torn state regardless of
+    * concurrent appends/deletes/compactions (r16 VERDICT #1).
+    * Tombstoned documents (see class doc) are filtered out of every
+    * artifact with a broadcast anti-join — the tombstone list is
+    * delete-traffic-sized by contract, and the broadcast filter
+    * preserves the bucketed corpus-side layout (no exchange appears
+    * above the bucketed scans).
+    */
+  def readIndex(s: SparkSession, dir: String): CorpusIndex =
+    readIndexAt(s, dir, IndexStatePublisher.current(dir))
+
+  private def readIndexAt(s: SparkSession, dir: String, m: IndexManifest): CorpusIndex = {
     val meta = s.read.parquet(s"$dir/meta").collect()(0)
     val (k, rpb, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    val del: Option[DataFrame] =
-      if (exists(dir, "deleted")) Some(broadcast(s.read.parquet(s"$dir/deleted")))
-      else None
+    val del: Option[DataFrame] = m.pathOpt("deleted")
+      .map(rel => broadcast(s.read.parquet(s"$dir/$rel")))
     def minusDel(df: DataFrame, idCol: String): DataFrame = del match {
       // re-select the original order: a USING-key anti-join moves the key
       // column first, which would silently swap (a_id, b_id) in the pair
@@ -238,20 +275,20 @@ object IncrementalDedup {
           .select(df.columns.map(col).toIndexedSeq: _*)
       case None => df
     }
-    val pairs =
-      if (!exists(dir, "pairs")) None
-      else Some(minusDel(minusDel(
-        s.read.parquet(s"$dir/pairs"), "a_id"), "b_id"))
+    val pairs = m.pathOpt("pairs").map(_ => minusDel(minusDel(
+      s.read.parquet(m.epochPaths(dir, "pairs"): _*), "a_id"), "b_id"))
     CorpusIndex(
-      minusDel(IndexStore.ensureBucketedTable(s, hashTable(dir),
-        "doc_id BIGINT, content_hash STRING", "content_hash", nb, s"$dir/hashes"), "doc_id"),
-      minusDel(s.read.parquet(s"$dir/sigs"), "doc_id"),
-      s.read.parquet(s"$dir/labels"),
-      Some(minusDel(IndexStore.ensureBucketedTable(s, bandTable(dir),
+      minusDel(IndexStore.ensureBucketedTable(s, hashTable(s"$dir/${m.path("hashes")}"),
+        "doc_id BIGINT, content_hash STRING", "content_hash", nb,
+        s"$dir/${m.path("hashes")}"), "doc_id"),
+      minusDel(s.read.parquet(m.epochPaths(dir, "sigs"): _*), "doc_id"),
+      s.read.parquet(s"$dir/${m.path("labels")}"),
+      Some(minusDel(IndexStore.ensureBucketedTable(s, bandTable(s"$dir/${m.path("bands")}"),
         "doc_id BIGINT, sig ARRAY<BIGINT>, band INT, bsig STRING",
-        "band, bsig", nb, s"$dir/bands"), "doc_id")),
-      Some(IndexStore.ensureBucketedTable(s, bcntTable(dir),
-        "band INT, bsig STRING, cn BIGINT", "band, bsig", nb, s"$dir/bandcounts")),
+        "band, bsig", nb, s"$dir/${m.path("bands")}"), "doc_id")),
+      Some(IndexStore.ensureBucketedTable(s, bcntTable(s"$dir/${m.path("bandcounts")}"),
+        "band INT, bsig STRING, cn BIGINT", "band, bsig", nb,
+        s"$dir/${m.path("bandcounts")}")),
       k, rpb, pairs, nb)
   }
 
@@ -402,6 +439,16 @@ object IncrementalDedup {
     * evidence plans lazily probe the very tables being appended, and an
     * unmaterialized plan re-executed after the append would see the
     * delta on the corpus side (double-counted candidates).
+    *
+    * Publication discipline (r16 VERDICT #1/#7): the whole mutation runs
+    * under the index writer lock (concurrent writers are rejected
+    * loudly, never interleaved); rewritten/appended answer artifacts go
+    * to FRESH generation/epoch directories and become visible only at
+    * the manifest CAS — a reader resolving the manifest before the
+    * publish sees generation N complete, after it generation N+1
+    * complete, never a mix. The bucketed probe tables take in-place
+    * file appends (they are WRITER-side probe surfaces; the lock
+    * serializes their only readers-that-matter).
     * Returns the kept doc_ids of `allDocs` (the accumulated corpus),
     * doc_id-ordered.
     */
@@ -412,31 +459,43 @@ object IncrementalDedup {
       delta: DataFrame,
       estMin: Double = 0.6,
       jaccardMin: Double = 0.8,
-      bucketCap: Int = Dedup.NoBucketCap): DataFrame = {
-    val idx = readIndex(s, dir)
+      bucketCap: Int = Dedup.NoBucketCap): DataFrame = IndexStatePublisher.withWriterLock(dir) {
+    val m = IndexStatePublisher.current(dir)
+    val idx = readIndexAt(s, dir, m)
     val (k, rpb, nb) = (idx.bandK, idx.bandRows, idx.nBuckets)
     val ev = deltaEvidence(allDocs, idx, delta, k, rpb, estMin, jaccardMin, bucketCap)
     val edges = ev.edges.localCheckpoint(true)
     val newLabels = DedupResolve.incrementalLabels(idx.labels, edges)
-      .localCheckpoint(true) // materialize BEFORE overwriting its own input file
+      .localCheckpoint(true) // materialize BEFORE mutating its own input tables
     // artifact write-back (delta-proportional except the labels rewrite,
     // which is dup-membership-proportional)
     ev.deltaHash.write.mode("append").format("parquet")
       .bucketBy(nb, "content_hash")
-      .option("path", s"$dir/hashes")
-      .saveAsTable(hashTable(dir))
+      .option("path", s"$dir/${m.path("hashes")}")
+      .saveAsTable(hashTable(s"$dir/${m.path("hashes")}"))
     ev.deltaBands.write.mode("append").format("parquet")
       .bucketBy(nb, "band", "bsig")
-      .option("path", s"$dir/bands")
-      .saveAsTable(bandTable(dir))
+      .option("path", s"$dir/${m.path("bands")}")
+      .saveAsTable(bandTable(s"$dir/${m.path("bands")}"))
     ev.deltaBands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
       .write.mode("append").format("parquet")
       .bucketBy(nb, "band", "bsig")
-      .option("path", s"$dir/bandcounts")
-      .saveAsTable(bcntTable(dir))
-    ev.deltaSigs.write.mode("append").parquet(s"$dir/sigs")
-    edges.write.mode("append").parquet(s"$dir/pairs")
-    newLabels.write.mode("overwrite").parquet(s"$dir/labels")
+      .option("path", s"$dir/${m.path("bandcounts")}")
+      .saveAsTable(bcntTable(s"$dir/${m.path("bandcounts")}"))
+    val sigEpoch = m.epochs.getOrElse("sigs", -1) + 1
+    val pairsRel = m.pathOpt("pairs").getOrElse("pairs")
+    val pairEpoch = m.epochs.getOrElse("pairs", -1) + 1
+    ev.deltaSigs.write.mode("overwrite")
+      .parquet(s"$dir/${m.path("sigs")}/epoch-$sigEpoch")
+    edges.write.mode("overwrite")
+      .parquet(s"$dir/$pairsRel/epoch-$pairEpoch")
+    newLabels.write.mode("overwrite").parquet(s"$dir/labels/gen-${m.gen + 1}")
+    IndexStatePublisher.publish(dir, m
+      .withEntry("labels", s"labels/gen-${m.gen + 1}")
+      .withEntry("pairs", pairsRel)
+      .withEpoch("sigs", sigEpoch)
+      .withEpoch("pairs", pairEpoch)
+      .copy(gen = m.gen + 1))
     DedupResolve.keptFromLabels(allDocs.select(col("doc_id")), newLabels)
   }
 
@@ -471,19 +530,25 @@ object IncrementalDedup {
     * Returns the updated labels (checkpointed — callers derive kept sets
     * from it without re-reading the overwritten file).
     */
-  def deleteFromIndex(s: SparkSession, dir: String, deleteIds0: DataFrame): DataFrame = {
+  def deleteFromIndex(s: SparkSession, dir: String,
+      deleteIds0: DataFrame): DataFrame = IndexStatePublisher.withWriterLock(dir) {
     val del = deleteIds0.select(col("doc_id").cast("long").as("doc_id"))
       .localCheckpoint(true)
-    // read BEFORE the tombstone append: this pass needs yesterday's view
-    val idx = readIndex(s, dir)
+    // resolve the manifest ONCE: this pass needs yesterday's view
+    val m = IndexStatePublisher.current(dir)
+    val idx = readIndexAt(s, dir, m)
     val pairs = idx.pairs.getOrElse(
       sys.error(s"index at $dir persists no pair evidence; deletion needs it"))
     val delId = del.select(col("doc_id").as("id"))
     val touched = idx.labels.join(delId, Seq("id"))
       .select(col("cluster")).distinct()
       .localCheckpoint(true)
+    // guard probe ONCE per delete; both the touched-stars join and the
+    // untouched anti-join below reuse the same shaped frame (r16 ADVICE:
+    // the limit+count broadcast probe used to run twice per delete)
+    val tJoin = DedupResolve.guardedByCluster(touched)
     val touchedLabels = idx.labels
-      .join(DedupResolve.guardedByCluster(touched), Seq("cluster"))
+      .join(tJoin, Seq("cluster"))
       .select(col("id"), col("cluster"))
       .localCheckpoint(true)
     // surviving pair evidence of touched clusters (an edge's endpoints
@@ -509,43 +574,74 @@ object IncrementalDedup {
     val subLabels = DedupResolve.resolveClusters(
       survPairs.select(col("a_id"), col("b_id")).unionByName(survStars))
     val untouched = idx.labels
-      .join(DedupResolve.guardedByCluster(touched), Seq("cluster"), "left_anti")
+      .join(tJoin, Seq("cluster"), "left_anti")
       .select(col("id"), col("cluster"))
     val newLabels = untouched.unionByName(subLabels.select(col("id"), col("cluster")))
-      .localCheckpoint(true) // materialize BEFORE overwriting its own input file
-    del.write.mode("append").parquet(s"$dir/deleted")
-    newLabels.write.mode("overwrite").parquet(s"$dir/labels")
+      .localCheckpoint(true) // materialize BEFORE publishing over its input gen
+    // the FULL surviving tombstone list is rewritten per generation
+    // (delete traffic is small by contract): one manifest resolution
+    // then gives a reader a consistent (labels, tombstones) pair —
+    // appending to a live tombstone dir could tear exactly that pairing
+    val allDel = m.pathOpt("deleted")
+      .map(rel => s.read.parquet(s"$dir/$rel").unionByName(del).distinct())
+      .getOrElse(del)
+      .localCheckpoint(true)
+    allDel.write.mode("overwrite").parquet(s"$dir/deleted/gen-${m.gen + 1}")
+    newLabels.write.mode("overwrite").parquet(s"$dir/labels/gen-${m.gen + 1}")
+    IndexStatePublisher.publish(dir, m
+      .withEntry("labels", s"labels/gen-${m.gen + 1}")
+      .withEntry("deleted", s"deleted/gen-${m.gen + 1}")
+      .copy(gen = m.gen + 1))
     newLabels
   }
 
   /** Rebuild-time COMPACTION — the scheduled physical half of deletion
     * (tombstones make takedowns O(delete traffic); compaction makes the
     * artifacts small again): rewrite every artifact minus its
-    * tombstoned rows and drop the tombstone list. Answer-invariant by
+    * tombstoned rows and drop the tombstone entry. Answer-invariant by
     * construction — [[readIndex]] already served the filtered view; the
     * rewrite only changes what is on disk — so there is no oracle gate,
     * just the spec pinning read-before ≡ read-after. Bands and counts
-    * are RE-DERIVED from the compacted sigs (the same [[writeIndex]]
-    * path a fresh build uses), which also collapses the maintained
-    * index's per-append count rows back to one row per bucket. Cost is
-    * a full artifact rewrite — corpus-proportional, which is WHY it is
-    * a scheduled rebuild-time decision and not part of the delete path
-    * (the same scheduling as centroid retrain / re-banding). All
-    * filtered views are materialized BEFORE the overwrite (they read
-    * the very files being replaced).
+    * are RE-DERIVED from the compacted sigs (the same construction a
+    * fresh build uses), which also collapses the maintained index's
+    * per-append count rows back to one row per bucket AND the epoch
+    * history back to epoch-0. Cost is a full artifact rewrite —
+    * corpus-proportional, which is WHY it is a scheduled rebuild-time
+    * decision and not part of the delete path (the same scheduling as
+    * centroid retrain / re-banding).
+    *
+    * Atomicity (r16 VERDICT #1): every rewritten artifact goes to a
+    * FRESH generation-suffixed directory (`hashes-g<N>`, `sigs-g<N>`,
+    * …) with a fresh catalog name; the old directories stay untouched
+    * for in-flight readers and the switch is the manifest CAS. Physical
+    * space is reclaimed by [[IndexStatePublisher.gc]] as a separate,
+    * grace-period-scheduled step.
     */
-  def compactIndex(s: SparkSession, dir: String): Unit = {
-    if (!exists(dir, "deleted")) return
-    val meta = s.read.parquet(s"$dir/meta").collect()(0)
-    val (k, rpb, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    val idx = readIndex(s, dir)
-    val compacted = CorpusIndex(
-      idx.hashes.localCheckpoint(true),
-      idx.sigs.localCheckpoint(true),
-      idx.labels.localCheckpoint(true),
-      pairs = idx.pairs.map(_.localCheckpoint(true)))
-    writeIndex(compacted, dir, k, rpb, nb)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/deleted"))
+  def compactIndex(s: SparkSession, dir: String): Unit = IndexStatePublisher.withWriterLock(dir) {
+    val m = IndexStatePublisher.current(dir)
+    if (m.pathOpt("deleted").nonEmpty) {
+      val meta = s.read.parquet(s"$dir/meta").collect()(0)
+      val (k, rpb, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+      val idx = readIndexAt(s, dir, m)
+      val hashes = idx.hashes.localCheckpoint(true)
+      val sigs = idx.sigs.localCheckpoint(true)
+      val labels = idx.labels.localCheckpoint(true)
+      val pairs = idx.pairs.map(_.localCheckpoint(true))
+      val g = m.gen + 1
+      writeBucketedArtifacts(s, dir, hashes, Dedup.bandsOf(sigs, k, rpb),
+        s"hashes-g$g", s"bands-g$g", s"bandcounts-g$g", nb)
+      sigs.write.mode("overwrite").parquet(s"$dir/sigs-g$g/epoch-0")
+      labels.write.mode("overwrite").parquet(s"$dir/labels/gen-$g")
+      pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs-g$g/epoch-0"))
+      val entries = Map(
+        "hashes" -> s"hashes-g$g", "bands" -> s"bands-g$g",
+        "bandcounts" -> s"bandcounts-g$g", "sigs" -> s"sigs-g$g",
+        "labels" -> s"labels/gen-$g") ++
+        (if (pairs.nonEmpty) Map("pairs" -> s"pairs-g$g") else Map.empty)
+      val epochs = Map("sigs" -> 0) ++
+        (if (pairs.nonEmpty) Map("pairs" -> 0) else Map.empty)
+      IndexStatePublisher.publish(dir, IndexManifest(g, entries, epochs))
+    }
   }
 
   /** d39: the oracle-gated composition — corpus = the 80% doc_id split

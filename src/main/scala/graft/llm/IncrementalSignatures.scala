@@ -42,8 +42,10 @@ object IncrementalSig {
     require(bits % nBands == 0, s"bands=$nBands must divide the $bits-bit signature")
     val width = bits / nBands
     val mask = (1L << width) - 1
+    // col("*") lets caller-side evidence columns (e.g. the ledger
+    // rerun's epoch tag) ride through the explode
     sigs
-      .select(col("doc_id"), col("sig"),
+      .select(col("*"),
         posexplode(array((0 until nBands).map(b =>
           shiftright(col("sig"), b * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band")
@@ -81,42 +83,64 @@ object IncrementalSig {
   final case class SigIndex(bands: DataFrame, pairs: DataFrame,
       bits: Int, nBands: Int, bandCounts: Option[DataFrame] = None)
 
-  def writeIndex(corpusSigs: DataFrame, pairs: DataFrame, dir: String,
-      bits: Int, nBands: Int, nBuckets: Int = 32): Unit = {
-    import graft.runtime.IndexStore
-    val s = corpusSigs.sparkSession
-    val bands = bandsOfSig(corpusSigs, bits, nBands)
-    s.sql(s"DROP TABLE IF EXISTS ${IndexStore.tableFor("graft_sig_bands_", dir)}")
+  private def bandTable(loc: String) =
+    graft.runtime.IndexStore.tableFor("graft_sig_bands_", loc)
+  private def bcntTable(loc: String) =
+    graft.runtime.IndexStore.tableFor("graft_sig_bcnt_", loc)
+
+  private def writeBandTables(s: SparkSession, dir: String, bands: DataFrame,
+      relBands: String, relCounts: String, nBuckets: Int): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS ${bandTable(s"$dir/$relBands")}")
     bands.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "band", "bsig")
-      .option("path", s"$dir/bands")
-      .saveAsTable(IndexStore.tableFor("graft_sig_bands_", dir))
-    s.sql(s"DROP TABLE IF EXISTS ${IndexStore.tableFor("graft_sig_bcnt_", dir)}")
+      .option("path", s"$dir/$relBands")
+      .saveAsTable(bandTable(s"$dir/$relBands"))
+    s.sql(s"DROP TABLE IF EXISTS ${bcntTable(s"$dir/$relCounts")}")
     bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "band", "bsig")
-      .option("path", s"$dir/bandcounts")
-      .saveAsTable(IndexStore.tableFor("graft_sig_bcnt_", dir))
-    pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+      .option("path", s"$dir/$relCounts")
+      .saveAsTable(bcntTable(s"$dir/$relCounts"))
+  }
+
+  /** Write + PUBLISH (manifest generation 0 — the atomic-publication
+    * discipline of [[IncrementalDedup.writeIndex]], shared by every
+    * index family; r16 VERDICT #1).
+    */
+  def writeIndex(corpusSigs: DataFrame, pairs: DataFrame, dir: String,
+      bits: Int, nBands: Int, nBuckets: Int = 32,
+      capLedger0: Option[DataFrame] = None): Unit = {
+    import graft.runtime.{IndexManifest, IndexStatePublisher}
+    val s = corpusSigs.sparkSession
+    writeBandTables(s, dir, bandsOfSig(corpusSigs, bits, nBands),
+      "bands", "bandcounts", nBuckets)
+    pairs.write.mode("overwrite").parquet(s"$dir/pairs/epoch-0")
+    capLedger0.foreach(_.select(col("band"), col("bsig"))
+      .write.mode("overwrite").parquet(s"$dir/capledger/epoch-0"))
     s.range(1).selectExpr(s"$bits AS bits", s"$nBands AS n_bands",
         s"$nBuckets AS n_buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    IndexStatePublisher.publish(dir, IndexManifest(0L,
+      Map("bands" -> "bands", "bandcounts" -> "bandcounts", "pairs" -> "pairs") ++
+        (if (capLedger0.nonEmpty) Map("capledger" -> "capledger") else Map.empty),
+      Map("pairs" -> 0) ++
+        (if (capLedger0.nonEmpty) Map("capledger" -> 0) else Map.empty)))
   }
 
-  /** Load the index. Tombstones (see [[deleteDocs]]) are filtered out of
-    * the band table and the pair list with broadcast anti-joins — the
-    * bucketed layout survives, deleted docs can neither pair with future
-    * deltas nor linger in the answer. Tombstone-free indexes load with
-    * plans identical to r15's.
+  /** Load the index at its CURRENT published generation (one manifest
+    * resolution = one consistent snapshot; see
+    * [[IncrementalDedup.readIndex]]). Tombstones (see [[deleteDocs]])
+    * are filtered out of the band table and the pair list with
+    * broadcast anti-joins — the bucketed layout survives, deleted docs
+    * can neither pair with future deltas nor linger in the answer.
     */
   def readIndex(s: SparkSession, dir: String): SigIndex = {
-    import graft.runtime.IndexStore
+    import graft.runtime.{IndexStatePublisher, IndexStore}
+    val m = IndexStatePublisher.current(dir)
     val meta = s.read.parquet(s"$dir/meta").collect()(0)
     val (bits, nBands, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    val del: Option[DataFrame] =
-      if (new java.io.File(s"$dir/deleted").exists())
-        Some(broadcast(s.read.parquet(s"$dir/deleted")))
-      else None
+    val del: Option[DataFrame] = m.pathOpt("deleted")
+      .map(rel => broadcast(s.read.parquet(s"$dir/$rel")))
     def minusDel(df: DataFrame, idCol: String): DataFrame = del match {
       // re-select the original order: a USING-key anti-join moves the key
       // column first, which would silently swap (a_id, b_id) in the pair
@@ -127,19 +151,24 @@ object IncrementalSig {
       case None => df
     }
     SigIndex(
-      minusDel(IndexStore.ensureBucketedTable(s, IndexStore.tableFor("graft_sig_bands_", dir),
+      minusDel(IndexStore.ensureBucketedTable(s, bandTable(s"$dir/${m.path("bands")}"),
         "doc_id BIGINT, sig BIGINT, band INT, bsig BIGINT",
-        "band, bsig", nb, s"$dir/bands"), "doc_id"),
-      minusDel(minusDel(s.read.parquet(s"$dir/pairs"), "a_id"), "b_id"),
+        "band, bsig", nb, s"$dir/${m.path("bands")}"), "doc_id"),
+      minusDel(minusDel(s.read.parquet(m.epochPaths(dir, "pairs"): _*), "a_id"), "b_id"),
       bits, nBands,
-      Some(IndexStore.ensureBucketedTable(s, IndexStore.tableFor("graft_sig_bcnt_", dir),
-        "band INT, bsig BIGINT, cn BIGINT", "band, bsig", nb, s"$dir/bandcounts")))
+      Some(IndexStore.ensureBucketedTable(s, bcntTable(s"$dir/${m.path("bandcounts")}"),
+        "band INT, bsig BIGINT, cn BIGINT", "band, bsig", nb,
+        s"$dir/${m.path("bandcounts")}")))
   }
 
   /** Deletion from a signature index (the d47 lifecycle applied to the
     * bit-signature families): the PAIR LIST is the resolvable artifact —
     * there is no cluster stage to repair — so takedown is exactly a
-    * tombstone append; [[readIndex]] filters every artifact by it.
+    * tombstone generation; [[readIndex]] filters every artifact by it.
+    * The full surviving tombstone list is rewritten per generation
+    * (delete traffic is small by contract) and published with the
+    * manifest CAS under the writer lock — a reader's one manifest
+    * resolution gives a consistent (pairs, tombstones) snapshot.
     * Equivalence (uncapped): surviving docs band identically in a rerun
     * over corpus-minus-deleted, so the rerun's pairs are precisely
     * yesterday's restricted to surviving endpoints — the filtered load.
@@ -150,37 +179,48 @@ object IncrementalSig {
     * probe join touches, and dead band rows still sit in those buckets
     * until rebuild-time compaction.
     */
-  def deleteDocs(s: SparkSession, dir: String, deleteIds: DataFrame): Unit =
-    deleteIds.select(col("doc_id").cast("long").as("doc_id"))
-      .write.mode("append").parquet(s"$dir/deleted")
+  def deleteDocs(s: SparkSession, dir: String, deleteIds: DataFrame): Unit = {
+    import graft.runtime.IndexStatePublisher
+    IndexStatePublisher.withWriterLock(dir) {
+      val m = IndexStatePublisher.current(dir)
+      val del = deleteIds.select(col("doc_id").cast("long").as("doc_id"))
+      val allDel = m.pathOpt("deleted")
+        .map(rel => s.read.parquet(s"$dir/$rel").unionByName(del).distinct())
+        .getOrElse(del)
+        .localCheckpoint(true)
+      allDel.write.mode("overwrite").parquet(s"$dir/deleted/gen-${m.gen + 1}")
+      IndexStatePublisher.publish(dir, m
+        .withEntry("deleted", s"deleted/gen-${m.gen + 1}")
+        .copy(gen = m.gen + 1))
+    }
+  }
 
   /** Rebuild-time compaction (see [[IncrementalDedup.compactIndex]]):
     * rewrite the band table and pair list minus tombstoned rows,
     * recount buckets (collapsing the maintained index's per-append
-    * count rows), drop the tombstone list. Answer-invariant — the spec
-    * pins read-before ≡ read-after.
+    * count rows and the epoch history), drop the tombstone entry.
+    * Answer-invariant — the spec pins read-before ≡ read-after. All
+    * rewrites target FRESH generation-suffixed directories; the switch
+    * is the manifest CAS (in-flight readers keep their files).
     */
   def compactIndex(s: SparkSession, dir: String): Unit = {
-    import graft.runtime.IndexStore
-    if (!new java.io.File(s"$dir/deleted").exists()) return
-    val meta = s.read.parquet(s"$dir/meta").collect()(0)
-    val nb = meta.getInt(2)
-    val idx = readIndex(s, dir) // tombstone-filtered views
-    val bands = idx.bands.localCheckpoint(true)
-    val pairs = idx.pairs.localCheckpoint(true)
-    s.sql(s"DROP TABLE IF EXISTS ${IndexStore.tableFor("graft_sig_bands_", dir)}")
-    bands.write.mode("overwrite").format("parquet")
-      .bucketBy(nb, "band", "bsig")
-      .option("path", s"$dir/bands")
-      .saveAsTable(IndexStore.tableFor("graft_sig_bands_", dir))
-    s.sql(s"DROP TABLE IF EXISTS ${IndexStore.tableFor("graft_sig_bcnt_", dir)}")
-    bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(nb, "band", "bsig")
-      .option("path", s"$dir/bandcounts")
-      .saveAsTable(IndexStore.tableFor("graft_sig_bcnt_", dir))
-    pairs.write.mode("overwrite").parquet(s"$dir/pairs")
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/deleted"))
+    import graft.runtime.{IndexManifest, IndexStatePublisher}
+    IndexStatePublisher.withWriterLock(dir) {
+      val m = IndexStatePublisher.current(dir)
+      if (m.pathOpt("deleted").nonEmpty) {
+        val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(2)
+        val idx = readIndex(s, dir) // tombstone-filtered views
+        val bands = idx.bands.localCheckpoint(true)
+        val pairs = idx.pairs.localCheckpoint(true)
+        val g = m.gen + 1
+        writeBandTables(s, dir, bands, s"bands-g$g", s"bandcounts-g$g", nb)
+        pairs.write.mode("overwrite").parquet(s"$dir/pairs-g$g/epoch-0")
+        IndexStatePublisher.publish(dir, IndexManifest(g,
+          Map("bands" -> s"bands-g$g", "bandcounts" -> s"bandcounts-g$g",
+            "pairs" -> s"pairs-g$g"),
+          Map("pairs" -> 0)))
+      }
+    }
   }
 
   /** The incremental pass: delta bands probe the bucketed corpus band
@@ -200,16 +240,36 @@ object IncrementalSig {
       maxHamming: Int, bucketCap: Int = Dedup.NoBucketCap): DataFrame =
     idx.pairs.unionByName(deltaPairs(idx, deltaSigs, maxHamming, bucketCap)._2)
 
+  /** The CAPPED build arm with its over-cap evidence (the epoch-0 cap
+    * ledger): same semantics as [[buildPairs]] at a finite cap, but the
+    * suppressed bucket set is returned for persistence. Epoch-0 rule =
+    * the same rule every append applies ([[deltaPairs]]): a bucket is
+    * suppressed iff its population among docs visible at this epoch
+    * exceeds the cap.
+    */
+  private[graft] def buildPairsWithLedger(sigs: DataFrame, bits: Int, nBands: Int,
+      maxHamming: Int, bucketCap: Int): (DataFrame, DataFrame) = {
+    require(bucketCap != Dedup.NoBucketCap, "ledger build requires a finite cap")
+    val banded = bandsOfSig(sigs, bits, nBands)
+    val over = banded.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
+      .filter(col("cn") > bucketCap)
+      .select(col("band"), col("bsig"))
+      .localCheckpoint(true)
+    (buildPairs(sigs, bits, nBands, maxHamming, bucketCap), over)
+  }
+
   /** The delta-involved pairs of one append (the shared core of the
     * one-shot [[appendPairs]] and the maintained [[appendToIndex]]):
     * corpus–delta via the bucketed band probe, delta–delta via the
     * delta-sized self-join, exact Hamming verify, `a < b` distinct.
     * Returns (delta band rows — checkpointed, the write-back payload —
-    * and the LAZY new-pair frame).
+    * the LAZY new-pair frame, and the over-cap bucket set this epoch
+    * SUPPRESSED — the cap-ledger row source, `None` when uncapped).
     */
   private def deltaPairs(idx: SigIndex, deltaSigs: DataFrame,
-      maxHamming: Int, bucketCap: Int): (DataFrame, DataFrame) = {
+      maxHamming: Int, bucketCap: Int): (DataFrame, DataFrame, Option[DataFrame]) = {
     val db0 = bandsOfSig(deltaSigs, idx.bits, idx.nBands).localCheckpoint(true)
+    var overLedger: Option[DataFrame] = None
     val (cb, db) =
       if (bucketCap == Dedup.NoBucketCap) (idx.bands, db0)
       else {
@@ -231,6 +291,7 @@ object IncrementalSig {
           .filter(coalesce(col("cn"), lit(0L)) + col("dn") > bucketCap)
           .select(col("band"), col("bsig"))
           .localCheckpoint(true)
+        overLedger = Some(over)
         (idx.bands.join(over, Seq("band", "bsig"), "left_anti"),
           db0.join(over, Seq("band", "bsig"), "left_anti"))
       }
@@ -252,7 +313,8 @@ object IncrementalSig {
     (db0,
       candCD.unionByName(candDD)
         .filter(col("hamming") <= maxHamming)
-        .distinct())
+        .distinct(),
+      overLedger)
   }
 
   /** One MAINTAINED append (the d46 lifecycle for the signature
@@ -268,22 +330,99 @@ object IncrementalSig {
     */
   def appendToIndex(s: SparkSession, dir: String, deltaSigs: DataFrame,
       maxHamming: Int, bucketCap: Int = Dedup.NoBucketCap): DataFrame = {
-    import graft.runtime.IndexStore
-    val idx = readIndex(s, dir)
-    val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(2)
-    val (db0, newPairs0) = deltaPairs(idx, deltaSigs, maxHamming, bucketCap)
-    val newPairs = newPairs0.localCheckpoint(true)
-    db0.write.mode("append").format("parquet")
-      .bucketBy(nb, "band", "bsig")
-      .option("path", s"$dir/bands")
-      .saveAsTable(IndexStore.tableFor("graft_sig_bands_", dir))
-    db0.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
-      .write.mode("append").format("parquet")
-      .bucketBy(nb, "band", "bsig")
-      .option("path", s"$dir/bandcounts")
-      .saveAsTable(IndexStore.tableFor("graft_sig_bcnt_", dir))
-    newPairs.write.mode("append").parquet(s"$dir/pairs")
-    readIndex(s, dir).pairs
+    import graft.runtime.IndexStatePublisher
+    IndexStatePublisher.withWriterLock(dir) {
+      val m = IndexStatePublisher.current(dir)
+      val idx = readIndex(s, dir)
+      val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(2)
+      val (db0, newPairs0, over) = deltaPairs(idx, deltaSigs, maxHamming, bucketCap)
+      val newPairs = newPairs0.localCheckpoint(true)
+      db0.write.mode("append").format("parquet")
+        .bucketBy(nb, "band", "bsig")
+        .option("path", s"$dir/${m.path("bands")}")
+        .saveAsTable(bandTable(s"$dir/${m.path("bands")}"))
+      db0.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
+        .write.mode("append").format("parquet")
+        .bucketBy(nb, "band", "bsig")
+        .option("path", s"$dir/${m.path("bandcounts")}")
+        .saveAsTable(bcntTable(s"$dir/${m.path("bandcounts")}"))
+      val pairEpoch = m.epochs.getOrElse("pairs", -1) + 1
+      newPairs.write.mode("overwrite")
+        .parquet(s"$dir/${m.path("pairs")}/epoch-$pairEpoch")
+      // the CAP LEDGER (r16 VERDICT #2): a LEDGERED index (built via
+      // [[buildPairsWithLedger]]) persists, per epoch, the exact bucket
+      // set the cap suppressed — which is what makes a capped
+      // incremental answer REPRODUCIBLE by a rerun
+      // ([[rerunWithLedger]]) instead of "append-consistent, drift
+      // unbounded". Epochs align with the pair epochs; an uncapped
+      // append on a ledgered index records an empty suppression set.
+      val ledgered = m.pathOpt("capledger").nonEmpty
+      if (ledgered) {
+        val rows = over.getOrElse {
+          import org.apache.spark.sql.types._
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("band", IntegerType),
+              StructField("bsig", LongType))))
+        }
+        rows.select(col("band"), col("bsig"))
+          .write.mode("overwrite")
+          .parquet(s"$dir/${m.path("capledger")}/epoch-$pairEpoch")
+      }
+      IndexStatePublisher.publish(dir, m.copy(gen = m.gen + 1,
+        epochs = m.epochs + ("pairs" -> pairEpoch) ++
+          (if (ledgered) Map("capledger" -> pairEpoch) else Map.empty)))
+      readIndex(s, dir).pairs
+    }
+  }
+
+  /** The persisted cap ledger as one frame: (epoch, band, bsig) — every
+    * bucket the cap suppressed, at the epoch it suppressed it.
+    */
+  def readCapLedger(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.runtime.IndexStatePublisher.current(dir)
+    require(m.pathOpt("capledger").nonEmpty, s"index at $dir has no cap ledger")
+    m.epochPaths(dir, "capledger").zipWithIndex
+      .map { case (p, e) => s.read.parquet(p).withColumn("epoch", lit(e)) }
+      .reduce(_.unionByName(_))
+      .select(col("epoch"), col("band"), col("bsig"))
+  }
+
+  /** The LEDGER-AWARE RERUN — the engineering contract the cap ledger
+    * buys (r16 VERDICT #2): given every document's signature tagged
+    * with the epoch it arrived in (`sigsWithEpoch`: doc_id, sig,
+    * epoch), recompute from scratch the exact pair set the capped
+    * maintained appends produced, using the PERSISTED suppression sets
+    * instead of re-deriving caps from populations. The identity: a
+    * pair is discovered at epoch e = max(epoch_a, epoch_b) (the epoch
+    * its later member arrived), through any shared (band, bsig) bucket
+    * NOT suppressed at e — so one self-join with the ledger anti-joined
+    * on (band, bsig, e) replays the whole history. The capped
+    * incremental answer thus HAS a rerun-reproducible definition; the
+    * spec gates `rerunWithLedger ≡ accumulated index pairs`, and d51
+    * gates the same semantics against a DuckDB oracle that re-derives
+    * the suppression sets from running bucket populations.
+    */
+  def rerunWithLedger(s: SparkSession, dir: String,
+      sigsWithEpoch: DataFrame, maxHamming: Int): DataFrame = {
+    val m = graft.runtime.IndexStatePublisher.current(dir)
+    val meta = s.read.parquet(s"$dir/meta").collect()(0)
+    val (bits, nBands) = (meta.getInt(0), meta.getInt(1))
+    val banded = bandsOfSig(
+      sigsWithEpoch.select(col("doc_id"), col("sig"), col("epoch")),
+      bits, nBands).localCheckpoint(true)
+    val led = readCapLedger(s, dir).withColumnRenamed("epoch", "pe")
+    banded.alias("a")
+      .join(banded.hint("shuffle_hash").alias("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"),
+        col("a.band").as("band"), col("a.bsig").as("bsig"),
+        greatest(col("a.epoch"), col("b.epoch")).as("pe"))
+      .join(broadcast(led), Seq("band", "bsig", "pe"), "left_anti")
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .distinct()
   }
 
   /** d42: incremental SimHash near-dup pairs at d12's grid point
@@ -353,6 +492,84 @@ object IncrementalSig {
   }
 
   val simhashMultiAppendSql: String = Dedup.simhashPairsSql
+
+  /** d51's grid point: the full-pigeonhole 8-band geometry where 4-bit
+    * buckets are dense enough that a cap of 64 genuinely BINDS at the
+    * verify SFs — a ledger gate whose ledger is empty gates nothing.
+    */
+  val LedgerBands = 8
+  val LedgerCap = 64
+  val LedgerMaxHamming = 7
+
+  /** d51: k CAPPED maintained appends with a persisted cap ledger (r16
+    * VERDICT #2 — "capped maintained appends have no oracle-gated
+    * definition"). Base = the doc_id % 4 == 0 split, then three chained
+    * capped appends (epochs 1–3), every epoch's suppressed-bucket set
+    * persisted beside the pairs. The answer is the accumulated pair
+    * artifact. Oracle: [[simhashPairsEpochCappedSql]] — the full rerun
+    * under EPOCH-CAPPED semantics, where a pair is admitted iff some
+    * shared bucket's population among docs visible at the pair's birth
+    * epoch (max of the endpoints' epochs) is within the cap. This is
+    * exactly what the incremental capped pass computes, so the capped
+    * posture now has a rerun-reproducible, oracle-gated definition —
+    * not "append-consistent with unbounded drift". The Scala-side
+    * ledger replay ([[rerunWithLedger]]) is additionally spec-pinned
+    * equal to the artifact.
+    */
+  def cappedMultiAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def sigsOf(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), graft.functions.SimHashSig(col("text"), 32).as("sig"))
+      .where(col("sig") =!= lit(graft.functions.SimHashSig.Empty))
+    val base = sigsOf(docs.where(col("doc_id") % 4 === 0))
+    val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-incsigled")
+    val (pairs0, over0) = buildPairsWithLedger(
+      base, 32, LedgerBands, LedgerMaxHamming, LedgerCap)
+    // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
+    writeIndex(base, pairs0, idxDir, 32, LedgerBands, nBuckets = 8,
+      capLedger0 = Some(over0))
+    var pairs: DataFrame = null
+    (1 to 3).foreach { m =>
+      pairs = appendToIndex(s, idxDir, sigsOf(docs.where(col("doc_id") % 4 === m)),
+        LedgerMaxHamming, bucketCap = LedgerCap)
+    }
+    pairs
+  }
+
+  /** The epoch-capped full-rerun oracle (see [[cappedMultiAppend]]):
+    * suppression sets re-derived in SQL from running bucket populations
+    * (`pop` = bucket size among docs with epoch ≤ k), pairs admitted
+    * through any shared bucket within the cap at their birth epoch.
+    */
+  def simhashPairsEpochCappedSql(bands: Int, maxHamming: Int, cap: Int,
+      epochMod: Int): String = {
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    s"""WITH sh AS (${Dedup.simhashSqlWhere("")}),
+       |e AS (SELECT doc_id, simhash, doc_id % $epochMod AS epoch FROM sh),
+       |bands AS (
+       |  SELECT doc_id, simhash, epoch, b AS band,
+       |    (simhash >> (b * $width)) & $mask AS bsig
+       |  FROM e, range(0, $bands) t(b)),
+       |pop AS (
+       |  SELECT x.band, x.bsig, k.k AS pe, COUNT(*) AS cnt
+       |  FROM bands x JOIN range(0, $epochMod) k(k) ON x.epoch <= k.k
+       |  GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming,
+       |    a.band AS band, a.bsig AS bsig,
+       |    greatest(a.epoch, b.epoch) AS pe
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+       |SELECT DISTINCT c.a_id, c.b_id, c.hamming
+       |FROM cand c JOIN pop p
+       |  ON p.band = c.band AND p.bsig = c.bsig AND p.pe = c.pe
+       |WHERE p.cnt <= $cap AND c.hamming <= $maxHamming""".stripMargin
+  }
+
+  val cappedMultiAppendSql: String =
+    simhashPairsEpochCappedSql(LedgerBands, LedgerMaxHamming, LedgerCap, 4)
 
   /** m08: incremental pHash near-dup pairs over the media corpus
     * (60-bit fingerprint, 6 bands, Hamming ≤ 5 — the pigeonhole-
@@ -435,28 +652,38 @@ object IncrementalSemantic {
   private def tableFor(dir: String): String =
     graft.runtime.IndexStore.tableFor("graft_sem_buckets_", dir)
 
+  /** Write + PUBLISH (manifest generation 0; see
+    * [[IncrementalDedup.writeIndex]] — r16 VERDICT #1).
+    */
   def writeIndex(corpusE: DataFrame, labels: DataFrame, dir: String,
       nBuckets: Int = 32, nTables: Int = NTables, bits: Int = Bits,
       pairs: Option[DataFrame] = None): Unit = {
+    import graft.runtime.{IndexManifest, IndexStatePublisher}
     val s = corpusE.sparkSession
-    s.sql(s"DROP TABLE IF EXISTS ${tableFor(dir)}")
+    s.sql(s"DROP TABLE IF EXISTS ${tableFor(s"$dir/buckets")}")
     bucketsOf(corpusE).write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "table_id", "bucket")
       .option("path", s"$dir/buckets")
-      .saveAsTable(tableFor(dir))
-    labels.write.mode("overwrite").parquet(s"$dir/labels")
-    pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs"))
+      .saveAsTable(tableFor(s"$dir/buckets"))
+    labels.write.mode("overwrite").parquet(s"$dir/labels/gen-0")
+    pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs/gen-0"))
     s.range(1).selectExpr(s"$nBuckets AS n_buckets",
         s"$nTables AS n_tables", s"$bits AS bits")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    IndexStatePublisher.publish(dir, IndexManifest(0L,
+      Map("buckets" -> "buckets", "labels" -> "labels/gen-0") ++
+        (if (pairs.nonEmpty) Map("pairs" -> "pairs/gen-0") else Map.empty),
+      Map.empty))
   }
 
-  /** Load the index. Tombstones (see [[deleteVectors]]) are filtered out
-    * of the bucket table and the pair evidence with broadcast anti-joins
-    * (the bucketed layout survives); tombstone-free indexes load with
-    * plans identical to r15's.
+  /** Load the index at its CURRENT published generation (one manifest
+    * resolution = one consistent snapshot; see
+    * [[IncrementalDedup.readIndex]]). Tombstones (see [[deleteVectors]])
+    * are filtered out of the bucket table and the pair evidence with
+    * broadcast anti-joins (the bucketed layout survives).
     */
   def readIndex(s: SparkSession, dir: String): SemIndex = {
+    val m = graft.runtime.IndexStatePublisher.current(dir)
     val meta = s.read.parquet(s"$dir/meta").collect()(0)
     // geometry rode into meta in r16 (the scale arm runs count-calibrated
     // bits); a pre-r16 meta has only n_buckets — fall back to the pinned
@@ -464,26 +691,24 @@ object IncrementalSemantic {
     val nb = meta.getInt(0)
     val (nt, bits) =
       if (meta.length >= 3) (meta.getInt(1), meta.getInt(2)) else (NTables, Bits)
-    val del: Option[DataFrame] =
-      if (new java.io.File(s"$dir/deleted").exists())
-        Some(broadcast(s.read.parquet(s"$dir/deleted")))
-      else None
+    val del: Option[DataFrame] = m.pathOpt("deleted")
+      .map(rel => broadcast(s.read.parquet(s"$dir/$rel")))
     def minusDel(df: DataFrame, idCol: String): DataFrame = del match {
       case Some(d) =>
         df.join(d.withColumnRenamed("vec_id", idCol), Seq(idCol), "left_anti")
           .select(df.columns.map(col).toIndexedSeq: _*)
       case None => df
     }
-    val pairs =
-      if (!new java.io.File(s"$dir/pairs").exists()) None
-      else Some(minusDel(minusDel(s.read.parquet(s"$dir/pairs"), "a_id"), "b_id"))
+    val pairs = m.pathOpt("pairs").map(rel =>
+      minusDel(minusDel(s.read.parquet(s"$dir/$rel"), "a_id"), "b_id"))
     // bucket is INT: SignLshBuckets emits array<int> (≤ 32 bits of
     // bucket id by construction) — a BIGINT declaration here would read
     // the int32 parquet column as null and silently empty every probe
-    SemIndex(minusDel(graft.runtime.IndexStore.ensureBucketedTable(s, tableFor(dir),
+    SemIndex(minusDel(graft.runtime.IndexStore.ensureBucketedTable(s,
+        tableFor(s"$dir/${m.path("buckets")}"),
         "vec_id BIGINT, table_id INT, bucket INT",
-        "table_id, bucket", nb, s"$dir/buckets"), "vec_id"),
-      s.read.parquet(s"$dir/labels"), nt, bits, pairs)
+        "table_id, bucket", nb, s"$dir/${m.path("buckets")}"), "vec_id"),
+      s.read.parquet(s"$dir/${m.path("labels")}"), nt, bits, pairs)
   }
 
   /** Incremental DELETION from the semantic index (d49 — the d47
@@ -498,31 +723,46 @@ object IncrementalSemantic {
     * the rerun's candidates are yesterday's restricted to survivors).
     * Returns the updated labels (checkpointed).
     */
-  def deleteVectors(s: SparkSession, dir: String, deleteIds0: DataFrame): DataFrame = {
-    val del = deleteIds0.select(col("vec_id").cast("long").as("vec_id"))
-      .localCheckpoint(true)
-    val idx = readIndex(s, dir) // yesterday's view (tombstones not yet appended)
-    val pairs = idx.pairs.getOrElse(
-      sys.error(s"semantic index at $dir persists no pair evidence; deletion needs it"))
-    val touched = idx.labels.join(del.select(col("vec_id").as("id")), Seq("id"))
-      .select(col("cluster")).distinct()
-      .localCheckpoint(true)
-    val touchedLabels = idx.labels
-      .join(DedupResolve.guardedByCluster(touched), Seq("cluster"))
-      .select(col("id"), col("cluster"))
-    val survPairs = pairs
-      .join(touchedLabels.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
-      .join(del.withColumnRenamed("vec_id", "a_id"), Seq("a_id"), "left_anti")
-      .join(del.withColumnRenamed("vec_id", "b_id"), Seq("b_id"), "left_anti")
-    val subLabels = DedupResolve.resolveClusters(survPairs.select(col("a_id"), col("b_id")))
-    val untouched = idx.labels
-      .join(DedupResolve.guardedByCluster(touched), Seq("cluster"), "left_anti")
-      .select(col("id"), col("cluster"))
-    val newLabels = untouched.unionByName(subLabels.select(col("id"), col("cluster")))
-      .localCheckpoint(true) // materialize BEFORE overwriting its own input file
-    del.write.mode("append").parquet(s"$dir/deleted")
-    newLabels.write.mode("overwrite").parquet(s"$dir/labels")
-    newLabels
+  def deleteVectors(s: SparkSession, dir: String,
+      deleteIds0: DataFrame): DataFrame = {
+    import graft.runtime.IndexStatePublisher
+    IndexStatePublisher.withWriterLock(dir) {
+      val del = deleteIds0.select(col("vec_id").cast("long").as("vec_id"))
+        .localCheckpoint(true)
+      val m = IndexStatePublisher.current(dir)
+      val idx = readIndex(s, dir) // yesterday's view (manifest not yet advanced)
+      val pairs = idx.pairs.getOrElse(
+        sys.error(s"semantic index at $dir persists no pair evidence; deletion needs it"))
+      val touched = idx.labels.join(del.select(col("vec_id").as("id")), Seq("id"))
+        .select(col("cluster")).distinct()
+        .localCheckpoint(true)
+      // guard probe ONCE per delete; both joins below reuse it (r16 ADVICE)
+      val tJoin = DedupResolve.guardedByCluster(touched)
+      val touchedLabels = idx.labels
+        .join(tJoin, Seq("cluster"))
+        .select(col("id"), col("cluster"))
+      val survPairs = pairs
+        .join(touchedLabels.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
+        .join(del.withColumnRenamed("vec_id", "a_id"), Seq("a_id"), "left_anti")
+        .join(del.withColumnRenamed("vec_id", "b_id"), Seq("b_id"), "left_anti")
+      val subLabels = DedupResolve.resolveClusters(survPairs.select(col("a_id"), col("b_id")))
+      val untouched = idx.labels
+        .join(tJoin, Seq("cluster"), "left_anti")
+        .select(col("id"), col("cluster"))
+      val newLabels = untouched.unionByName(subLabels.select(col("id"), col("cluster")))
+        .localCheckpoint(true) // materialize BEFORE publishing over its input gen
+      val allDel = m.pathOpt("deleted")
+        .map(rel => s.read.parquet(s"$dir/$rel").unionByName(del).distinct())
+        .getOrElse(del)
+        .localCheckpoint(true)
+      allDel.write.mode("overwrite").parquet(s"$dir/deleted/gen-${m.gen + 1}")
+      newLabels.write.mode("overwrite").parquet(s"$dir/labels/gen-${m.gen + 1}")
+      IndexStatePublisher.publish(dir, m
+        .withEntry("labels", s"labels/gen-${m.gen + 1}")
+        .withEntry("deleted", s"deleted/gen-${m.gen + 1}")
+        .copy(gen = m.gen + 1))
+      newLabels
+    }
   }
 
   /** The incremental pass: delta buckets probe the bucketed corpus
@@ -558,24 +798,33 @@ object IncrementalSemantic {
   }
 
   /** Rebuild-time compaction (see [[IncrementalDedup.compactIndex]]):
-    * rewrite the bucket table and pair evidence minus tombstoned rows,
-    * drop the tombstone list. Labels were already rewritten at delete
-    * time. Answer-invariant.
+    * rewrite the bucket table and pair evidence minus tombstoned rows
+    * into FRESH generation-suffixed directories, drop the tombstone
+    * entry, switch with the manifest CAS. Labels were already rewritten
+    * at delete time. Answer-invariant.
     */
   def compactIndex(s: SparkSession, dir: String): Unit = {
-    if (!new java.io.File(s"$dir/deleted").exists()) return
-    val meta = s.read.parquet(s"$dir/meta").collect()(0)
-    val nb = meta.getInt(0)
-    val idx = readIndex(s, dir)
-    val buckets = idx.buckets.localCheckpoint(true)
-    val pairs = idx.pairs.map(_.localCheckpoint(true))
-    s.sql(s"DROP TABLE IF EXISTS ${tableFor(dir)}")
-    buckets.write.mode("overwrite").format("parquet")
-      .bucketBy(nb, "table_id", "bucket")
-      .option("path", s"$dir/buckets")
-      .saveAsTable(tableFor(dir))
-    pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs"))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/deleted"))
+    import graft.runtime.IndexStatePublisher
+    IndexStatePublisher.withWriterLock(dir) {
+      val m = IndexStatePublisher.current(dir)
+      if (m.pathOpt("deleted").nonEmpty) {
+        val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(0)
+        val idx = readIndex(s, dir)
+        val buckets = idx.buckets.localCheckpoint(true)
+        val pairs = idx.pairs.map(_.localCheckpoint(true))
+        val g = m.gen + 1
+        s.sql(s"DROP TABLE IF EXISTS ${tableFor(s"$dir/buckets-g$g")}")
+        buckets.write.mode("overwrite").format("parquet")
+          .bucketBy(nb, "table_id", "bucket")
+          .option("path", s"$dir/buckets-g$g")
+          .saveAsTable(tableFor(s"$dir/buckets-g$g"))
+        pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs-g$g"))
+        IndexStatePublisher.publish(dir, m.copy(gen = g,
+          entries = (m.entries - "deleted") +
+            ("buckets" -> s"buckets-g$g") ++
+            (if (pairs.nonEmpty) Map("pairs" -> s"pairs-g$g") else Map.empty)))
+      }
+    }
   }
 
   /** d45: the oracle-gated composition — corpus = the 80% vec_id split,

@@ -16,6 +16,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IndexStore {
 
+  /** Directories queued for deletion at JVM exit, drained by ONE
+    * shutdown hook (registered lazily on first use). One hook per
+    * [[tempIndexDir]] call accumulated an unbounded thread list in a
+    * long-lived JVM, each thread pinning its File (r16 ADVICE).
+    */
+  private val reapQueue = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val reapHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var f = reapQueue.poll()
+      while (f != null) {
+        try org.apache.commons.io.FileUtils.deleteDirectory(f)
+        catch { case _: Exception => () }
+        f = reapQueue.poll()
+      }
+    }))
+
   /** Create a per-invocation temp index dir, deleted by a JVM shutdown
     * hook. Deleting earlier would break the caller's lazy reads (the
     * returned plan materializes at the harness's action, long after the
@@ -24,10 +40,8 @@ object IndexStore {
     */
   def tempIndexDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    val f = p.toFile
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try org.apache.commons.io.FileUtils.deleteDirectory(f)
-      catch { case _: Exception => () }))
+    reapHook
+    reapQueue.add(p.toFile)
     p.toString
   }
 
@@ -52,6 +66,21 @@ object IndexStore {
         .map(_.getString(1))
       catch { case _: Exception => None }
 
+  /** Scheme-normalized location identity: catalogs report locations as
+    * URIs (`file:/p`, `file:///p`, `hdfs://nn/p`) while callers pass
+    * plain paths — the literal string compare the old check used never
+    * matched the URI forms, so every cross-JVM read silently fell back
+    * to DROP/CREATE, re-introducing the concurrent-reader race
+    * idempotent registration exists to fix (r16 ADVICE). A null scheme
+    * means the local FS (= `file`).
+    */
+  private def normLoc(loc: String): (String, String, String) = {
+    val u = new org.apache.hadoop.fs.Path(loc).toUri
+    (Option(u.getScheme).getOrElse("file"),
+      Option(u.getAuthority).getOrElse(""),
+      u.getPath.stripSuffix("/"))
+  }
+
   /** Register (or reuse) the external bucketed table backing an index
     * artifact. When the catalog already has `name` pointing at exactly
     * `location`, the existing entry is returned untouched — the DROP/
@@ -66,10 +95,7 @@ object IndexStore {
       clusterBy: String,
       nBuckets: Int,
       location: String): DataFrame = {
-    val samePath = existingLocation(s, name).exists { loc =>
-      loc.stripPrefix("file:") == location ||
-        loc == location
-    }
+    val samePath = existingLocation(s, name).exists(loc => normLoc(loc) == normLoc(location))
     if (!samePath) {
       s.sql(s"DROP TABLE IF EXISTS $name")
       s.sql(s"CREATE TABLE $name ($schema) USING PARQUET " +

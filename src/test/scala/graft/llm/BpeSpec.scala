@@ -129,11 +129,18 @@ class BpeSpec extends AnyFunSuite {
     // r15 ADVICE: a caller that never materializes the retained frame
     // (watchdog expiry, schema-only inspection) must not pin its
     // checkpoint block and listener forever — the NEXT learnRetained on
-    // the session drains the abandoned pair, bounding the leak to one
+    // the session drains the abandoned pair, bounding the leak to one.
+    // r16 ADVICE refinement: "abandoned" now means UNREACHABLE (weak-ref
+    // gate) — the frame must leave scope before the drain may fire, so
+    // the helper method below returns nothing
     val docs = graft.Tables.documents(spark, sf)
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
-    val (_, abandoned) = Bpe.learnRetained(spark, docs)
-    abandoned.schema // inspected, never materialized
+    def makeAbandoned(): Unit = {
+      val (_, abandoned) = Bpe.learnRetained(spark, docs)
+      abandoned.schema // inspected, never materialized, never escapes
+      ()
+    }
+    makeAbandoned()
     assert((spark.sparkContext.getPersistentRDDs.keySet.toSet -- before).nonEmpty,
       "the retained checkpoint should be live while unconsumed")
     val (_, fin2) = Bpe.learnRetained(spark, docs)
@@ -144,6 +151,29 @@ class BpeSpec extends AnyFunSuite {
       Thread.sleep(50)
     assert(mine.isEmpty,
       "abandoned retained checkpoint did not drain on the next learnRetained call")
+  }
+
+  test("a LIVE unconsumed retained table makes the next learnRetained refuse loudly") {
+    // r16 ADVICE: the old drain unconditionally unpersisted the previous
+    // caller's checkpoint — an interleaved LEGITIMATE caller that
+    // materialized its frame afterwards crashed on a missing checkpoint
+    // block. Now a reachable, unconsumed frame is protected: the second
+    // call fails with a clear single-outstanding error instead
+    val docs = graft.Tables.documents(spark, sf)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val (_, live) = Bpe.learnRetained(spark, docs)
+    val ex = intercept[IllegalStateException] {
+      Bpe.learnRetained(spark, docs)
+    }
+    assert(ex.getMessage.contains("single-outstanding"))
+    // the protected frame still materializes fine afterwards (the very
+    // scenario the old drain corrupted), and consumption drains it
+    assert(live.count() > 0)
+    def mine = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (System.nanoTime() < deadline && mine.nonEmpty)
+      Thread.sleep(50)
+    assert(mine.isEmpty, "consumed retained checkpoint did not drain")
   }
 
   test("hybrid gate: the delta loop's retained-final-table path equals the full loop's") {

@@ -295,7 +295,8 @@ class IncrementalDedupSpec extends AnyFunSuite {
           IncrementalDedup.readIndex(spark, tmp).labels)
         .as[Long].collect().toSet
       IncrementalDedup.compactIndex(spark, tmp)
-      assert(!new java.io.File(s"$tmp/deleted").exists(), "tombstones should be gone")
+      assert(graft.runtime.IndexStatePublisher.current(tmp).pathOpt("deleted").isEmpty,
+        "the compacted generation should publish no tombstone entry")
       val idx = IncrementalDedup.readIndex(spark, tmp)
       // the deleted rows are physically absent, not filter-hidden
       assert(idx.hashes.count() == 8L, "hashes should hold exactly the 8 survivors")

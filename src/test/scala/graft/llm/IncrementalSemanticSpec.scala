@@ -60,7 +60,7 @@ class IncrementalSemanticSpec extends AnyFunSuite {
           all.where(col("vec_id") % 7 =!= 3).select(col("vec_id").as("doc_id")), newLabels)
         .as[Long].collect().toSet
       IncrementalSemantic.compactIndex(spark, tmp)
-      assert(!new java.io.File(s"$tmp/deleted").exists())
+      assert(graft.runtime.IndexStatePublisher.current(tmp).pathOpt("deleted").isEmpty)
       val idx = IncrementalSemantic.readIndex(spark, tmp)
       assert(idx.buckets.filter(col("vec_id") % 7 === 3).count() == 0,
         "compaction left tombstoned bucket rows on disk")

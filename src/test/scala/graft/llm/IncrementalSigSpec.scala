@@ -113,7 +113,7 @@ class IncrementalSigSpec extends AnyFunSuite {
       assert(appended == full, "empty append changed the tombstone-filtered answer")
       // compaction: same answer, tombstones physically gone
       IncrementalSig.compactIndex(spark, tmp)
-      assert(!new java.io.File(s"$tmp/deleted").exists())
+      assert(graft.runtime.IndexStatePublisher.current(tmp).pathOpt("deleted").isEmpty)
       val idx2 = IncrementalSig.readIndex(spark, tmp)
       assert(idx2.pairs.as[(Long, Long, Int)].collect().toSet == full,
         "compaction changed the pair answer")

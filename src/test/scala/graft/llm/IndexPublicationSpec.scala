@@ -1,0 +1,270 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.mr.TestSession
+import graft.runtime.{ConcurrentPublishException, IndexLockedException,
+  IndexManifest, IndexStatePublisher}
+
+/** The atomic-publication contract of the maintained indexes (r16
+  * VERDICT asks #1 and #7): a reader concurrent with any
+  * append/delete/compact can never see a torn or empty label set, two
+  * writers can never interleave, the capped posture is
+  * rerun-reproducible through its persisted ledger, and GC reclaims
+  * exactly the unreferenced generations.
+  */
+class IndexPublicationSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  // the IncrementalDedupSpec bridge fixture (see there for the geometry)
+  private val base = "the quick brown fox jumps over the lazy dog while " +
+    "seventeen green turtles carry shiny pebbles across the quiet river " +
+    "bank at dawn"
+  private val base2 = "nine silver airships drift slowly beneath amber " +
+    "clouds carrying quiet passengers toward the distant harbor lights " +
+    "of an old coastal town"
+  private val fixture = Seq(
+    (0L, base + " alpha beta gamma tree"),
+    (1L, base + " alpha beta gamma tree!"),
+    (2L, base + " bravo charlie delta two"),
+    (3L, base + " bravo charlie delta two ok"),
+    (4L, base),
+    (5L, "completely unrelated corpus document about cooking bread"),
+    (9L, "completely unrelated corpus document about cooking bread"),
+    (14L, "a unique delta document that resembles nothing else here"),
+    (19L, base2),
+    (24L, base2 + " xx")
+  )
+  private def docsDf = fixture.toDF("doc_id", "text")
+
+  test("manifest publish is CAS: the second writer of a generation is rejected") {
+    val tmp = java.nio.file.Files.createTempDirectory("manifestcas").toString
+    try {
+      val m = IndexManifest(0L, Map("labels" -> "labels/gen-0"), Map.empty)
+      IndexStatePublisher.publish(tmp, m)
+      intercept[ConcurrentPublishException] {
+        IndexStatePublisher.publish(tmp, m.copy(entries = Map("labels" -> "other")))
+      }
+      // the loser did not clobber the winner
+      assert(IndexStatePublisher.current(tmp).path("labels") == "labels/gen-0")
+      // round-trip fidelity, epochs included
+      IndexStatePublisher.publish(tmp,
+        IndexManifest(1L, Map("labels" -> "labels/gen-1", "pairs" -> "pairs"),
+          Map("pairs" -> 3)))
+      val cur = IndexStatePublisher.current(tmp)
+      assert(cur.gen == 1L && cur.epochs("pairs") == 3)
+      assert(cur.epochPaths(tmp, "pairs").size == 4)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("the writer lock rejects a second concurrent writer loudly and releases on exit") {
+    val tmp = java.nio.file.Files.createTempDirectory("writerlock").toString
+    try {
+      IndexStatePublisher.withWriterLock(tmp) {
+        val ex = intercept[IndexLockedException] {
+          IndexStatePublisher.withWriterLock(tmp) { fail("must not run") }
+        }
+        assert(ex.getMessage.contains("locked by a concurrent writer"))
+      }
+      // released: the next writer proceeds; and a body failure releases too
+      intercept[RuntimeException] {
+        IndexStatePublisher.withWriterLock(tmp) { sys.error("boom") }
+      }
+      assert(IndexStatePublisher.withWriterLock(tmp) { 42 } == 42)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("a reader concurrent with append/delete/compact never sees a torn or empty label set") {
+    val tmp = java.nio.file.Files.createTempDirectory("concread").toString
+    try {
+      val corpus = docsDf.where(col("doc_id").isin(0L, 1L, 2L, 3L, 5L))
+      IncrementalDedup.writeIndex(
+        IncrementalDedup.buildIndex(corpus, rowsPerBand = 4), tmp, rowsPerBand = 4)
+      // expected (gen -> label count), recorded after each publication;
+      // generations are immutable so this map cannot go stale
+      val expected = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      def record(): Unit = {
+        val man = IndexStatePublisher.current(tmp)
+        expected.put(man.gen,
+          spark.read.parquet(s"$tmp/${man.path("labels")}").count())
+      }
+      record()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val observed = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val reader = new Thread(() => {
+        while (!stop.get()) {
+          try {
+            // the serve path: resolve the manifest ONCE, read the (im-
+            // mutable) generation it names
+            val man = IndexStatePublisher.current(tmp)
+            val labels = spark.read.parquet(s"$tmp/${man.path("labels")}")
+            val cnt = labels.count()
+            val ids = labels.select(col("id")).distinct().count()
+            if (cnt == 0) failures.add(s"gen ${man.gen}: EMPTY label set")
+            if (cnt != ids) failures.add(s"gen ${man.gen}: torn labels ($cnt rows, $ids ids)")
+            observed.add((man.gen, cnt))
+          } catch {
+            case e: Exception => failures.add(s"reader failed: ${e.getMessage}")
+          }
+          Thread.sleep(50)
+        }
+      })
+      reader.start()
+      try {
+        val d1 = docsDf.where(col("doc_id") === 4L)
+        val all1 = corpus.unionByName(d1)
+        IncrementalDedup.appendToIndex(spark, tmp, all1, d1).count()
+        record()
+        val d2 = docsDf.where(col("doc_id").isin(9L, 14L, 19L, 24L))
+        val all2 = all1.unionByName(d2)
+        IncrementalDedup.appendToIndex(spark, tmp, all2, d2).count()
+        record()
+        IncrementalDedup.deleteFromIndex(spark, tmp, Seq(4L, 5L).toDF("doc_id"))
+        record()
+        IncrementalDedup.compactIndex(spark, tmp)
+        record()
+      } finally {
+        stop.set(true)
+        reader.join(60000)
+      }
+      assert(failures.isEmpty, s"reader saw: ${failures.toArray.mkString("; ")}")
+      // every observation matches the count its generation published
+      observed.forEach { case (gen, cnt) =>
+        val exp = expected.get(gen)
+        assert(exp != null && exp == cnt,
+          s"gen $gen: observed $cnt labels, published $exp")
+      }
+      assert(observed.size() > 0, "reader made no observations — vacuous")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("concurrent append + delete: serialized or loudly rejected, never interleaved") {
+    val tmp = java.nio.file.Files.createTempDirectory("concwrite").toString
+    try {
+      val corpus = docsDf.where(col("doc_id") <= 5L)
+      IncrementalDedup.writeIndex(
+        IncrementalDedup.buildIndex(corpus, rowsPerBand = 4), tmp, rowsPerBand = 4)
+      val genBefore = IndexStatePublisher.current(tmp).gen
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      def run(name: String)(body: => Unit): Thread = {
+        val t = new Thread(() => {
+          gate.await()
+          try { body; outcomes.add(s"$name:ok") }
+          catch {
+            case _: IndexLockedException => outcomes.add(s"$name:locked")
+            case e: Exception => outcomes.add(s"$name:UNEXPECTED ${e.getClass.getName}: ${e.getMessage}")
+          }
+        })
+        t.start(); t
+      }
+      val d1 = docsDf.where(col("doc_id") === 9L)
+      val all1 = corpus.unionByName(d1)
+      val ta = run("append") {
+        IncrementalDedup.appendToIndex(spark, tmp, all1, d1).count()
+      }
+      val td = run("delete") {
+        IncrementalDedup.deleteFromIndex(spark, tmp, Seq(1L).toDF("doc_id"))
+      }
+      gate.countDown()
+      ta.join(120000); td.join(120000)
+      val res = outcomes.toArray.map(_.toString).sorted.toSeq
+      assert(res.forall(r => r.endsWith(":ok") || r.endsWith(":locked")),
+        s"unexpected writer outcome: $res")
+      val oks = res.count(_.endsWith(":ok"))
+      assert(oks >= 1, s"at least one writer must win: $res")
+      // each successful mutation advanced exactly one generation
+      assert(IndexStatePublisher.current(tmp).gen == genBefore + oks,
+        s"generation should advance once per successful writer: $res")
+      // and the published state is a coherent snapshot
+      val idx = IncrementalDedup.readIndex(spark, tmp)
+      assert(idx.labels.count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("gc prunes exactly the unreferenced generations; pre-GC snapshots and answers survive compaction") {
+    val tmp = java.nio.file.Files.createTempDirectory("indexgc").toString
+    try {
+      IncrementalDedup.writeIndex(
+        IncrementalDedup.buildIndex(docsDf, rowsPerBand = 4), tmp, rowsPerBand = 4)
+      IncrementalDedup.deleteFromIndex(spark, tmp, Seq(4L, 5L).toDF("doc_id"))
+      val preCompact = IncrementalDedup.readIndex(spark, tmp)
+      val before = DedupResolve.keptFromLabels(
+          docsDf.where(!col("doc_id").isin(4L, 5L)).select(col("doc_id")),
+          preCompact.labels)
+        .as[Long].collect().toSet
+      IncrementalDedup.compactIndex(spark, tmp)
+      // a reader that resolved BEFORE compaction still serves (its
+      // generation directories are untouched until gc)
+      assert(preCompact.labels.count() > 0)
+      IndexStatePublisher.gc(tmp)
+      val m = IndexStatePublisher.current(tmp)
+      // current generation intact, answer unchanged
+      val after = DedupResolve.keptFromLabels(
+          docsDf.where(!col("doc_id").isin(4L, 5L)).select(col("doc_id")),
+          IncrementalDedup.readIndex(spark, tmp).labels)
+        .as[Long].collect().toSet
+      assert(after == before, "gc changed the served answer")
+      // pre-compaction artifact dirs are gone
+      assert(!new java.io.File(s"$tmp/hashes").exists(), "old hashes dir should be gc'd")
+      assert(!new java.io.File(s"$tmp/deleted").exists(), "tombstone dirs should be gc'd")
+      assert(!new java.io.File(s"$tmp/labels/gen-0").exists(), "old label gens should be gc'd")
+      assert(new java.io.File(s"$tmp/${m.path("labels")}").exists)
+      assert(new java.io.File(s"$tmp/${m.path("hashes")}").exists)
+      // only the current manifest file remains
+      val gens = new java.io.File(s"$tmp/manifest").list().count(_.startsWith("gen-"))
+      assert(gens == 1, s"gc should keep exactly the current manifest, found $gens")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("cap ledger: capped maintained appends are reproduced exactly by the ledger-aware rerun") {
+    // a BINDING cap (the r15/r16 vacuity lesson: a gate whose ledger is
+    // empty gates nothing) — 8 bands of 4 bits over sf0.001 gives
+    // bucket populations well above 8
+    val docs = graft.Tables.documents(spark, sf)
+    def sigsOf(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), graft.functions.SimHashSig(col("text"), 32).as("sig"))
+      .where(col("sig") =!= lit(graft.functions.SimHashSig.Empty))
+    val cap = 8
+    val tmp = java.nio.file.Files.createTempDirectory("capledger").toString
+    try {
+      val base = sigsOf(docs.where(col("doc_id") % 3 === 0))
+      val (pairs0, over0) = IncrementalSig.buildPairsWithLedger(base, 32, 8, 7, cap)
+      IncrementalSig.writeIndex(base, pairs0, tmp, 32, 8, nBuckets = 8,
+        capLedger0 = Some(over0))
+      (1 to 2).foreach { e =>
+        IncrementalSig.appendToIndex(spark, tmp,
+          sigsOf(docs.where(col("doc_id") % 3 === e)), 7, bucketCap = cap)
+      }
+      val ledger = IncrementalSig.readCapLedger(spark, tmp)
+      assert(ledger.count() > 0, "cap never bound — the gate is vacuous")
+      val artifact = IncrementalSig.readIndex(spark, tmp).pairs
+        .as[(Long, Long, Int)].collect().toSet
+      val rerun = IncrementalSig.rerunWithLedger(spark, tmp,
+          sigsOf(docs).withColumn("epoch", (col("doc_id") % 3).cast("int")), 7)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(artifact == rerun,
+        s"ledger-aware rerun diverged: artifact ${artifact.size} vs rerun ${rerun.size}, " +
+          s"diff ${(artifact diff rerun).take(5)} / ${(rerun diff artifact).take(5)}")
+      // and the capped answer is NOT the uncapped one (the cap bound)
+      val uncapped = IncrementalSig.buildPairs(sigsOf(docs), 32, 8, 7)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(artifact != uncapped, "cap changed nothing — fixture too small to gate")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+}
