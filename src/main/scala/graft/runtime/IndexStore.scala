@@ -100,6 +100,15 @@ object IndexStore {
       s.sql(s"DROP TABLE IF EXISTS $name")
       s.sql(s"CREATE TABLE $name ($schema) USING PARQUET " +
         s"CLUSTERED BY ($clusterBy) INTO $nBuckets BUCKETS LOCATION '$location'")
+    } else {
+      // drop THIS session's cached relation (file listing included): the
+      // session resolving the table is not always the session that last
+      // appended to it — a streaming micro-batch runs on a CLONED session
+      // whose SessionCatalog caches its own file index, so without the
+      // refresh a maintained-index serve kept probing the band files of
+      // the generation it first resolved (caught by StreamingSpec's
+      // maintained-serve parity case)
+      s.catalog.refreshTable(name)
     }
     s.table(name)
   }

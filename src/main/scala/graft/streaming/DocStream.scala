@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 /** Streaming face of the LLM training-data pipeline: continuous corpus
@@ -315,6 +316,42 @@ object DocStream {
     * ([[graft.llm.IncrementalDedup.appendKept]]), which consumes the
     * same artifacts and gates the full equivalence (d39).
     */
+  /** [[corpusDeduped]] against the MAINTAINED on-disk index (r16 VERDICT
+    * #8): each micro-batch re-resolves the index manifest and probes the
+    * generation it names — an append/delete/compaction landing BETWEEN
+    * micro-batches changes the served answer exactly as the batch path
+    * over a fresh [[graft.llm.IncrementalDedup.readIndex]] would
+    * (spec-pinned). Resolution is cached BY GENERATION: the per-batch
+    * cost on an unchanged index is one manifest-file read, and because
+    * generations are immutable a cached index can never be torn by a
+    * concurrent writer (the atomic-publication contract). `foreachBatch`
+    * is the honest shape: the static side genuinely changes between
+    * batches, which a fixed stream-static join plan cannot express.
+    */
+  def corpusDedupedMaintained(
+      docs: DataFrame,
+      idxDir: String,
+      k: Int = 32,
+      rowsPerBand: Int = 8,
+      estMin: Double = 0.6)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var cached: Option[(Long, graft.llm.IncrementalDedup.CorpusIndex)] = None
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: java.lang.Long) =>
+        val s = batch.sparkSession
+        val gen = graft.runtime.IndexStatePublisher.current(idxDir).gen
+        val idx = cached match {
+          case Some((g, i)) if g == gen => i
+          case _ =>
+            val i = graft.llm.IncrementalDedup.readIndex(s, idxDir)
+            cached = Some((gen, i))
+            i
+        }
+        sink(corpusDeduped(batch.toDF(), idx, k, rowsPerBand, estMin), batchId)
+      }
+      .start()
+  }
+
   def corpusDeduped(docs: DataFrame, idx: graft.llm.IncrementalDedup.CorpusIndex,
       k: Int = 32, rowsPerBand: Int = 8, estMin: Double = 0.6): DataFrame = {
     val enriched = docs

@@ -42,4 +42,40 @@ object VecStream {
         sink(graft.llm.Similarity.ivfSq8KnnFromIndex(prepared, idx, nProbe), batchId)
       }
       .start()
+
+  /** [[annServed]] against the MAINTAINED on-disk index (r16 VERDICT
+    * #8): each micro-batch re-resolves the index manifest, so vectors
+    * appended between batches ([[graft.llm.Similarity
+    * .appendVectorsToIndexDir]]) are served by the very next batch —
+    * exactly as the batch path over a fresh
+    * [[graft.llm.Similarity.readIvfSq8Index]] would (spec-pinned).
+    * Resolution is cached by generation (one manifest read per batch on
+    * an unchanged index; immutable generations make the cache
+    * tear-proof under concurrent writers).
+    */
+  def annServedMaintained(
+      queries: DataFrame,
+      idxDir: String,
+      nProbe: Int = 2)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var cached: Option[(Long, graft.llm.Similarity.IvfSq8Index)] = None
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: java.lang.Long) =>
+        val s = batch.sparkSession
+        val gen = graft.runtime.IndexStatePublisher.current(idxDir).gen
+        val idx = cached match {
+          case Some((g, i)) if g == gen => i
+          case _ =>
+            val i = graft.llm.Similarity.readIvfSq8Index(s, idxDir)
+            cached = Some((gen, i))
+            i
+        }
+        val prepared = batch
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("nrm", sqrt(graft.functions.FloatVecDot(
+            col("embedding"), col("embedding"))))
+        sink(graft.llm.Similarity.ivfSq8KnnFromIndex(prepared, idx, nProbe), batchId)
+      }
+      .start()
+  }
 }

@@ -548,4 +548,133 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
     }
   }
+
+  /** Land `df` as one new parquet file in a streaming source dir (the
+    * file stream picks up exactly one new file → one micro-batch).
+    */
+  private def landFile(df: org.apache.spark.sql.DataFrame, srcDir: String,
+      name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-land").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(fail(s"no part file written to $tmp"))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("maintained-index doc serve: an append landing between micro-batches changes the served dedup exactly as batch would") {
+    import graft.llm.IncrementalDedup
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen green turtles carry shiny pebbles across the quiet river " +
+      "bank at dawn"
+    val base2 = "nine silver airships drift slowly beneath amber " +
+      "clouds carrying quiet passengers toward the distant harbor lights " +
+      "of an old coastal town"
+    val mkDocs = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val corpus = mkDocs(Seq(
+      (0L, base + " alpha beta gamma tree"),
+      (1L, base + " alpha beta gamma tree!"),
+      (2L, base + " bravo charlie delta two"),
+      (3L, base + " bravo charlie delta two ok"),
+      (5L, "completely unrelated corpus document about cooking bread")))
+    val batch1 = mkDocs(Seq(
+      (9L, "completely unrelated corpus document about cooking bread"), // exact twin of 5
+      (14L, "a unique delta document that resembles nothing else here")))
+    val appended = mkDocs(Seq((19L, base2)))
+    val batch2 = mkDocs(Seq((24L, base2 + " xx"))) // near-dup of 19
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-maintserve-idx").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-maintserve-src").toString
+    try {
+      IncrementalDedup.writeIndex(
+        IncrementalDedup.buildIndex(corpus, rowsPerBand = 4), idxDir, rowsPerBand = 4)
+      val staleIdx = IncrementalDedup.readIndex(spark, idxDir) // gen 0, held by a reader
+      val phases = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Set[Long])]()
+      val q = DocStream.corpusDedupedMaintained(
+        spark.readStream.schema(DocStream.docsSchema).parquet(srcDir),
+        idxDir, rowsPerBand = 4) { (out, id) =>
+        phases.add((id, out.select("doc_id").collect().map(_.getLong(0)).toSet))
+      }
+      try {
+        landFile(batch1, srcDir, "b1")
+        q.processAllAvailable()
+        val phase1 = phases.asScala.flatMap(_._2).toSet
+        assert(phase1 == Set(14L), s"batch-1 survivors: $phase1 (9 must drop as 5's twin)")
+        // the append lands BETWEEN micro-batches (d46 maintained write-back)
+        IncrementalDedup.appendToIndex(spark, idxDir,
+          corpus.unionByName(appended), appended).count()
+        landFile(batch2, srcDir, "b2")
+        q.processAllAvailable()
+        val phase2 = phases.asScala.flatMap(_._2).toSet -- phase1
+        // the batch path over a FRESH readIndex: 24 drops against the
+        // newly appended 19
+        val batchFresh = DocStream.corpusDeduped(batch2,
+            IncrementalDedup.readIndex(spark, idxDir), rowsPerBand = 4)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(phase2 == batchFresh,
+          s"stream $phase2 != fresh-index batch path $batchFresh")
+        assert(phase2.isEmpty, s"24 should drop against the appended 19: $phase2")
+        // without the re-resolution the stale generation would have kept
+        // it — the re-resolve is what changed the answer
+        val batchStale = DocStream.corpusDeduped(batch2, staleIdx, rowsPerBand = 4)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(batchStale == Set(24L),
+          s"stale gen-0 index should keep 24 (it never saw 19): $batchStale")
+      } finally q.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
+    }
+  }
+
+  test("maintained-index ANN serve: vectors appended between micro-batches are served by the next batch") {
+    import graft.llm.Similarity
+    val all = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(graft.functions.FloatVecDot(col("embedding"), col("embedding"))))
+      .localCheckpoint(true)
+    val corpus = all.filter(col("vec_id") < 800)
+    val query = all.filter(col("vec_id") === 3L).localCheckpoint(true)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-vecserve-idx").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-vecserve-src").toString
+    try {
+      Similarity.writeIvfSq8Index(
+        Similarity.buildIvfSq8IndexFrom(corpus, nCells = 16, sampleN = 200), idxDir)
+      val served = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Set[Long])]()
+      val q = VecStream.annServedMaintained(
+        spark.readStream.schema(VecStream.vecSchema).parquet(srcDir),
+        idxDir, nProbe = 2) { (out, id) =>
+        served.add((id, out.select("nid").collect().map(_.getLong(0)).toSet))
+      }
+      try {
+        landFile(query.select(col("vec_id"), col("embedding")), srcDir, "q1")
+        q.processAllAvailable()
+        val phase1 = served.asScala.flatMap(_._2).toSet
+        assert(phase1.nonEmpty, "first serve returned nothing")
+        assert(!phase1.contains(100000L))
+        // append an exact copy of the query vector with a fresh id: by
+        // construction its quantized dot is maximal, so the NEXT batch
+        // must surface it — iff the serve re-resolved the manifest
+        Similarity.appendVectorsToIndexDir(spark, idxDir,
+          query.select(lit(100000L).as("vec_id"), col("embedding"), col("nrm")))
+        landFile(query.select(col("vec_id"), col("embedding")), srcDir, "q2")
+        q.processAllAvailable()
+        val phase2 = served.asScala.toSeq.filter(_._1 > 0).flatMap(_._2).toSet
+        assert(phase2.contains(100000L),
+          s"appended twin not served after the append: $phase2")
+        // exact parity with the batch path over the fresh loaded index
+        val batchFresh = Similarity.ivfSq8KnnFromIndex(query,
+            Similarity.readIvfSq8Index(spark, idxDir), nProbe = 2)
+          .select("nid").collect().map(_.getLong(0)).toSet
+        assert(phase2 == batchFresh, s"stream $phase2 != batch $batchFresh")
+      } finally q.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
+    }
+  }
 }
