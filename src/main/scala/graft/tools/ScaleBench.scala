@@ -1685,10 +1685,32 @@ object ScaleBench {
     */
   private def incPhashMode(s: SparkSession, dir: String, label: String): Unit = {
     import graft.llm.IncrementalSig
-    val sigs = Multimodal.perceptualHash(Multimodal.mediaTable(s, dir))
+    val sigs0 = Multimodal.perceptualHash(Multimodal.mediaTable(s, dir))
       .toDF().withColumnRenamed("phash", "sig")
       .localCheckpoint(true)
     val bits = 60
+    // r16 VERDICT #5: at the raw media-corpus size both arms' walls sat
+    // in fixed overhead (1.74 s vs 1.72 s — no measured
+    // delta-proportionality win). Scale the SIGNATURE corpus ×reps with
+    // id-shifted replicas, each replica's sig XORed with a disjoint
+    // ~8-bit mask: within-replica structure (the planted twins) is
+    // Hamming-preserved, cross-replica distances inflate past the
+    // verify threshold, and the arms finally separate on a corpus whose
+    // band join costs real time. set_diff still certifies inc ≡ full on
+    // exactly this scaled corpus.
+    val phashReps = sys.env.getOrElse("SPARK_GRAFT_PHASH_REPS", "1").toInt
+    val sigs =
+      if (phashReps <= 1) sigs0
+      else {
+        val n0 = sigs0.count()
+        val offset = (n0 / Stride + 1) * Stride
+        (0 until phashReps).map { r =>
+          val mask = if (r == 0) 0L else
+            (0 until 8).map(j => 1L << ((r * 17 + j * 7) % bits)).reduce(_ | _)
+          sigs0.select((col("doc_id") + lit(r * offset)).as("doc_id"),
+            col("sig").bitwiseXOR(lit(mask)).as("sig"))
+        }.reduce(_.unionByName(_)).localCheckpoint(true)
+      }
     val n = sigs.count()
     val width0 = graft.llm.LshCalibration.bitsFor(n, targetBucket = 4, minBits = 4)
     val nBands = math.max(2, bits / width0)
@@ -1723,7 +1745,7 @@ object ScaleBench {
       val full = IncrementalSig.buildPairs(sigs, bits, nBands, maxHam)
       val setDiff = inc.exceptAll(full).union(full.exceptAll(inc)).count()
       sweep()
-      emit("corpus" -> label, "op" -> "incphash",
+      emit("corpus" -> label, "op" -> "incphash", "sig_reps" -> phashReps,
         "n_docs" -> n, "n_delta" -> nd, "bits" -> bits, "n_bands" -> nBands,
         "band_width" -> (bits / nBands),
         "build_wall" -> buildWall, "delta_wall" -> deltaWall,
@@ -1826,9 +1848,33 @@ object ScaleBench {
     * stale quantizer serves worst. The measured gap-vs-ratio curve is
     * the rebuild policy's evidence (SCALING.md §3i).
     */
-  private def incVecMode(s: SparkSession, dir: String, label: String): Unit = {
-    val all = graft.Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"))
+  private def incVecMode(s: SparkSession, dir: String, label: String,
+      drift: String = "uniform"): Unit = {
+    // r16 VERDICT #4: 100 queries gave ±2-point recall floors and an
+    // inverted curve — the constant the curve pins must clear the noise.
+    // Default 1000 queries; truth runs through the bounded-heap TopK
+    // operator (the window row_number sort at 10^9 candidate rows was
+    // the old cost ceiling that forced the small query arm).
+    val nQCap = sys.env.getOrElse("SPARK_GRAFT_VEC_QUERIES", "1000").toInt
+    val raw = graft.Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val maxRep = raw.agg(max(col("vec_id"))).first().getLong(0) / Stride
+    val idxReps = math.max(1L, (maxRep + 1) / 5)
+    val cut = idxReps * Stride
+    // drift shape of the APPENDED mass (r16 VERDICT #4 / SCALING §3i):
+    //   - uniform: the corpus's own rep-rotated drift (appends spread
+    //     over all cells — measured: recall imposes no binding
+    //     constraint, the probe fraction bounds both arms);
+    //   - clustered: new mass CONCENTRATED in few cells (contraction
+    //     toward a fixed direction) — the regime where a frozen coarse
+    //     quantizer actually starves, which §3i flagged as unmeasured
+    val emb =
+      if (drift == "clustered")
+        raw.withColumn("embedding", when(col("vec_id") >= cut,
+            expr("transform(embedding, (x, i) -> " +
+              "cast(x * 0.3d + (case when i < 4 then 2.0d else 0.0d end) as float))"))
+          .otherwise(col("embedding")))
+      else raw
+    val all = emb
       .withColumn("nrm",
         sqrt(graft.functions.FloatVecDot(col("embedding"), col("embedding"))))
       .localCheckpoint(true)
@@ -1836,8 +1882,6 @@ object ScaleBench {
     // indexed = the first fifth of the corpus's reps (reps 0-9 at ×500);
     // append points at 0.2/0.5/1/2/4× the indexed mass, clipped to the
     // corpus and deduped so the mode also runs on smaller replica counts
-    val maxRep = all.agg(max(col("vec_id"))).first().getLong(0) / Stride
-    val idxReps = math.max(1L, (maxRep + 1) / 5)
     val indexed = all.filter(col("vec_id") < idxReps * Stride).localCheckpoint(true)
     val nIdx = indexed.count()
     val t0 = System.nanoTime()
@@ -1860,15 +1904,26 @@ object ScaleBench {
         col("vec_id") < upToRep * Stride).localCheckpoint(true)
       val nDelta = delta.count()
       val cur = indexed.unionByName(delta)
-      // queries: a deterministic sample of the DRIFTED mass (~20 ids per
-      // replica at the sf0.1 base density), capped at 100
-      val queries = delta.filter(col("vec_id") % 100 === 3)
-        .orderBy(col("vec_id")).limit(100).localCheckpoint(true)
+      // queries: a deterministic sample of the DRIFTED mass, capped at
+      // nQCap (default 1000 — r16 VERDICT #4)
+      val queries = delta.filter(col("vec_id") % 41 === 3)
+        .orderBy(col("vec_id")).limit(nQCap).localCheckpoint(true)
       val nQ = queries.count()
       require(nQ > 0, s"VACUOUS incvec point $name: no query rows sampled")
-      val truth = Similarity.bruteKnnOn(cur,
-          queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-            col("nrm").as("qn")), 5)
+      // exact ground truth via the bounded-heap TopK operator: the
+      // candidate volume is |cur| × nQ (10^9 at the top point) and the
+      // heap path shuffles ≤ partitions × nQ × 5 rows instead of
+      // sorting the full candidate set (same tiebreaker as bruteKnnOn:
+      // cos desc, id asc)
+      val qSide = queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+      val cand = cur.join(broadcast(qSide), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (graft.functions.FloatVecDot(col("embedding"), col("qv")) /
+            (col("qn") * col("nrm"))).as("cos"))
+      val truth = graft.plans.TopK.perGroup(cand, Seq("qid"),
+          Seq(("cos", false), ("nid", true)), 5)
+        .select(col("qid"), col("nid"))
         .localCheckpoint(true)
       val truthN = truth.count()
       require(truthN > 0, s"VACUOUS incvec point $name: empty ground truth")
@@ -1902,6 +1957,7 @@ object ScaleBench {
       val retrainedHits = truth.join(retrainedRows.select(col("qid"), col("nid")),
         Seq("qid", "nid"), "left_semi").count()
       emit("corpus" -> label, "op" -> "incvec", "arm" -> name,
+        "drift" -> drift,
         "n_indexed" -> nIdx, "n_appended" -> nDelta,
         "append_ratio" -> (nDelta.toDouble / nIdx),
         "n_queries" -> nQ, "build_wall" -> buildWall,
@@ -1936,9 +1992,12 @@ object ScaleBench {
         val allSoFar = docs.where(col("doc_id") % 25 <= m)
         val delta = docs.where(col("doc_id") % 25 === m)
         val nd = delta.count()
-        val (w, k) = timed2 {
-          IncrementalDedup.appendToIndex(s, idxDir, allSoFar, delta).count()
-        }
+        // single-run timing: appendToIndex MUTATES the artifacts, so a
+        // run-twice-take-min would both double-append the delta and time
+        // the second (differently-shaped) pass
+        val t0w = System.nanoTime()
+        val k = IncrementalDedup.appendToIndex(s, idxDir, allSoFar, delta).count()
+        val w = (System.nanoTime() - t0w) / 1e9
         sweep()
         kept = k
         emit("corpus" -> label, "op" -> "incmulti", "arm" -> s"append${m - 21}",
@@ -1998,12 +2057,12 @@ object ScaleBench {
       val del = docs.where(col("doc_id") % 50 === 7).select(col("doc_id"))
       val nDel = del.count()
       val survivors = docs.where(col("doc_id") % 50 =!= 7).select(col("doc_id"))
-      var kept = -1L
-      val (delWall, _) = timed2 {
-        val newLabels = IncrementalDedup.deleteFromIndex(s, idxDir, del)
-        kept = DedupResolve.keptFromLabels(survivors, newLabels).count()
-        kept
-      }
+      // single-run timing: deletion mutates the index; a second pass
+      // would find no tombstone-able labels and time a different shape
+      val t0d = System.nanoTime()
+      val kept = DedupResolve.keptFromLabels(survivors,
+        IncrementalDedup.deleteFromIndex(s, idxDir, del)).count()
+      val delWall = (System.nanoTime() - t0d) / 1e9
       sweep()
       val (fullWall, keptFull) = timed2 {
         val pairs = Dedup.lshVerifiedPairsDf(docs.where(col("doc_id") % 50 =!= 7))
@@ -2035,6 +2094,102 @@ object ScaleBench {
     }
   }
 
+  /** Round-17 `inccompact` — compaction priced and certified at scale
+    * (r16 VERDICT #3): build the maintained index, chain two appends
+    * (real epoch history), take down 14% (doc_id % 7 == 3 — the d47
+    * predicate, which by construction hits representatives, bridges,
+    * and exact-star minima), then COMPACT. Measured: the rewrite wall
+    * (corpus-proportional by design — the point of tombstones is that a
+    * takedown never pays it); certified: post-compact kept ≡ pre-compact
+    * kept (set_diff 0, asserted) AND the post-compact probe plan is
+    * still one-Exchange over a bucketed scan (the append-path plan pin,
+    * re-pinned across the compaction layout transition — exactly where
+    * a bucket-spec regression would hide).
+    */
+  private def incCompactMode(s: SparkSession, dir: String, label: String): Unit = {
+    import graft.llm.IncrementalDedup
+    val docs = graft.Tables.documents(s, dir)
+    val n = docs.count()
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val idxDir = java.nio.file.Files.createTempDirectory("inccompact").toString
+    try {
+      // base = 80%, two chained 10% appends → epoch history {0,1,2}
+      val base = docs.where(col("doc_id") % 10 < 8)
+      val t0 = System.nanoTime()
+      IncrementalDedup.writeIndex(IncrementalDedup.buildIndex(base), idxDir)
+      val buildWall = (System.nanoTime() - t0) / 1e9
+      sweep()
+      // ONE-shot timing throughout: every stage here MUTATES index
+      // state, so timed2's run-twice-take-min would time a no-op second
+      // pass (a second compaction sees no tombstones and returns in ms)
+      def timed1(f: => Unit): Double = {
+        val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+      }
+      val appendWalls = (8 to 9).map { m =>
+        val allSoFar = docs.where(col("doc_id") % 10 <= m)
+        val w = timed1 {
+          IncrementalDedup.appendToIndex(s, idxDir, allSoFar,
+            docs.where(col("doc_id") % 10 === m)).count()
+        }
+        sweep(); w
+      }
+      val del = docs.where(col("doc_id") % 7 === 3).select(col("doc_id"))
+      val nDel = del.count()
+      val survivors = docs.where(col("doc_id") % 7 =!= 3).select(col("doc_id"))
+      val delWall = timed1 {
+        IncrementalDedup.deleteFromIndex(s, idxDir, del).count()
+      }
+      sweep()
+      val preKept = DedupResolve.keptFromLabels(survivors,
+          IncrementalDedup.readIndex(s, idxDir).labels)
+        .localCheckpoint(true)
+      val nPre = preKept.count()
+      // NO sweep between here and the final certificates: preKept's
+      // checkpoint block feeds every set_diff below, and sweeping a
+      // localCheckpoint truncates lineage and poisons later stages
+      // (the r16 ScaleBench lesson, learned the hard way)
+      val compactWall = timed1 { IncrementalDedup.compactIndex(s, idxDir) }
+      val idx = IncrementalDedup.readIndex(s, idxDir)
+      val postKept = DedupResolve.keptFromLabels(survivors, idx.labels)
+      val setDiff = preKept.exceptAll(postKept).union(postKept.exceptAll(preKept)).count()
+      // post-compact probe plan pin: the delta band join must still be
+      // ONE exchange (delta side) over a bucketed corpus scan
+      val probeBands = graft.llm.Dedup.bandsOf(
+        docs.where(col("doc_id") % 97 === 5).select(col("doc_id"),
+          graft.functions.MinHashSig(col("text"), 5, 32).as("sig")), 32, 8)
+      val probePlan = idx.bands.get.alias("a")
+        .join(probeBands.hint("shuffle_hash").alias("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .queryExecution.executedPlan.toString
+      val exchanges = probePlan.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("ReusedExchange"))
+      val bucketed = probePlan.contains("Bucketed: true")
+      // gc: reclaim the pre-compaction generations, then re-certify
+      val gcWall = timed1 { graft.runtime.IndexStatePublisher.gc(idxDir) }
+      val postGc = DedupResolve.keptFromLabels(survivors,
+        IncrementalDedup.readIndex(s, idxDir).labels)
+      val gcDiff = preKept.exceptAll(postGc).union(postGc.exceptAll(preKept)).count()
+      emit("corpus" -> label, "op" -> "inccompact",
+        "n_docs" -> n, "n_deleted" -> nDel, "build_wall" -> buildWall,
+        "append_walls" -> appendWalls.map(w =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(w))).mkString("[", ",", "]"),
+        "delete_wall" -> delWall, "compact_wall" -> compactWall,
+        "gc_wall" -> gcWall, "kept" -> nPre, "set_diff" -> setDiff,
+        "gc_set_diff" -> gcDiff,
+        "probe_exchanges" -> exchanges, "probe_bucketed" -> bucketed)
+      require(nPre > 0 && nPre < n - nDel,
+        s"VACUOUS inccompact measurement: kept=$nPre of ${n - nDel} survivors")
+      require(setDiff == 0, s"compaction changed the answer (set_diff=$setDiff)")
+      require(gcDiff == 0, s"gc changed the answer (set_diff=$gcDiff)")
+      require(exchanges == 1 && bucketed,
+        s"post-compact probe plan regressed: $exchanges exchanges, bucketed=$bucketed")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    }
+  }
+
   /** `bpereal:<inc|full>` — the r15 crossover gap: the measured
     * delta-arm wins were all on synthetic zipf-hex tables; the one REAL
     * corpus point (×500, 78k words) sat below the crossover. This arm
@@ -2050,16 +2205,23 @@ object ScaleBench {
     */
   private def bpeRealArm(s: SparkSession, dir: String, label: String, arm: String): Unit = {
     val nMerges = sys.env.getOrElse("SPARK_GRAFT_REAL_MERGES", "1024").toInt
+    // r16 VERDICT #6: the corrected 1M gate has no real point above it —
+    // the class-expansion trick scales (24 → 96 classes ≈ 443k → >1.2M
+    // distinct words on the ×500 corpus), same zipf/co-occurrence
+    // preservation argument (each word splits into up-to-k sub-words
+    // whose counts sum to the original's)
+    val nClasses = sys.env.getOrElse("SPARK_GRAFT_REAL_CLASSES", "24").toInt
+    val minWords = sys.env.getOrElse("SPARK_GRAFT_REAL_MIN_WORDS", "400000").toLong
     val docs = graft.Tables.documents(s, dir)
     val expanded = docs.select(col("doc_id"), expr(
       "array_join(transform(filter(split(text, ' '), w -> w <> ''), " +
-        "w -> concat(w, 'x', cast(doc_id % 24 as string))), ' ')").as("text"))
+        s"w -> concat(w, 'x', cast(doc_id % $nClasses as string))), ' ')").as("text"))
     def sweep(): Unit =
       s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val seqs = graft.llm.Bpe.wordSeqs(expanded)
     val nWords = seqs.count()
-    require(nWords >= 400000L,
-      s"bpereal corpus too small: $nWords distinct words (need >= 400k)")
+    require(nWords >= minWords,
+      s"bpereal corpus too small: $nWords distinct words (need >= $minWords)")
     var total = 0.0
     var rounds = 0
     def probe(k: Int, hit: Long, w: Double): Unit = {
@@ -2072,6 +2234,7 @@ object ScaleBench {
     if (arm == "inc") graft.llm.Bpe.learnDeltaArm(seqs, nMerges, probe)
     else graft.llm.Bpe.learnFullArm(seqs, nMerges, probe)
     emit("corpus" -> label, "op" -> s"bpe_real_${arm}_total",
+      "n_classes" -> nClasses,
       "n_words" -> nWords, "merges" -> nMerges, "rounds" -> rounds,
       "total_wall" -> total,
       "per_round" -> (if (rounds == 0) -1.0 else total / rounds),
@@ -2126,8 +2289,10 @@ object ScaleBench {
       case "incphash" => incPhashMode(spark, dir, label)
       case "incsem" => incSemMode(spark, dir, label)
       case "incvec" => incVecMode(spark, dir, label)
+      case "incvecc" => incVecMode(spark, dir, label, drift = "clustered")
       case "incmulti" => incMultiMode(spark, dir, label)
       case "incdel" => incDelMode(spark, dir, label)
+      case "inccompact" => incCompactMode(spark, dir, label)
       case "inccontam" => incContamMode(spark, dir, label)
       case br if br.startsWith("bpereal:") =>
         bpeRealArm(spark, dir, label, br.stripPrefix("bpereal:"))

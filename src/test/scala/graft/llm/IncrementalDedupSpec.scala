@@ -317,6 +317,36 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("the bucketed probe plan SURVIVES compaction (still one exchange, fresh generation tables)") {
+    // r16 VERDICT #3: the append-path plan pin existed, the compact-path
+    // one didn't — and the append-history → one-generation layout
+    // transition is exactly where a bucket-spec regression would hide
+    val tmp = java.nio.file.Files.createTempDirectory("inccompactplan").toString
+    try {
+      IncrementalDedup.writeIndex(
+        IncrementalDedup.buildIndex(docsDf, rowsPerBand = 4), tmp, rowsPerBand = 4)
+      IncrementalDedup.deleteFromIndex(spark, tmp, Seq(4L, 5L).toDF("doc_id"))
+      IncrementalDedup.compactIndex(spark, tmp)
+      val loaded = IncrementalDedup.readIndex(spark, tmp)
+      val deltaBands = Dedup.bandsOf(
+        docsDf.where(col("doc_id").isin(14L, 19L)).select(col("doc_id"),
+          graft.functions.MinHashSig(col("text"), 5, 32).as("sig")), 32, 4)
+      val j = loaded.bands.get.alias("a")
+        .join(deltaBands.hint("shuffle_hash").alias("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+      val p = j.queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("ReusedExchange"))
+      assert(exchanges == 1,
+        s"post-compact probe should still have ONE exchange (the delta side), plan:\n$p")
+      assert(p.contains("Bucketed: true"),
+        s"post-compact corpus band scan is not a bucketed read, plan:\n$p")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("touched-cluster broadcast is guarded: above the bound the join degrades to shuffle, same answer") {
     val touched = Seq(0L, 2L).toDF("cluster")
     val pSmall = DedupResolve.guardedByCluster(touched)
