@@ -407,21 +407,32 @@ object IncrementalSig {
     val m = graft.runtime.IndexStatePublisher.current(dir)
     val meta = s.read.parquet(s"$dir/meta").collect()(0)
     val (bits, nBands) = (meta.getInt(0), meta.getInt(1))
+    // Suppression is MONOTONE: bucket population over visible docs only
+    // grows with the epoch, so "over cap at epoch k ⇒ over at every
+    // k' > k" — a bucket's ledger rows form a suffix [firstOver, K].
+    // Therefore "pair admitted ⇔ bucket not over at pe = max(ea, eb)"
+    // ⇔ "both endpoints' epochs < firstOver(bucket)", and the filter
+    // moves from the pair level to the ROW level — which is what keeps
+    // the rerun scale-safe: a mega-bucket the cap suppressed from
+    // epoch 0 contributes ZERO rows to the self-join instead of
+    // enumerating its quadratic candidates and discarding them.
+    val firstOver = readCapLedger(s, dir)
+      .groupBy(col("band"), col("bsig"))
+      .agg(min(col("epoch")).as("first_over"))
     val banded = bandsOfSig(
-      sigsWithEpoch.select(col("doc_id"), col("sig"), col("epoch")),
-      bits, nBands).localCheckpoint(true)
-    val led = readCapLedger(s, dir).withColumnRenamed("epoch", "pe")
+        sigsWithEpoch.select(col("doc_id"), col("sig"), col("epoch")),
+        bits, nBands)
+      .join(broadcast(firstOver), Seq("band", "bsig"), "left_outer")
+      .filter(col("first_over").isNull || col("epoch") < col("first_over"))
+      .drop("first_over")
+      .localCheckpoint(true)
     banded.alias("a")
       .join(banded.hint("shuffle_hash").alias("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"),
-        col("a.band").as("band"), col("a.bsig").as("bsig"),
-        greatest(col("a.epoch"), col("b.epoch")).as("pe"))
-      .join(broadcast(led), Seq("band", "bsig", "pe"), "left_anti")
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a_id"), col("b_id"), col("hamming"))
       .distinct()
   }
 

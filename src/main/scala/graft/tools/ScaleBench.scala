@@ -2094,6 +2094,88 @@ object ScaleBench {
     }
   }
 
+  /** Round-17 `incsigledger` — the d51 capped-ledger contract certified
+    * at ×500 (r16 VERDICT #2 closed at scale): base build + three
+    * chained CAPPED maintained appends with the per-epoch suppression
+    * sets persisted, then the LEDGER-AWARE RERUN recomputes the whole
+    * history from scratch — set_diff MUST be 0 (asserted), ledger
+    * non-empty (asserted: a cap that never binds certifies nothing).
+    * This replaces r16's posture ("capped appends drift 1.1%,
+    * documented") with a reproducibility certificate: the capped
+    * incremental answer now has a definition a rerun reproduces
+    * exactly. Geometry is count-calibrated (width from corpus count,
+    * restricted to divisors of the 32-bit signature) with the d25 cap.
+    */
+  private def incSigLedgerMode(s: SparkSession, dir: String, label: String): Unit = {
+    import graft.llm.IncrementalSig
+    val docs = graft.Tables.documents(s, dir)
+    val sigs = docs
+      .select(col("doc_id"), graft.functions.SimHashSig(col("text"), 32).as("sig"))
+      .where(col("sig") =!= lit(graft.functions.SimHashSig.Empty))
+      .localCheckpoint(true)
+    val n = sigs.count()
+    val width0 = graft.llm.LshCalibration.bitsFor(n, targetBucket = 32, minBits = 4)
+    val width = Seq(16, 8, 4).minBy(w => math.abs(w - width0))
+    val nBands = 32 / width
+    val cap = 64
+    val maxHam = 7
+    val protectedIds = s.sparkContext.getPersistentRDDs.keySet
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs
+        .foreach { case (id, r) => if (!protectedIds(id)) r.unpersist(true) }
+    def timed1(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    // epoch 0 = 94% base, epochs 1-3 = 2% deltas (the daily-batch shape)
+    val base = sigs.where(col("doc_id") % 50 <= 46)
+    val idxDir = java.nio.file.Files.createTempDirectory("incsigledger").toString
+    try {
+      var buildWall = 0.0
+      buildWall = timed1 {
+        val (pairs0, over0) = IncrementalSig.buildPairsWithLedger(
+          base, 32, nBands, maxHam, cap)
+        IncrementalSig.writeIndex(base, pairs0, idxDir, 32, nBands,
+          capLedger0 = Some(over0))
+      }
+      sweep()
+      val appendWalls = (47 to 49).map { m =>
+        val w = timed1 {
+          IncrementalSig.appendToIndex(s, idxDir,
+            sigs.where(col("doc_id") % 50 === m), maxHam, bucketCap = cap).count()
+        }
+        sweep(); w
+      }
+      val artifact = IncrementalSig.readIndex(s, idxDir).pairs.localCheckpoint(true)
+      val nInc = artifact.count()
+      val ledgerRows = IncrementalSig.readCapLedger(s, idxDir).count()
+      val sigsWithEpoch = sigs.withColumn("epoch",
+        when(col("doc_id") % 50 <= 46, lit(0))
+          .otherwise((col("doc_id") % 50 - 46).cast("int")))
+      var nRerun = -1L
+      val rerunWall = timed1 {
+        nRerun = IncrementalSig.rerunWithLedger(s, idxDir, sigsWithEpoch, maxHam).count()
+      }
+      val rerun = IncrementalSig.rerunWithLedger(s, idxDir, sigsWithEpoch, maxHam)
+      val setDiff = artifact.exceptAll(rerun).union(rerun.exceptAll(artifact)).count()
+      sweep()
+      emit("corpus" -> label, "op" -> "incsigledger",
+        "n_docs" -> n, "bits" -> 32, "n_bands" -> nBands, "band_width" -> width,
+        "cap" -> cap, "build_wall" -> buildWall,
+        "append_walls" -> appendWalls.map(w =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(w))).mkString("[", ",", "]"),
+        "rerun_wall" -> rerunWall, "ledger_rows" -> ledgerRows,
+        "pairs_inc" -> nInc, "pairs_rerun" -> nRerun, "set_diff" -> setDiff)
+      require(nInc > 0 && nRerun > 0,
+        s"VACUOUS incsigledger measurement (pairs_inc=$nInc, pairs_rerun=$nRerun)")
+      require(ledgerRows > 0,
+        "VACUOUS incsigledger measurement: the cap never bound (empty ledger)")
+      require(setDiff == 0,
+        s"capped maintained appends diverged from the ledger-aware rerun (set_diff=$setDiff)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    }
+  }
+
   /** Round-17 `inccompact` — compaction priced and certified at scale
     * (r16 VERDICT #3): build the maintained index, chain two appends
     * (real epoch history), take down 14% (doc_id % 7 == 3 — the d47
@@ -2293,6 +2375,7 @@ object ScaleBench {
       case "incmulti" => incMultiMode(spark, dir, label)
       case "incdel" => incDelMode(spark, dir, label)
       case "inccompact" => incCompactMode(spark, dir, label)
+      case "incsigledger" => incSigLedgerMode(spark, dir, label)
       case "inccontam" => incContamMode(spark, dir, label)
       case br if br.startsWith("bpereal:") =>
         bpeRealArm(spark, dir, label, br.stripPrefix("bpereal:"))
