@@ -1685,64 +1685,75 @@ object ScaleBench {
     */
   private def incPhashMode(s: SparkSession, dir: String, label: String): Unit = {
     import graft.llm.IncrementalSig
-    val sigs0 = Multimodal.perceptualHash(Multimodal.mediaTable(s, dir))
-      .toDF().withColumnRenamed("phash", "sig")
-      .localCheckpoint(true)
     val bits = 60
-    // r16 VERDICT #5: at the raw media-corpus size both arms' walls sat
-    // in fixed overhead (1.74 s vs 1.72 s — no measured
-    // delta-proportionality win). Scale the SIGNATURE corpus ×reps with
-    // id-shifted replicas, each replica's sig XORed with a disjoint
-    // ~8-bit mask: within-replica structure (the planted twins) is
-    // Hamming-preserved, cross-replica distances inflate past the
-    // verify threshold, and the arms finally separate on a corpus whose
-    // band join costs real time. set_diff still certifies inc ≡ full on
+    // r16 VERDICT #5 (take two): the r16 row — and the first r17 cut,
+    // which replicated precomputed SIGNATURES — showed no delta-vs-full
+    // separation because SIGNATURE COMPUTATION sat outside both walls
+    // and what remained was scan-bound on both arms. The honest cost
+    // model: a full RERUN recomputes every signature from the media
+    // payloads (the dominant production cost — decode + DCT per item);
+    // the delta pass computes signatures for the DELTA only and probes
+    // the persisted band table. So the MEDIA rows are replicated
+    // (id-shifted, same payloads) and perceptual hashing runs INSIDE
+    // each arm's wall; each replica's sig is XORed post-hash with a
+    // disjoint ~8-bit mask (within-replica Hamming structure — the
+    // planted twins — preserved; cross-replica distances inflated past
+    // the verify threshold). set_diff still certifies inc ≡ full on
     // exactly this scaled corpus.
     val phashReps = sys.env.getOrElse("SPARK_GRAFT_PHASH_REPS", "1").toInt
-    val sigs =
-      if (phashReps <= 1) sigs0
-      else {
-        val n0 = sigs0.count()
-        val offset = (n0 / Stride + 1) * Stride
-        (0 until phashReps).map { r =>
-          val mask = if (r == 0) 0L else
-            (0 until 8).map(j => 1L << ((r * 17 + j * 7) % bits)).reduce(_ | _)
-          sigs0.select((col("doc_id") + lit(r * offset)).as("doc_id"),
-            col("sig").bitwiseXOR(lit(mask)).as("sig"))
-        }.reduce(_.unionByName(_)).localCheckpoint(true)
-      }
-    val n = sigs.count()
+    val media0 = Multimodal.mediaTable(s, dir).toDF().localCheckpoint(true)
+    val n0 = media0.count()
+    val offset = (n0 / Stride + 1) * Stride
+    val media = (0 until phashReps).map { r =>
+      media0.select((col("doc_id") + lit(r * offset)).as("doc_id"),
+        col("payload"), col("kind"), col("n_bytes"))
+    }.reduce(_.unionByName(_)).localCheckpoint(true)
+    val n = media.count()
+    val maskSql = (0 until 8)
+      .map(j => s"shiftleft(cast(1 as bigint), int((r * 17 + ${j * 7}) % $bits))")
+      .mkString(" | ")
+    def sigsOf(m: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      Multimodal.perceptualHash(m.as[Multimodal.MediaRow]).toDF()
+        .withColumn("r", (col("doc_id") / lit(offset)).cast("int"))
+        .withColumn("sig",
+          expr(s"case when r = 0 then phash else phash ^ ($maskSql) end"))
+        .select(col("doc_id"), col("sig"))
+    }
     val width0 = graft.llm.LshCalibration.bitsFor(n, targetBucket = 4, minBits = 4)
     val nBands = math.max(2, bits / width0)
     val maxHam = 5
-    // protect the mode's own base checkpoint: unpersisting it between
-    // stages truncates its lineage and poisons every later stage
+    // protect the mode's own base checkpoints: unpersisting them between
+    // stages truncates their lineage and poisons every later stage
     // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
     val protectedIds = s.sparkContext.getPersistentRDDs.keySet
     def sweep(): Unit =
       s.sparkContext.getPersistentRDDs
         .foreach { case (id, r) => if (!protectedIds(id)) r.unpersist(true) }
-    val corpus = sigs.where(col("doc_id") % 50 =!= 7)
-    val delta = sigs.where(col("doc_id") % 50 === 7)
-    val nd = delta.count()
+    val corpusMedia = media.where(col("doc_id") % 50 =!= 7)
+    val deltaMedia = media.where(col("doc_id") % 50 === 7)
+    val nd = deltaMedia.count()
     val idxDir = java.nio.file.Files.createTempDirectory("incphash").toString
     try {
       val t0 = System.nanoTime()
-      IncrementalSig.writeIndex(corpus,
-        IncrementalSig.buildPairs(corpus, bits, nBands, maxHam), idxDir, bits, nBands)
+      val corpusSigs = sigsOf(corpusMedia)
+      IncrementalSig.writeIndex(corpusSigs,
+        IncrementalSig.buildPairs(corpusSigs, bits, nBands, maxHam), idxDir, bits, nBands)
       val buildWall = (System.nanoTime() - t0) / 1e9
       sweep()
       val idx = IncrementalSig.readIndex(s, idxDir)
+      // the daily pass: DELTA signatures from payloads + bucketed probe
       val (deltaWall, nInc) = timed2 {
-        IncrementalSig.appendPairs(idx, delta, maxHam).count()
+        IncrementalSig.appendPairs(idx, sigsOf(deltaMedia), maxHam).count()
       }
       sweep()
+      // the rerun: EVERY signature from payloads + the full band join
       val (fullWall, nFull) = timed2 {
-        IncrementalSig.buildPairs(sigs, bits, nBands, maxHam).count()
+        IncrementalSig.buildPairs(sigsOf(media), bits, nBands, maxHam).count()
       }
       sweep()
-      val inc = IncrementalSig.appendPairs(idx, delta, maxHam)
-      val full = IncrementalSig.buildPairs(sigs, bits, nBands, maxHam)
+      val inc = IncrementalSig.appendPairs(idx, sigsOf(deltaMedia), maxHam)
+      val full = IncrementalSig.buildPairs(sigsOf(media), bits, nBands, maxHam)
       val setDiff = inc.exceptAll(full).union(full.exceptAll(inc)).count()
       sweep()
       emit("corpus" -> label, "op" -> "incphash", "sig_reps" -> phashReps,
@@ -1867,11 +1878,18 @@ object ScaleBench {
     //   - clustered: new mass CONCENTRATED in few cells (contraction
     //     toward a fixed direction) — the regime where a frozen coarse
     //     quantizer actually starves, which §3i flagged as unmeasured
+    // clustered = pure SHIFT, no contraction: the first cut (0.3·x + big
+    // offset) compressed pairwise cosine spread below SQ8 resolution and
+    // recall degenerated to tie-breaking noise on BOTH arms (measured:
+    // 0.008 vs 0.007 at ratio 0.2 — though the serve-wall cliff, 59 s
+    // frozen vs 15 s retrained, was already real). A shift preserves the
+    // appended mass's internal geometry while still concentrating it in
+    // the few cells aligned with the shift direction.
     val emb =
       if (drift == "clustered")
         raw.withColumn("embedding", when(col("vec_id") >= cut,
             expr("transform(embedding, (x, i) -> " +
-              "cast(x * 0.3d + (case when i < 4 then 2.0d else 0.0d end) as float))"))
+              "cast(x + (case when i < 2 then 1.0d else 0.0d end) as float))"))
           .otherwise(col("embedding")))
       else raw
     val all = emb
