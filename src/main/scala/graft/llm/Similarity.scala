@@ -960,16 +960,39 @@ object Similarity {
 
   /** When to RETRAIN the frozen coarse quantizer — the rebuild decision
     * d44 defers, derived as computation (the d24/m05 calibration-as-code
-    * pattern applied to WHEN instead of HOW). The ScaleBench `incvec`
-    * mode measures recall@5 of the frozen-centroid index against exact
-    * brute-force ground truth as appended mass grows, head-to-head with
-    * a retrained index at each point (SCALING.md §3i, ×500 embeddings,
-    * appends drawn from rep-rotated — i.e. distribution-shifted —
-    * vectors, the adversarial drift case). The measured curve sets
-    * [[RebuildAppendRatio]]: below it the frozen index's recall stays
-    * within noise of the retrained one's; above it retraining pays.
-    * The predicate is the production loop's guard:
-    * append while `!shouldRebuild`, schedule a rebuild otherwise.
+    * pattern applied to WHEN instead of HOW). Round 17 re-measured the
+    * whole derivation at 1,000 queries (5,000 truth rows per point, 1σ
+    * difference floor ≈ ±0.95 recall points — the r16 curve's ±2-pt
+    * floors made the constant noise-pinned) and added the CLUSTERED
+    * drift arm the r16 derivation flagged as unmeasured
+    * (SCALING.md §3i/§3j, ScaleBench `incvec`/`incvecc`):
+    *
+    *  - UNIFORM drift: recall imposes NO binding constraint — the
+    *    retrained advantage is ≤ 1.3 pts (≤ 1.4σ) through 4× appended
+    *    mass. The binding signal is SERVE COST: the frozen index's
+    *    per-query wall crosses the retrained one's between ratio 2 and
+    *    4 (13.6 vs 19.1 s at 2×, 33.5 vs 22.6 s at 4×) —
+    *    [[UniformDriftAppendRatio]] = 2.0, the conservative side of
+    *    that bracket.
+    *  - CLUSTERED drift (appended mass concentrated in few cells — a
+    *    new domain/source): the frozen index starves on serve cost
+    *    IMMEDIATELY — 2.8× the retrained wall already at ratio 0.5,
+    *    5.6× at ratio 4 (26.6/9.5 → 155.1/27.8 s per 1,000 queries) —
+    *    because the whole drifted mass lands in the few stale cells
+    *    every drifted query must probe. Frozen recall actually EXCEEDS
+    *    retrained at fixed nProbe from ratio 2 up (0.58 vs 0.47: one
+    *    coarse cell holds all true neighbors, while a retrained
+    *    quantizer splits the dense region across more cells than
+    *    nProbe covers — retraining must be paired with an nProbe
+    *    re-tune), so the trigger is a COST trigger, not a recall one.
+    *    [[RebuildAppendRatio]] = 0.2: the smallest measured ratio
+    *    already shows the cliff.
+    *
+    * The default is the clustered (worst measured) constant — a
+    * pipeline that KNOWS its appends are distribution-stable may pass
+    * [[UniformDriftAppendRatio]] explicitly. The predicate is the
+    * production loop's guard: append while `!shouldRebuild`, schedule
+    * a rebuild otherwise.
     */
   def shouldRebuild(indexedN: Long, appendedN: Long,
       maxAppendRatio: Double = RebuildAppendRatio): Boolean = {
@@ -978,14 +1001,22 @@ object Similarity {
     appendedN.toDouble > maxAppendRatio * indexedN.toDouble
   }
 
-  /** The measured trigger point (see [[shouldRebuild]]): appended mass
-    * up to ~50% of the indexed mass left frozen-centroid recall within
-    * noise of a retrain on the r16 `incvec` curve; beyond it the
-    * frozen quantizer's cell populations no longer reflect the data and
-    * the recall gap opens. Conservative side of the measured curve, the
-    * [[graft.llm.Bpe.DeltaArmWords]] discipline.
+  /** The uniform-drift relaxation (see [[shouldRebuild]]): serve-cost
+    * crossover bracketed in (2, 4) on the ×500 uniform-drift curve.
     */
-  val RebuildAppendRatio: Double = 0.5
+  val UniformDriftAppendRatio: Double = 2.0
+
+  /** The measured trigger point (see [[shouldRebuild]]): the ×500
+    * clustered-drift curve shows the frozen index's serve wall already
+    * 2.8–4× the retrained one's at the SMALLEST measured append ratios
+    * (0.2–0.5), so the general default triggers there — the
+    * conservative side of the worst measured regime, the
+    * [[graft.llm.Bpe.DeltaArmWords]] discipline. (r16's 0.5 was pinned
+    * to a noise-limited 100-query recall curve; the r17 1,000-query
+    * re-measurement shows recall was never the binding constraint —
+    * serve cost is.)
+    */
+  val RebuildAppendRatio: Double = 0.2
 
   /** The IVF grid gate: the retuned point the scale runs measured best
     * (64 cells, 4 probes — recall 0.93 at a 6% scan at the ×50 corpus,

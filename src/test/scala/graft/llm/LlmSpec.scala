@@ -449,14 +449,27 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("AutoRebuild: the trigger fires exactly above the measured append ratio") {
-    // the d44 rebuild decision as computation (SCALING.md §3i): appends
-    // accumulate while appended/indexed <= RebuildAppendRatio; the first
-    // append crossing it schedules a retrain
+    // the d44 rebuild decision as computation (SCALING.md §3i/§3j):
+    // appends accumulate while appended/indexed <= RebuildAppendRatio;
+    // the first append crossing it schedules a retrain
     assert(!Similarity.shouldRebuild(1000L, 0L))
     assert(!Similarity.shouldRebuild(1000L,
       (Similarity.RebuildAppendRatio * 1000).toLong))
     assert(Similarity.shouldRebuild(1000L,
       (Similarity.RebuildAppendRatio * 1000).toLong + 1L))
     intercept[IllegalArgumentException](Similarity.shouldRebuild(0L, 1L))
+    // the r17 re-derivation (1,000-query curves, clustered + uniform
+    // drift): the general default is the clustered serve-cost cliff's
+    // smallest measured ratio; the uniform relaxation is the measured
+    // serve-cost crossover bracket's conservative side. Re-pin so a
+    // drive-by constant change must re-argue the curve.
+    assert(Similarity.RebuildAppendRatio == 0.2,
+      "RebuildAppendRatio derives from the x500 clustered-drift serve curve")
+    assert(Similarity.UniformDriftAppendRatio == 2.0,
+      "UniformDriftAppendRatio derives from the x500 uniform-drift serve crossover")
+    assert(!Similarity.shouldRebuild(1000L, 2000L,
+      maxAppendRatio = Similarity.UniformDriftAppendRatio))
+    assert(Similarity.shouldRebuild(1000L, 2001L,
+      maxAppendRatio = Similarity.UniformDriftAppendRatio))
   }
 }
