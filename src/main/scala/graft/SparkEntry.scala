@@ -282,6 +282,10 @@ object SparkEntry {
     // three chained capped appends; oracle = the epoch-capped full
     // rerun (suppression re-derived from running bucket populations)
     "d51_capped_ledger_append" -> (graft.llm.IncrementalSig.cappedMultiAppend _),
+    // d52: the d51 contract on the MINHASH family — capped maintained
+    // appends with a persisted ledger, answer = the resolved KEPT set;
+    // oracle = epoch-capped verified pairs ∪ exact stars → closure
+    "d52_capped_ledger_dedup" -> (graft.llm.IncrementalDedup.cappedMultiAppendDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -423,5 +427,6 @@ object SparkEntry {
     "d49_semantic_delete" -> graft.llm.IncrementalSemantic.semanticDeleteSql,
     "d50_signature_multi_append" -> graft.llm.IncrementalSig.simhashMultiAppendSql,
     "d51_capped_ledger_append" -> graft.llm.IncrementalSig.cappedMultiAppendSql,
+    "d52_capped_ledger_dedup" -> graft.llm.IncrementalDedup.cappedMultiAppendDedupSql,
   )
 }

@@ -568,6 +568,66 @@ object Dedup {
   private[llm] def lshVerifiedPairsSqlWhere(docWhere: String): String =
     lshVerifiedPairsSqlFor(vK, vRows, vEstMin, vJaccard, docWhere = docWhere)
 
+  /** The EPOCH-CAPPED variant of [[lshVerifiedPairsSqlFor]] — the d52
+    * oracle's pair stage (see
+    * [[IncrementalDedup.cappedMultiAppendDedup]]): documents carry an
+    * arrival epoch (`doc_id % epochMod`); a candidate pair is admitted
+    * iff some shared (band, sig) bucket's population among docs visible
+    * at the pair's birth epoch (`pe = greatest` of the endpoints') is
+    * within the cap — exactly the suppression rule every capped
+    * incremental append applies, re-derived here from running bucket
+    * populations instead of the persisted ledger. Admitted candidates
+    * run the unchanged est/Jaccard ladder.
+    */
+  def lshVerifiedPairsEpochCappedSql(
+      k: Int,
+      rowsPerBand: Int,
+      estMin: Double,
+      jaccardMin: Double,
+      bucketCap: Int,
+      epochMod: Int): String = {
+    val bandSelects = (0 until k / rowsPerBand).map { b =>
+      val sig = (0 until rowsPerBand).map(j => s"h${b * rowsPerBand + j}").mkString("||':'||")
+      s"SELECT doc_id, doc_id % $epochMod AS epoch, $b AS band, $sig AS sig FROM mh"
+    }.mkString(" UNION ALL ")
+    val matchSum = (0 until k)
+      .map(i => s"(CASE WHEN ma.h$i = mb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH mh AS (${minhashesSqlK(k, "")}),
+       |bands_all AS ($bandSelects),
+       |pop AS (
+       |  SELECT x.band, x.sig, kk.k AS pe, COUNT(*) AS cnt
+       |  FROM bands_all x JOIN range(0, $epochMod) kk(k) ON x.epoch <= kk.k
+       |  GROUP BY 1, 2, 3),
+       |cpairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands_all a
+       |  JOIN bands_all b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  JOIN pop p ON p.band = a.band AND p.sig = a.sig
+       |    AND p.pe = greatest(a.epoch, b.epoch)
+       |  WHERE p.cnt <= $bucketCap),
+       |cand AS (
+       |  SELECT p.a_id, p.b_id
+       |  FROM cpairs p JOIN mh ma ON ma.doc_id = p.a_id
+       |  JOIN mh mb ON mb.doc_id = p.b_id
+       |  WHERE CAST($matchSum AS DOUBLE) / $k.0 >= $estMin),
+       |grams AS (
+       |  SELECT doc_id, list(${sqlHash60("g")}) AS gs FROM (
+       |    SELECT DISTINCT doc_id, g FROM (
+       |      SELECT doc_id, unnest(${sqlShingles("text", 5)}) AS g FROM documents))
+       |  GROUP BY doc_id),
+       |scored AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+       |      / CAST(len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+       |      AS jaccard
+       |  FROM cand c
+       |  JOIN grams ga ON ga.doc_id = c.a_id
+       |  JOIN grams gb ON gb.doc_id = c.b_id)
+       |SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= $jaccardMin""".stripMargin
+  }
+
   /** The higher-recall parameterization of the composed ladder, end to
     * end: k = 48, bandsFor(0.8, 48) = 6 bands of 8 — S-curve midpoint
     * ≈ 0.80, sitting ON the verify threshold instead of above it, so a

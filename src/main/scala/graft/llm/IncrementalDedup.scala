@@ -184,6 +184,50 @@ object IncrementalDedup {
     CorpusIndex(hashes, sigs, DedupResolve.resolveClusters(pairs), pairs = Some(pairs))
   }
 
+  /** The CAPPED build with its epoch-0 suppression set — the d51/d52
+    * ledger pattern applied to the MinHash family. Two deliberate
+    * differences from [[buildIndex]]:
+    *   - the over-cap bucket set is computed and returned (persist it
+    *     via `writeIndex(capLedger0 = ...)` to make every later capped
+    *     append rerun-reproducible);
+    *   - the pair evidence includes the EXACT-dup group-min stars: a
+    *     capped banded channel loses pairs inside suppressed buckets,
+    *     and identical documents share ALL their buckets — a big exact
+    *     group caps away everywhere at once. Production runs exact
+    *     dedup first (d01); the uncapped builds don't need the channel
+    *     because LSH finds jaccard-1.0 pairs on its own.
+    */
+  def buildIndexWithLedger(
+      corpus: DataFrame,
+      k: Int = 32,
+      rowsPerBand: Int = 8,
+      estMin: Double = 0.6,
+      jaccardMin: Double = 0.8,
+      bucketCap: Int = Dedup.NoBucketCap): (CorpusIndex, DataFrame) = {
+    require(bucketCap != Dedup.NoBucketCap, "ledger build requires a finite cap")
+    val hashes = corpus.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("content_hash"))
+    val sigs = corpus.select(col("doc_id"),
+      graft.functions.MinHashSig(col("text"), 5, k).as("sig"))
+    val stars = hashes
+      .join(hashes.groupBy(col("content_hash")).agg(min(col("doc_id")).as("min_id")),
+        Seq("content_hash"))
+      .filter(col("doc_id") =!= col("min_id"))
+      .select(col("min_id").as("a_id"), col("doc_id").as("b_id"))
+    val pairs = Dedup.lshVerifiedPairsDf(corpus, k, rowsPerBand, estMin, jaccardMin, bucketCap)
+      .select(col("a_id"), col("b_id"))
+      .unionByName(stars)
+      .distinct()
+      .localCheckpoint(true)
+    val over0 = Dedup.bandsOf(sigs, k, rowsPerBand)
+      .groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
+      .filter(col("cn") > bucketCap)
+      .select(col("band"), col("bsig"))
+      .localCheckpoint(true)
+    (CorpusIndex(hashes, sigs, DedupResolve.resolveClusters(pairs),
+      pairs = Some(pairs)), over0)
+  }
+
   private def hashTable(loc: String) = IndexStore.tableFor("graft_inc_hash_", loc)
   private def bandTable(loc: String) = IndexStore.tableFor("graft_inc_bands_", loc)
   private def bcntTable(loc: String) = IndexStore.tableFor("graft_inc_bcnt_", loc)
@@ -201,22 +245,27 @@ object IncrementalDedup {
     * appended artifacts (`sigs`, `pairs`) in epoch directories.
     */
   def writeIndex(idx: CorpusIndex, dir: String,
-      k: Int = 32, rowsPerBand: Int = 8, nBuckets: Int = 32): Unit = {
+      k: Int = 32, rowsPerBand: Int = 8, nBuckets: Int = 32,
+      capLedger0: Option[DataFrame] = None): Unit = {
     val s = idx.sigs.sparkSession
     writeBucketedArtifacts(s, dir, idx.hashes, Dedup.bandsOf(idx.sigs, k, rowsPerBand),
       "hashes", "bands", "bandcounts", nBuckets)
     idx.sigs.write.mode("overwrite").parquet(s"$dir/sigs/epoch-0")
     idx.labels.write.mode("overwrite").parquet(s"$dir/labels/gen-0")
     idx.pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs/epoch-0"))
+    capLedger0.foreach(_.select(col("band"), col("bsig"))
+      .write.mode("overwrite").parquet(s"$dir/capledger/epoch-0"))
     s.range(1).selectExpr(s"$k AS k", s"$rowsPerBand AS rows_per_band",
         s"$nBuckets AS n_buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
     val entries = Map(
       "hashes" -> "hashes", "bands" -> "bands", "bandcounts" -> "bandcounts",
       "sigs" -> "sigs", "labels" -> "labels/gen-0") ++
-      (if (idx.pairs.nonEmpty) Map("pairs" -> "pairs") else Map.empty)
+      (if (idx.pairs.nonEmpty) Map("pairs" -> "pairs") else Map.empty) ++
+      (if (capLedger0.nonEmpty) Map("capledger" -> "capledger") else Map.empty)
     val epochs = Map("sigs" -> 0) ++
-      (if (idx.pairs.nonEmpty) Map("pairs" -> 0) else Map.empty)
+      (if (idx.pairs.nonEmpty) Map("pairs" -> 0) else Map.empty) ++
+      (if (capLedger0.nonEmpty) Map("capledger" -> 0) else Map.empty)
     IndexStatePublisher.publish(dir, IndexManifest(0L, entries, epochs))
   }
 
@@ -302,7 +351,8 @@ object IncrementalDedup {
       deltaHash: DataFrame,
       deltaSigs: DataFrame,
       deltaBands: DataFrame,
-      edges: DataFrame)
+      edges: DataFrame,
+      over: Option[DataFrame] = None)
 
   private def deltaEvidence(
       allDocs: DataFrame,
@@ -323,9 +373,19 @@ object IncrementalDedup {
     val corpusHits = idx.hashes.join(
       deltaHash.select(col("content_hash")).distinct().hint("shuffle_hash"),
       Seq("content_hash"))
-    val groupMin = corpusHits.unionByName(deltaHash)
+    val touchedMembers = corpusHits.unionByName(deltaHash)
+    val groupMin = touchedMembers
       .groupBy(col("content_hash")).agg(min(col("doc_id")).as("min_id"))
-    val exactStars = deltaHash
+    // star EVERY touched member to the group min, not just delta
+    // members: when the group's smallest id arrives in a LATER epoch,
+    // the arriving doc IS the min — a delta-only star would link nobody
+    // and (under a binding cap, where the banded jaccard-1.0 channel is
+    // suppressed) the group would silently stay split on its old
+    // representative (caught by d52 at sf0.1: kept 4767 vs 4766).
+    // Corpus-side members are the delta-probed HITS, so the channel
+    // stays delta-proportional; the extra corpus-member edges are
+    // connectivity-idempotent in the uncapped gates.
+    val exactStars = touchedMembers
       .join(groupMin, "content_hash")
       .filter(col("doc_id") =!= col("min_id"))
       .select(col("min_id").as("a_id"), col("doc_id").as("b_id"))
@@ -346,6 +406,7 @@ object IncrementalDedup {
     // persisted corpus count + delta count, examined for DELTA-TOUCHED
     // buckets only — output-equivalent to capping the full union, at a
     // delta-bucket-sized cost
+    var overLedger: Option[DataFrame] = None
     val (cb, db) =
       if (bucketCap == Dedup.NoBucketCap) (corpusBands, deltaBands)
       else {
@@ -369,6 +430,7 @@ object IncrementalDedup {
           .filter(coalesce(col("cn"), lit(0L)) + col("dn") > bucketCap)
           .select(col("band"), col("bsig"))
           .localCheckpoint(true)
+        overLedger = Some(over)
         (corpusBands.join(over, Seq("band", "bsig"), "left_anti"),
           deltaBands.join(over, Seq("band", "bsig"), "left_anti"))
       }
@@ -399,7 +461,8 @@ object IncrementalDedup {
       n = 5, minJaccard = jaccardMin)
 
     DeltaEvidence(deltaHash, deltaSigs, deltaBands,
-      exactStars.unionByName(verified.select(col("a_id"), col("b_id"))))
+      exactStars.unionByName(verified.select(col("a_id"), col("b_id"))),
+      overLedger)
   }
 
   /** The incremental pass: kept doc_ids of corpus ⊎ delta (one column,
@@ -490,13 +553,94 @@ object IncrementalDedup {
     edges.write.mode("overwrite")
       .parquet(s"$dir/$pairsRel/epoch-$pairEpoch")
     newLabels.write.mode("overwrite").parquet(s"$dir/labels/gen-${m.gen + 1}")
+    // a LEDGERED index (built via [[buildIndexWithLedger]]) persists the
+    // epoch's suppressed-bucket set beside the pairs — what makes capped
+    // maintained appends rerun-reproducible (d52; the d51 pattern).
+    // Uncapped appends on a ledgered index record an empty set.
+    val ledgered = m.pathOpt("capledger").nonEmpty
+    if (ledgered) {
+      val rows = ev.over.getOrElse {
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("band", IntegerType),
+            StructField("bsig", StringType))))
+      }
+      rows.select(col("band"), col("bsig"))
+        .write.mode("overwrite")
+        .parquet(s"$dir/${m.path("capledger")}/epoch-$sigEpoch")
+    }
     IndexStatePublisher.publish(dir, m
       .withEntry("labels", s"labels/gen-${m.gen + 1}")
       .withEntry("pairs", pairsRel)
       .withEpoch("sigs", sigEpoch)
       .withEpoch("pairs", pairEpoch)
-      .copy(gen = m.gen + 1))
+      .copy(gen = m.gen + 1,
+        epochs = m.epochs + ("sigs" -> sigEpoch) + ("pairs" -> pairEpoch) ++
+          (if (ledgered) Map("capledger" -> sigEpoch) else Map.empty)))
     DedupResolve.keptFromLabels(allDocs.select(col("doc_id")), newLabels)
+  }
+
+  /** The persisted cap ledger as one frame: (epoch, band, bsig). */
+  def readCapLedger(s: SparkSession, dir: String): DataFrame = {
+    val m = IndexStatePublisher.current(dir)
+    require(m.pathOpt("capledger").nonEmpty, s"index at $dir has no cap ledger")
+    m.epochPaths(dir, "capledger").zipWithIndex
+      .map { case (p, e) => s.read.parquet(p).withColumn("epoch", lit(e)) }
+      .reduce(_.unionByName(_))
+      .select(col("epoch"), col("band"), col("bsig"))
+  }
+
+  /** The LEDGER-AWARE RERUN for the MinHash family (the engineering
+    * contract of [[IncrementalSig.rerunWithLedger]], plus this family's
+    * est-prefilter/Jaccard-verify ladder and exact-dup channel): given
+    * every document tagged with its arrival epoch, recompute from
+    * scratch the exact KEPT set the capped maintained appends produced.
+    * Same monotonicity identity — suppression only grows, so "pair
+    * admitted ⇔ some shared bucket under cap at max(epoch_a, epoch_b)"
+    * collapses to the row filter `epoch < firstOver(bucket)`, and
+    * suppressed mega-buckets contribute zero rows to the self-join.
+    * Admitted candidates run the UNCHANGED est/Jaccard verify; exact
+    * connectivity is the global hash-group stars (epoch-wise group-min
+    * stars have the same transitive closure). Spec-pinned equal to the
+    * maintained artifact; d52 gates the same semantics against the
+    * DuckDB epoch-capped oracle.
+    */
+  def rerunKeptWithLedger(s: SparkSession, dir: String, docsWithEpoch: DataFrame,
+      estMin: Double = 0.6, jaccardMin: Double = 0.8): DataFrame = {
+    val meta = s.read.parquet(s"$dir/meta").collect()(0)
+    val (k, rpb) = (meta.getInt(0), meta.getInt(1))
+    val sigs = docsWithEpoch.select(col("doc_id"),
+      graft.functions.MinHashSig(col("text"), 5, k).as("sig"))
+    val firstOver = readCapLedger(s, dir)
+      .groupBy(col("band"), col("bsig"))
+      .agg(min(col("epoch")).as("first_over"))
+    val b = Dedup.bandsOf(sigs, k, rpb)
+      .join(docsWithEpoch.select(col("doc_id"), col("epoch")), Seq("doc_id"))
+      .join(broadcast(firstOver), Seq("band", "bsig"), "left_outer")
+      .filter(col("first_over").isNull || col("epoch") < col("first_over"))
+      .drop("first_over")
+      .localCheckpoint(true)
+    val cand = b.alias("a")
+      .join(b.hint("shuffle_hash").alias("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        Dedup.sigEst(k).as("est"))
+      .distinct()
+      .localCheckpoint(true)
+    val verified = Dedup.verifyJaccardDf(docsWithEpoch,
+      cand.filter(col("est") >= estMin).select(col("a_id"), col("b_id")),
+      n = 5, minJaccard = jaccardMin)
+    val hashes = docsWithEpoch.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("content_hash"))
+    val stars = hashes
+      .join(hashes.groupBy(col("content_hash")).agg(min(col("doc_id")).as("min_id")),
+        Seq("content_hash"))
+      .filter(col("doc_id") =!= col("min_id"))
+      .select(col("min_id").as("a_id"), col("doc_id").as("b_id"))
+    DedupResolve.keptFromLabels(docsWithEpoch.select(col("doc_id")),
+      DedupResolve.resolveClusters(
+        verified.select(col("a_id"), col("b_id")).unionByName(stars)))
   }
 
   /** Incremental DELETION (d47): remove `deleteIds0` from the corpus the
@@ -695,6 +839,75 @@ object IncrementalDedup {
   }
 
   val multiAppendDedupSql: String = DedupResolve.corpusDedupPipelineSql
+
+  /** d52's cap: 2 — buckets with ≥ 3 members suppress, which BINDS on
+    * every exact-dup trio and near-dup family at the verify SFs (a
+    * ledger gate whose ledger is empty gates nothing — the d51
+    * discipline), at the dense 8×4 banding.
+    */
+  val LedgerCap = 2
+
+  /** d52: k CAPPED maintained appends on the MINHASH family with a
+    * persisted cap ledger — d51's contract carried to the corpus-dedup
+    * index, whose answer is a KEPT SET resolved through the est/Jaccard
+    * verify ladder and the exact-dup channel (not a raw pair list).
+    * Base = the doc_id % 4 == 0 split (built CAPPED with
+    * [[buildIndexWithLedger]] — exact stars included, since a capped
+    * banded channel loses suppressed buckets' internal pairs), then
+    * three chained capped appends. Oracle:
+    * [[cappedMultiAppendDedupSql]] — the full rerun under EPOCH-CAPPED
+    * semantics (suppression re-derived from running bucket populations)
+    * plus global exact-star connectivity, resolved by the recursive-CTE
+    * closure. The Scala-side ledger replay
+    * ([[rerunKeptWithLedger]]) is additionally spec-pinned equal.
+    */
+  def cappedMultiAppendDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idxDir = IndexStore.tempIndexDir("graft-incdedled")
+    val (idx0, over0) = buildIndexWithLedger(docs.where(col("doc_id") % 4 === 0),
+      k = 32, rowsPerBand = 4, bucketCap = LedgerCap)
+    // nBuckets = 8 at the gate (layout knob; see appendDedup)
+    writeIndex(idx0, idxDir, k = 32, rowsPerBand = 4, nBuckets = 8,
+      capLedger0 = Some(over0))
+    var kept: DataFrame = null
+    (1 to 3).foreach { m =>
+      kept = appendToIndex(s, idxDir,
+        docs.where(col("doc_id") % 4 <= m),
+        docs.where(col("doc_id") % 4 === m),
+        bucketCap = LedgerCap)
+    }
+    kept
+  }
+
+  /** The epoch-capped full-rerun kept-set oracle (see
+    * [[cappedMultiAppendDedup]]): epoch-capped verified pairs ∪ global
+    * exact-dup group-min stars → transitive closure → keep the min
+    * doc_id per component.
+    */
+  val cappedMultiAppendDedupSql: String = {
+    val pairsSql = Dedup.lshVerifiedPairsEpochCappedSql(32, 4, 0.6, 0.8, LedgerCap, 4)
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |hashes AS (SELECT doc_id, md5(text) AS ch FROM documents),
+       |hstars AS (
+       |  SELECT m.min_id AS a_id, h.doc_id AS b_id
+       |  FROM hashes h
+       |  JOIN (SELECT ch, MIN(doc_id) AS min_id FROM hashes GROUP BY ch) m
+       |    ON h.ch = m.ch
+       |  WHERE h.doc_id <> m.min_id),
+       |edges AS (
+       |  SELECT a_id AS a, b_id AS b FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs
+       |  UNION SELECT a_id, b_id FROM hstars
+       |  UNION SELECT b_id, a_id FROM hstars),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> cluster)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** d47: the deletion gate — yesterday's index over the WHOLE corpus,
     * then every doc_id ≡ 3 (mod 7) is taken down (≈ 14%, and by

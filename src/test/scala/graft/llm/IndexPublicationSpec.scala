@@ -230,6 +230,39 @@ class IndexPublicationSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash cap ledger: capped maintained appends' KEPT SET is reproduced exactly by the ledger-aware rerun") {
+    // the d52 contract (d51 carried to the corpus-dedup family): the
+    // answer is a resolved kept set through the est/Jaccard verify
+    // ladder and the exact-dup channel, not a raw pair list
+    val docs = graft.Tables.documents(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("dedupledger").toString
+    try {
+      val (idx0, over0) = IncrementalDedup.buildIndexWithLedger(
+        docs.where(col("doc_id") % 4 === 0), k = 32, rowsPerBand = 4,
+        bucketCap = IncrementalDedup.LedgerCap)
+      IncrementalDedup.writeIndex(idx0, tmp, k = 32, rowsPerBand = 4,
+        nBuckets = 8, capLedger0 = Some(over0))
+      var kept: org.apache.spark.sql.DataFrame = null
+      (1 to 3).foreach { m =>
+        kept = IncrementalDedup.appendToIndex(spark, tmp,
+          docs.where(col("doc_id") % 4 <= m),
+          docs.where(col("doc_id") % 4 === m),
+          bucketCap = IncrementalDedup.LedgerCap)
+      }
+      val maintained = kept.as[Long].collect().toSet
+      assert(IncrementalDedup.readCapLedger(spark, tmp).count() > 0,
+        "cap never bound — the gate is vacuous")
+      val rerun = IncrementalDedup.rerunKeptWithLedger(spark, tmp,
+          docs.withColumn("epoch", (col("doc_id") % 4).cast("int")))
+        .as[Long].collect().toSet
+      assert(maintained == rerun,
+        s"ledger-aware rerun diverged: maintained ${maintained.size} vs rerun ${rerun.size}, " +
+          s"diff ${(maintained diff rerun).take(5)} / ${(rerun diff maintained).take(5)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("cap ledger: capped maintained appends are reproduced exactly by the ledger-aware rerun") {
     // a BINDING cap (the r15/r16 vacuity lesson: a gate whose ledger is
     // empty gates nothing) — 8 bands of 4 bits over sf0.001 gives
