@@ -2194,6 +2194,73 @@ object ScaleBench {
     }
   }
 
+  /** Round-17 `incdedupledger` — the d52 contract at ×500: the MINHASH
+    * family's capped maintained appends (kept-set answer through the
+    * est/Jaccard verify ladder + exact-star channel) reproduced exactly
+    * by the ledger-aware rerun. Completes the capped-family matrix
+    * ([[incSigLedgerMode]] certifies the bit-signature family).
+    */
+  private def incDedupLedgerMode(s: SparkSession, dir: String, label: String): Unit = {
+    import graft.llm.IncrementalDedup
+    val docs = graft.Tables.documents(s, dir).localCheckpoint(true)
+    val n = docs.count()
+    val cap = sys.env.getOrElse("SPARK_GRAFT_DEDUP_LEDGER_CAP", "64").toInt
+    val protectedIds = s.sparkContext.getPersistentRDDs.keySet
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs
+        .foreach { case (id, r) => if (!protectedIds(id)) r.unpersist(true) }
+    def timed1(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    // epoch 0 = 94% base, epochs 1-3 = 2% deltas (the daily-batch shape)
+    val idxDir = java.nio.file.Files.createTempDirectory("incdedupledger").toString
+    try {
+      val buildWall = timed1 {
+        val (idx0, over0) = IncrementalDedup.buildIndexWithLedger(
+          docs.where(col("doc_id") % 50 <= 46), bucketCap = cap)
+        IncrementalDedup.writeIndex(idx0, idxDir, capLedger0 = Some(over0))
+      }
+      sweep()
+      var kept = -1L
+      val appendWalls = (47 to 49).map { m =>
+        val w = timed1 {
+          kept = IncrementalDedup.appendToIndex(s, idxDir,
+            docs.where(col("doc_id") % 50 <= m),
+            docs.where(col("doc_id") % 50 === m), bucketCap = cap).count()
+        }
+        sweep(); w
+      }
+      val ledgerRows = IncrementalDedup.readCapLedger(s, idxDir).count()
+      val maintained = DedupResolve.keptFromLabels(docs.select(col("doc_id")),
+          IncrementalDedup.readIndex(s, idxDir).labels)
+        .localCheckpoint(true)
+      var nRerun = -1L
+      val docsWithEpoch = docs.withColumn("epoch",
+        when(col("doc_id") % 50 <= 46, lit(0))
+          .otherwise((col("doc_id") % 50 - 46).cast("int")))
+      val rerunWall = timed1 {
+        nRerun = IncrementalDedup.rerunKeptWithLedger(s, idxDir, docsWithEpoch).count()
+      }
+      val rerun = IncrementalDedup.rerunKeptWithLedger(s, idxDir, docsWithEpoch)
+      val setDiff = maintained.exceptAll(rerun).union(rerun.exceptAll(maintained)).count()
+      sweep()
+      emit("corpus" -> label, "op" -> "incdedupledger",
+        "n_docs" -> n, "cap" -> cap, "build_wall" -> buildWall,
+        "append_walls" -> appendWalls.map(w =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(w))).mkString("[", ",", "]"),
+        "rerun_wall" -> rerunWall, "ledger_rows" -> ledgerRows,
+        "kept_inc" -> kept, "kept_rerun" -> nRerun, "set_diff" -> setDiff)
+      require(kept > 0 && kept < n,
+        s"VACUOUS incdedupledger measurement: kept=$kept of $n")
+      require(ledgerRows > 0,
+        "VACUOUS incdedupledger measurement: the cap never bound (empty ledger)")
+      require(setDiff == 0,
+        s"capped maintained dedup diverged from the ledger-aware rerun (set_diff=$setDiff)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    }
+  }
+
   /** Round-17 `inccompact` — compaction priced and certified at scale
     * (r16 VERDICT #3): build the maintained index, chain two appends
     * (real epoch history), take down 14% (doc_id % 7 == 3 — the d47
@@ -2394,6 +2461,7 @@ object ScaleBench {
       case "incdel" => incDelMode(spark, dir, label)
       case "inccompact" => incCompactMode(spark, dir, label)
       case "incsigledger" => incSigLedgerMode(spark, dir, label)
+      case "incdedupledger" => incDedupLedgerMode(spark, dir, label)
       case "inccontam" => incContamMode(spark, dir, label)
       case br if br.startsWith("bpereal:") =>
         bpeRealArm(spark, dir, label, br.stripPrefix("bpereal:"))
