@@ -286,6 +286,16 @@ object SparkEntry {
     // appends with a persisted ledger, answer = the resolved KEPT set;
     // oracle = epoch-capped verified pairs ∪ exact stars → closure
     "d52_capped_ledger_dedup" -> (graft.llm.IncrementalDedup.cappedMultiAppendDedup _),
+    // d53: the d51 contract on the SEMANTIC (embedding) family — capped
+    // maintained appends with a persisted (table_id, bucket) ledger and
+    // a scale-adaptive cap; answer = the resolved kept vec_ids; oracle =
+    // epoch-capped sign-LSH pairs (cap re-derived from COUNT(*)) →
+    // cosine verify → closure
+    "d53_capped_ledger_semantic" -> (graft.llm.IncrementalSemantic.cappedSemanticMultiAppend _),
+    // d54: IVF-KNN at DERIVED geometry — cellsFor/probeFor/sampleFor
+    // from one count() (the d24 AutoBits discipline on the ANN family);
+    // oracle replays the derivation from COUNT(*) in SQL
+    "d54_ivf_auto_geometry" -> (graft.llm.Similarity.ivfKnnAuto _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -428,5 +438,7 @@ object SparkEntry {
     "d50_signature_multi_append" -> graft.llm.IncrementalSig.simhashMultiAppendSql,
     "d51_capped_ledger_append" -> graft.llm.IncrementalSig.cappedMultiAppendSql,
     "d52_capped_ledger_dedup" -> graft.llm.IncrementalDedup.cappedMultiAppendDedupSql,
+    "d53_capped_ledger_semantic" -> graft.llm.IncrementalSemantic.cappedSemanticMultiAppendSql,
+    "d54_ivf_auto_geometry" -> graft.llm.Similarity.ivfKnnAutoSql,
   )
 }

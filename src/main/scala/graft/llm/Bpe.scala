@@ -244,7 +244,28 @@ object Bpe {
   private val pendingRetained =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
       (org.apache.spark.sql.util.QueryExecutionListener, org.apache.spark.rdd.RDD[_],
-        java.lang.ref.WeakReference[DataFrame])]()
+        java.lang.ref.WeakReference[DataFrame], Long)]()
+
+  /** EXPLICITLY abandon the session's outstanding retained segmentation
+    * table (r17 ADVICE #3): unregister its consume listener and release
+    * its checkpoint block without requiring the frame to be consumed OR
+    * garbage-collected. This is the release path for callers that hold
+    * a reference to a retained frame they will never materialize —
+    * under `-XX:+DisableExplicitGC` (a common Spark production
+    * setting) [[drainPendingRetained]]'s weak-ref gate cannot clear, so
+    * WITHOUT this call an abandoned-but-reachable frame turns the next
+    * [[learnRetained]] into a hard [[IllegalStateException]]. No-op
+    * when nothing is outstanding. Safe only when the caller guarantees
+    * the frame will not be materialized afterwards (its checkpoint
+    * block is gone; an action on it would fail).
+    */
+  def releaseRetained(s: SparkSession): Unit = {
+    val prev = pendingRetained.get(s)
+    if (prev != null && pendingRetained.remove(s, prev)) {
+      try s.listenerManager.unregister(prev._1) catch { case _: Exception => () }
+      prev._2.unpersist(false)
+    }
+  }
 
   /** Drain the previous retained entry ONLY when it is provably safe
     * (r16 ADVICE): the old unconditional unpersist truncated a LIVE
@@ -257,18 +278,34 @@ object Bpe {
     *   2. weak-ref gate: if no strong reference to the retained
     *      DataFrame survives (the abandoned-caller case — watchdog
     *      expiry, schema-only inspection), nobody can materialize it,
-    *      so the drain is safe;
+    *      so the drain is safe. CAVEAT (r17 ADVICE #3): the gate
+    *      nudges the collector with `System.gc()`, which
+    *      `-XX:+DisableExplicitGC` turns into a no-op — under that
+    *      flag an abandoned-but-uncollected frame falls through to
+    *      step 3's refusal instead of draining. Callers that abandon a
+    *      retained frame they still reference must release it
+    *      explicitly via [[releaseRetained]]; the refusal message
+    *      names that path.
     *   3. otherwise the frame is still REACHABLE and unconsumed —
     *      refuse loudly. One retained frame per session is the
     *      contract; enforcing it beats silently breaking the first
     *      caller.
+    * The step-1 wait is skipped when the entry is OLD (≥ 30 s): an
+    * in-flight consume event dispatches within listener-bus latency
+    * (milliseconds), so waiting 2 s on a long-abandoned entry just
+    * taxes every recovery path (r17 ADVICE #3).
     */
   private[llm] def drainPendingRetained(s: SparkSession): Unit = {
     if (!pendingRetained.containsKey(s)) return
-    // 1. in-flight consume event
-    val deadline = System.nanoTime() + 2000L * 1000 * 1000
-    while (pendingRetained.containsKey(s) && System.nanoTime() < deadline &&
-        { Thread.sleep(25); pendingRetained.containsKey(s) }) ()
+    // 1. in-flight consume event — only worth waiting for on a YOUNG
+    // entry (listener-bus dispatch is sub-second; an old entry's event
+    // either fired long ago or will never fire)
+    val born = Option(pendingRetained.get(s)).map(_._4).getOrElse(0L)
+    if (System.nanoTime() - born < 30L * 1000 * 1000 * 1000) {
+      val deadline = System.nanoTime() + 2000L * 1000 * 1000
+      while (pendingRetained.containsKey(s) && System.nanoTime() < deadline &&
+          { Thread.sleep(25); pendingRetained.containsKey(s) }) ()
+    }
     val prev = pendingRetained.get(s)
     if (prev == null) return
     // 2. abandoned? (weak ref cleared once the caller dropped the frame)
@@ -284,9 +321,12 @@ object Bpe {
       // to choose between leaking and corrupting the first caller
       throw new IllegalStateException(
         "learnRetained: the previous retained segmentation table on this session " +
-          "is still reachable and has not been consumed — materialize it (or drop " +
-          "all references to it) before calling learnRetained again; retained " +
-          "tables are single-outstanding per session")
+          "is still reachable and has not been consumed — materialize it, drop " +
+          "all references to it, or release it explicitly with " +
+          "Bpe.releaseRetained(session) before calling learnRetained again " +
+          "(under -XX:+DisableExplicitGC the reference-drop path cannot be " +
+          "detected; use the explicit release); retained tables are " +
+          "single-outstanding per session")
     }
   }
 
@@ -318,7 +358,7 @@ object Bpe {
           }
         lm.register(listener)
         pendingRetained.put(s,
-          (listener, l.rdd, new java.lang.ref.WeakReference(cp)))
+          (listener, l.rdd, new java.lang.ref.WeakReference(cp), System.nanoTime()))
       case other =>
         // no checkpoint to manage — nothing retained, nothing leaks
         org.apache.logging.log4j.LogManager.getLogger(Bpe.getClass).warn(

@@ -763,6 +763,16 @@ object IncrementalDedup {
     */
   def compactIndex(s: SparkSession, dir: String): Unit = IndexStatePublisher.withWriterLock(dir) {
     val m = IndexStatePublisher.current(dir)
+    // a LEDGERED index's cap ledger is suppression HISTORY: an
+    // epoch-collapsed rewrite cannot preserve the d52 rerun contract
+    // (r17 ADVICE #2 — silently dropping the ledger made later capped
+    // appends stop recording). The ledgered path's compaction is a
+    // REBUILD via buildIndexWithLedger into a fresh directory, which
+    // re-derives a fresh epoch-0 suppression set from the survivors.
+    require(m.pathOpt("capledger").isEmpty,
+      s"index at $dir is ledgered; compaction would discard the cap " +
+        "ledger and break the rerun contract — rebuild with " +
+        "buildIndexWithLedger into a fresh directory instead")
     if (m.pathOpt("deleted").nonEmpty) {
       val meta = s.read.parquet(s"$dir/meta").collect()(0)
       val (k, rpb, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))

@@ -207,6 +207,15 @@ object IncrementalSig {
     import graft.runtime.{IndexManifest, IndexStatePublisher}
     IndexStatePublisher.withWriterLock(dir) {
       val m = IndexStatePublisher.current(dir)
+      // a LEDGERED index's cap ledger is suppression HISTORY: an
+      // epoch-collapsed rewrite cannot preserve the rerun contract
+      // (r17 ADVICE #2 — silently dropping the ledger made later capped
+      // appends stop recording). The ledgered path's compaction is a
+      // REBUILD via buildPairsWithLedger into a fresh directory.
+      require(m.pathOpt("capledger").isEmpty,
+        s"signature index at $dir is ledgered; compaction would discard " +
+          "the cap ledger and break the rerun contract — rebuild with " +
+          "buildPairsWithLedger into a fresh directory instead")
       if (m.pathOpt("deleted").nonEmpty) {
         val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(2)
         val idx = readIndex(s, dir) // tombstone-filtered views
@@ -658,33 +667,68 @@ object IncrementalSemantic {
 
   final case class SemIndex(buckets: DataFrame, labels: DataFrame,
       nTables: Int = NTables, bits: Int = Bits,
-      pairs: Option[DataFrame] = None)
+      pairs: Option[DataFrame] = None,
+      bucketCounts: Option[DataFrame] = None,
+      nBuckets: Int = 32)
 
   private def tableFor(dir: String): String =
     graft.runtime.IndexStore.tableFor("graft_sem_buckets_", dir)
+  private def bcntTableFor(dir: String): String =
+    graft.runtime.IndexStore.tableFor("graft_sem_bcnt_", dir)
 
   /** Write + PUBLISH (manifest generation 0; see
-    * [[IncrementalDedup.writeIndex]] — r16 VERDICT #1).
+    * [[IncrementalDedup.writeIndex]] — r16 VERDICT #1). A LEDGERED
+    * write (`capLedger0` present — the d53 capped posture, r17 VERDICT
+    * ask #3) additionally persists the per-bucket population counts
+    * (the cap's delta-side evidence, one count row per (append,
+    * bucket); readers SUM over delta-touched keys) and lays pairs +
+    * ledger out in EPOCH directories so maintained appends
+    * ([[appendToIndex]]) extend them append-only.
     */
   def writeIndex(corpusE: DataFrame, labels: DataFrame, dir: String,
       nBuckets: Int = 32, nTables: Int = NTables, bits: Int = Bits,
-      pairs: Option[DataFrame] = None): Unit = {
+      pairs: Option[DataFrame] = None,
+      capLedger0: Option[DataFrame] = None): Unit = {
     import graft.runtime.{IndexManifest, IndexStatePublisher}
     val s = corpusE.sparkSession
+    val ledgered = capLedger0.nonEmpty
+    require(!ledgered || pairs.nonEmpty,
+      "a ledgered semantic index persists its pair evidence")
+    val buckets = bucketsOf(corpusE)
     s.sql(s"DROP TABLE IF EXISTS ${tableFor(s"$dir/buckets")}")
-    bucketsOf(corpusE).write.mode("overwrite").format("parquet")
+    buckets.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "table_id", "bucket")
       .option("path", s"$dir/buckets")
       .saveAsTable(tableFor(s"$dir/buckets"))
     labels.write.mode("overwrite").parquet(s"$dir/labels/gen-0")
-    pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs/gen-0"))
+    if (ledgered) {
+      s.sql(s"DROP TABLE IF EXISTS ${bcntTableFor(s"$dir/bucketcounts")}")
+      buckets.groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("cn"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, "table_id", "bucket")
+        .option("path", s"$dir/bucketcounts")
+        .saveAsTable(bcntTableFor(s"$dir/bucketcounts"))
+      pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs/epoch-0"))
+      capLedger0.foreach(_.select(col("table_id"), col("bucket"))
+        .write.mode("overwrite").parquet(s"$dir/capledger/epoch-0"))
+    } else {
+      pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs/gen-0"))
+    }
     s.range(1).selectExpr(s"$nBuckets AS n_buckets",
         s"$nTables AS n_tables", s"$bits AS bits")
       .write.mode("overwrite").parquet(s"$dir/meta")
-    IndexStatePublisher.publish(dir, IndexManifest(0L,
-      Map("buckets" -> "buckets", "labels" -> "labels/gen-0") ++
-        (if (pairs.nonEmpty) Map("pairs" -> "pairs/gen-0") else Map.empty),
-      Map.empty))
+    val entries =
+      if (ledgered)
+        Map("buckets" -> "buckets", "labels" -> "labels/gen-0",
+          "bucketcounts" -> "bucketcounts", "pairs" -> "pairs",
+          "capledger" -> "capledger")
+      else
+        Map("buckets" -> "buckets", "labels" -> "labels/gen-0") ++
+          (if (pairs.nonEmpty) Map("pairs" -> "pairs/gen-0") else Map.empty)
+    val epochs =
+      if (ledgered) Map("pairs" -> 0, "capledger" -> 0)
+      else Map.empty[String, Int]
+    IndexStatePublisher.publish(dir, IndexManifest(0L, entries, epochs))
   }
 
   /** Load the index at its CURRENT published generation (one manifest
@@ -710,8 +754,20 @@ object IncrementalSemantic {
           .select(df.columns.map(col).toIndexedSeq: _*)
       case None => df
     }
-    val pairs = m.pathOpt("pairs").map(rel =>
-      minusDel(minusDel(s.read.parquet(s"$dir/$rel"), "a_id"), "b_id"))
+    // pairs live in EPOCH dirs on a ledgered (maintained-append) index,
+    // in a single gen-0 dir otherwise
+    val pairs = m.pathOpt("pairs").map { rel =>
+      val raw =
+        if (m.epochs.contains("pairs"))
+          s.read.parquet(m.epochPaths(dir, "pairs"): _*)
+        else s.read.parquet(s"$dir/$rel")
+      minusDel(minusDel(raw, "a_id"), "b_id")
+    }
+    val bcnt = m.pathOpt("bucketcounts").map(rel =>
+      graft.runtime.IndexStore.ensureBucketedTable(s,
+        bcntTableFor(s"$dir/$rel"),
+        "table_id INT, bucket INT, cn BIGINT",
+        "table_id, bucket", nb, s"$dir/$rel"))
     // bucket is INT: SignLshBuckets emits array<int> (≤ 32 bits of
     // bucket id by construction) — a BIGINT declaration here would read
     // the int32 parquet column as null and silently empty every probe
@@ -719,7 +775,7 @@ object IncrementalSemantic {
         tableFor(s"$dir/${m.path("buckets")}"),
         "vec_id BIGINT, table_id INT, bucket INT",
         "table_id, bucket", nb, s"$dir/${m.path("buckets")}"), "vec_id"),
-      s.read.parquet(s"$dir/${m.path("labels")}"), nt, bits, pairs)
+      s.read.parquet(s"$dir/${m.path("labels")}"), nt, bits, pairs, bcnt, nb)
   }
 
   /** Incremental DELETION from the semantic index (d49 — the d47
@@ -808,16 +864,224 @@ object IncrementalSemantic {
       .select(col("doc_id").as("vec_id"))
   }
 
+  /** The scale-adaptive d53 cap: 75% of the MEAN (table, bucket)
+    * population `n / 2^bits` — under it at the 25% base epoch, over it
+    * once the accumulated corpus approaches full size, so the ledger
+    * BINDS at every verify SF instead of going vacuous (the d51
+    * lesson) or suppressing everything (a fixed small cap at sf0.1).
+    * The DuckDB oracle computes the same expression from `COUNT(*)`,
+    * so the derivation itself is oracle-gated (the d24 AutoBits
+    * discipline).
+    */
+  def semLedgerCap(n: Long, bits: Int = Bits): Int =
+    math.max(1, math.floor(0.75 * n / (1L << bits)).toInt)
+
+  /** The CAPPED build arm with its epoch-0 suppression set (the
+    * d51/d52 ledger pattern on (table_id, bucket) — r17 VERDICT ask
+    * #3): same candidate/verify ladder as [[corpusPairs]] minus the
+    * over-cap buckets, which are returned for persistence.
+    */
+  private[graft] def corpusPairsWithLedger(e: DataFrame, bucketCap: Int,
+      minCos: Double = MinCos): (DataFrame, DataFrame) = {
+    require(bucketCap > 0, s"ledger build requires a finite positive cap, got $bucketCap")
+    val buckets0 = bucketsOf(e)
+    val over = buckets0.groupBy(col("table_id"), col("bucket"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") > bucketCap)
+      .select(col("table_id"), col("bucket"))
+      .localCheckpoint(true)
+    val buckets = buckets0.join(over, Seq("table_id", "bucket"), "left_anti")
+      .hint("shuffle_hash")
+    val ids = buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    (Similarity.verifyCosineOn(e.select(col("vec_id"), col("embedding"), col("nrm")),
+      ids, minCos), over)
+  }
+
+  /** One MAINTAINED append on the semantic index (the d46/d51 lifecycle
+    * for the embedding family — r17 VERDICT ask #3: before this, the
+    * capped posture on embeddings was either impossible or
+    * drift-unbounded). Under the writer lock: capped delta candidates
+    * (suppression from the PERSISTED per-bucket counts summed over
+    * delta-touched keys + the delta's own counts — population among
+    * vectors visible this epoch, examined for delta-touched buckets
+    * only), cosine verify, touched-subgraph label resolution; then the
+    * write-back — delta bucket rows appended in the bucket layout, one
+    * count row per (append, bucket), verified pairs + the epoch's
+    * suppressed-bucket set in fresh epoch dirs, labels rewritten to a
+    * fresh generation — and the manifest CAS. Requires a LEDGERED index
+    * ([[writeIndex]] with `capLedger0`): the epoch layout is what makes
+    * the capped answer rerun-reproducible ([[rerunKeptWithLedger]]).
+    * Returns the kept vec_ids of `allE` (the accumulated corpus).
+    */
+  def appendToIndex(s: SparkSession, dir: String, allE: DataFrame,
+      delta: DataFrame, minCos: Double = MinCos,
+      bucketCap: Int = Dedup.NoBucketCap): DataFrame = {
+    import graft.runtime.IndexStatePublisher
+    IndexStatePublisher.withWriterLock(dir) {
+      val m = IndexStatePublisher.current(dir)
+      require(m.epochs.contains("pairs") && m.pathOpt("capledger").nonEmpty,
+        s"semantic index at $dir is not ledgered — maintained appends need " +
+          "the epoch layout (writeIndex with capLedger0)")
+      val idx = readIndex(s, dir)
+      val db0 = bucketsOf(withSigs(delta, idx.nTables, idx.bits).localCheckpoint(true))
+        .localCheckpoint(true)
+      var overLedger: Option[DataFrame] = None
+      val (cb, db) =
+        if (bucketCap == Dedup.NoBucketCap) (idx.buckets, db0)
+        else {
+          require(bucketCap > 0,
+            s"bucketCap must be positive or NoBucketCap, got $bucketCap")
+          val cCnt0 = idx.bucketCounts.getOrElse(
+            idx.buckets.groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("cn")))
+          val dCnt = db0.groupBy(col("table_id"), col("bucket"))
+            .agg(count(lit(1)).as("dn"))
+            .localCheckpoint(true)
+          val cCnt = cCnt0
+            .join(dCnt.select(col("table_id"), col("bucket")).hint("shuffle_hash"),
+              Seq("table_id", "bucket"))
+            .groupBy(col("table_id"), col("bucket")).agg(sum(col("cn")).as("cn"))
+          val over = dCnt
+            .join(cCnt, Seq("table_id", "bucket"), "left_outer")
+            .filter(coalesce(col("cn"), lit(0L)) + col("dn") > bucketCap)
+            .select(col("table_id"), col("bucket"))
+            .localCheckpoint(true)
+          overLedger = Some(over)
+          (idx.buckets.join(over, Seq("table_id", "bucket"), "left_anti"),
+            db0.join(over, Seq("table_id", "bucket"), "left_anti"))
+        }
+      val candCD = cb.alias("a")
+        .join(db.hint("shuffle_hash").alias("b"),
+          col("a.table_id") === col("b.table_id") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(
+          least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
+          greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"))
+      val candDD = db.hint("shuffle_hash").alias("a")
+        .join(db.alias("b"),
+          col("a.table_id") === col("b.table_id") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      val candIds = candCD.unionByName(candDD).distinct().localCheckpoint(true)
+      val verified = Similarity.verifyCosineOn(
+          allE.select(col("vec_id"), col("embedding"), col("nrm")), candIds, minCos)
+        .localCheckpoint(true) // materialize BEFORE mutating its input tables
+      val newLabels = DedupResolve.incrementalLabels(idx.labels, verified)
+        .localCheckpoint(true)
+      // write-back (delta-proportional; labels ∝ dup-cluster membership)
+      db0.write.mode("append").format("parquet")
+        .bucketBy(idx.nBuckets, "table_id", "bucket")
+        .option("path", s"$dir/${m.path("buckets")}")
+        .saveAsTable(tableFor(s"$dir/${m.path("buckets")}"))
+      db0.groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("cn"))
+        .write.mode("append").format("parquet")
+        .bucketBy(idx.nBuckets, "table_id", "bucket")
+        .option("path", s"$dir/${m.path("bucketcounts")}")
+        .saveAsTable(bcntTableFor(s"$dir/${m.path("bucketcounts")}"))
+      val epoch = m.epochs("pairs") + 1
+      verified.write.mode("overwrite")
+        .parquet(s"$dir/${m.path("pairs")}/epoch-$epoch")
+      val ledgerRows = overLedger.getOrElse {
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("table_id", IntegerType),
+            StructField("bucket", IntegerType))))
+      }
+      ledgerRows.select(col("table_id"), col("bucket"))
+        .write.mode("overwrite")
+        .parquet(s"$dir/${m.path("capledger")}/epoch-$epoch")
+      newLabels.write.mode("overwrite").parquet(s"$dir/labels/gen-${m.gen + 1}")
+      IndexStatePublisher.publish(dir, m
+        .withEntry("labels", s"labels/gen-${m.gen + 1}")
+        .withEpoch("pairs", epoch)
+        .withEpoch("capledger", epoch)
+        .copy(gen = m.gen + 1))
+      DedupResolve.keptFromLabels(
+          allE.select(col("vec_id").as("doc_id")), newLabels)
+        .select(col("doc_id").as("vec_id"))
+    }
+  }
+
+  /** The persisted cap ledger as one frame: (epoch, table_id, bucket). */
+  def readCapLedger(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.runtime.IndexStatePublisher.current(dir)
+    require(m.pathOpt("capledger").nonEmpty, s"index at $dir has no cap ledger")
+    m.epochPaths(dir, "capledger").zipWithIndex
+      .map { case (p, e) => s.read.parquet(p).withColumn("epoch", lit(e)) }
+      .reduce(_.unionByName(_))
+      .select(col("epoch"), col("table_id"), col("bucket"))
+  }
+
+  /** The LEDGER-AWARE RERUN for the semantic family (the
+    * [[IncrementalSig.rerunWithLedger]] contract plus this family's
+    * cosine verify and component resolution): given every vector tagged
+    * with its arrival epoch, recompute from scratch the exact KEPT set
+    * the capped maintained appends produced. Same monotonicity
+    * identity — visible bucket populations only grow, so suppression
+    * collapses to the row filter `epoch < firstOver(bucket)` and a
+    * mega-bucket suppressed from epoch 0 contributes ZERO rows to the
+    * self-join. Spec-pinned equal to the maintained answer; d53 gates
+    * the same semantics against the DuckDB epoch-capped oracle.
+    */
+  def rerunKeptWithLedger(s: SparkSession, dir: String,
+      vecsWithEpoch: DataFrame, minCos: Double = MinCos): DataFrame = {
+    val m = graft.runtime.IndexStatePublisher.current(dir)
+    val meta = s.read.parquet(s"$dir/meta").collect()(0)
+    val (nt, bits) =
+      if (meta.length >= 3) (meta.getInt(1), meta.getInt(2)) else (NTables, Bits)
+    val e = withSigs(vecsWithEpoch, nt, bits).localCheckpoint(true)
+    val firstOver = readCapLedger(s, dir)
+      .groupBy(col("table_id"), col("bucket"))
+      .agg(min(col("epoch")).as("first_over"))
+    val b = e.select(col("vec_id"), col("epoch"), posexplode(col("sigs")))
+      .withColumnRenamed("pos", "table_id")
+      .withColumnRenamed("col", "bucket")
+      .join(broadcast(firstOver), Seq("table_id", "bucket"), "left_outer")
+      .filter(col("first_over").isNull || col("epoch") < col("first_over"))
+      .drop("first_over")
+      .localCheckpoint(true)
+    val cand = b.alias("a")
+      .join(b.hint("shuffle_hash").alias("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val verified = Similarity.verifyCosineOn(
+      e.select(col("vec_id"), col("embedding"), col("nrm")), cand, minCos)
+    DedupResolve.keptFromLabels(
+        vecsWithEpoch.select(col("vec_id").as("doc_id")),
+        DedupResolve.resolveClusters(verified))
+      .select(col("doc_id").as("vec_id"))
+  }
+
   /** Rebuild-time compaction (see [[IncrementalDedup.compactIndex]]):
     * rewrite the bucket table and pair evidence minus tombstoned rows
     * into FRESH generation-suffixed directories, drop the tombstone
     * entry, switch with the manifest CAS. Labels were already rewritten
-    * at delete time. Answer-invariant.
+    * at delete time. Answer-invariant. REFUSED on a ledgered index:
+    * the cap ledger is suppression HISTORY — no epoch-collapsed rewrite
+    * can preserve the rerun contract (epoch tags in
+    * [[rerunKeptWithLedger]] align with the persisted epochs). The
+    * ledgered path's compaction is a REBUILD: [[corpusPairsWithLedger]]
+    * over the surviving corpus into a fresh directory, which re-derives
+    * a fresh epoch-0 suppression set.
     */
   def compactIndex(s: SparkSession, dir: String): Unit = {
     import graft.runtime.IndexStatePublisher
     IndexStatePublisher.withWriterLock(dir) {
       val m = IndexStatePublisher.current(dir)
+      require(m.pathOpt("capledger").isEmpty,
+        s"semantic index at $dir is ledgered; compaction would discard the " +
+          "cap ledger and break the rerun contract — rebuild with " +
+          "corpusPairsWithLedger into a fresh directory instead")
       if (m.pathOpt("deleted").nonEmpty) {
         val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(0)
         val idx = readIndex(s, dir)
@@ -914,6 +1178,103 @@ object IncrementalSemantic {
        |  SELECT a, b FROM edges
        |  UNION
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM lbl WHERE id <> cluster)
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** d53: k CAPPED maintained appends on the SEMANTIC family with a
+    * persisted cap ledger — the d51/d52 contract carried to embeddings
+    * (r17 VERDICT ask #3: the one family where the capped posture was
+    * previously impossible-or-drifting). Base = the vec_id % 4 == 0
+    * split built capped ([[corpusPairsWithLedger]]), then three chained
+    * capped appends through the maintained index ([[appendToIndex]]),
+    * every epoch's suppressed (table_id, bucket) set persisted beside
+    * the pairs. The cap is SCALE-ADAPTIVE ([[semLedgerCap]]) so it
+    * binds without blanket-suppressing at every verify SF. Answer: the
+    * kept vec_ids. Oracle: [[cappedSemanticMultiAppendSql]] — the full
+    * rerun under EPOCH-CAPPED semantics (suppression re-derived from
+    * running bucket populations, cap re-derived from COUNT(*)),
+    * resolved by the recursive-CTE closure. The Scala-side ledger
+    * replay ([[rerunKeptWithLedger]]) is additionally spec-pinned
+    * equal to the maintained answer.
+    */
+  def cappedSemanticMultiAppend(s: SparkSession, dir: String): DataFrame = {
+    val all = withNrm(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      .localCheckpoint(true)
+    val cap = semLedgerCap(all.count())
+    val base = withSigs(all.filter(col("vec_id") % 4 === 0)).localCheckpoint(true)
+    val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-incsemled")
+    val (pairs0, over0) = corpusPairsWithLedger(base, cap)
+    val pairs0c = pairs0.localCheckpoint(true)
+    // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
+    writeIndex(base, DedupResolve.resolveClusters(pairs0c), idxDir, nBuckets = 8,
+      pairs = Some(pairs0c), capLedger0 = Some(over0))
+    var kept: DataFrame = null
+    (1 to 3).foreach { m =>
+      kept = appendToIndex(s, idxDir, all, all.filter(col("vec_id") % 4 === m),
+        bucketCap = cap)
+    }
+    kept
+  }
+
+  /** The epoch-capped full-rerun kept-set oracle (see
+    * [[cappedSemanticMultiAppend]]): the d45 plane/bucket arithmetic at
+    * the pinned (8, 4, 0.35) with vectors carrying `vec_id % 4` arrival
+    * epochs; a candidate pair is admitted iff some shared (table,
+    * bucket)'s population among vectors visible at the pair's birth
+    * epoch is within the cap (`pop` re-derives the suppression sets the
+    * engine persists; `cap` re-derives [[semLedgerCap]] from COUNT(*));
+    * admitted candidates run the unchanged cosine verify, components
+    * close recursively, kept = min per component.
+    */
+  val cappedSemanticMultiAppendSql: String = {
+    val (nTables, bits, minCos, epochMod) = (NTables, Bits, MinCos, 4)
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |cap AS (
+       |  SELECT GREATEST(1, CAST(FLOOR(0.75 * COUNT(*) / ${1 << bits}) AS BIGINT)) AS cap
+       |  FROM embeddings),
+       |planes AS MATERIALIZED (
+       |  SELECT j, i,
+       |    (((${Hashing.sqlHash60("j||':'||i")}) % 2000) - 1000)/1000.0 AS w
+       |  FROM range(0, ${nTables * bits}) t1(j), range(0, 64) t2(i)),
+       |dots AS (
+       |  SELECT e.vec_id, p.j, SUM(e.v[p.i + 1] * p.w) AS d
+       |  FROM e, planes p GROUP BY e.vec_id, p.j),
+       |buckets AS (
+       |  SELECT vec_id, vec_id % $epochMod AS epoch, j // $bits AS table_id,
+       |    SUM(CASE WHEN d >= 0 THEN (1 << (j % $bits)) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY vec_id, j // $bits),
+       |pop AS (
+       |  SELECT x.table_id, x.bucket, kk.k AS pe, COUNT(*) AS cnt
+       |  FROM buckets x JOIN range(0, $epochMod) kk(k) ON x.epoch <= kk.k
+       |  GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM buckets a
+       |  JOIN buckets b
+       |    ON a.table_id = b.table_id AND a.bucket = b.bucket
+       |      AND a.vec_id < b.vec_id
+       |  JOIN pop p ON p.table_id = a.table_id AND p.bucket = a.bucket
+       |    AND p.pe = greatest(a.epoch, b.epoch)
+       |  WHERE p.cnt <= (SELECT cap FROM cap)),
+       |pairs AS (
+       |  SELECT c.a_id, c.b_id
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.a_id
+       |  JOIN e eb ON eb.vec_id = c.b_id
+       |  WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) >= $minCos),
+       |edges AS (
+       |  SELECT a_id AS a, b_id AS b FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
        |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
        |SELECT vec_id FROM embeddings
        |WHERE vec_id NOT IN (SELECT id FROM lbl WHERE id <> cluster)

@@ -992,7 +992,14 @@ object Similarity {
     * pipeline that KNOWS its appends are distribution-stable may pass
     * [[UniformDriftAppendRatio]] explicitly. The predicate is the
     * production loop's guard: append while `!shouldRebuild`, schedule
-    * a rebuild otherwise.
+    * a rebuild otherwise. THE REBUILD IT SCHEDULES IS retrain + RE-TUNE
+    * (r17 VERDICT ask #2): re-derive the geometry at the accumulated
+    * count — nCells = [[cellsFor]](n), nProbe = [[probeFor]](nCells),
+    * sampleN = [[ivfSampleFor]](nCells) — then retrain centroids at
+    * that geometry. Retraining at FIXED geometry is measurably worse
+    * than not retraining at all on clustered-drift recall (0.47 vs
+    * 0.58 at ratio 4); the ×500 `incvecc` retuned arm certifies the
+    * paired rebuild dominates frozen on both serve wall and recall.
     */
   def shouldRebuild(indexedN: Long, appendedN: Long,
       maxAppendRatio: Double = RebuildAppendRatio): Boolean = {
@@ -1026,6 +1033,134 @@ object Similarity {
     ivfKnn(s, dir, nCells = 64, nProbe = 4)
 
   val ivfKnn64Sql: String = ivfKnnSqlFor(64, 4, 200)
+
+  /** The measured-best cell POPULATION: the ×50 grid point (100k
+    * vectors at 64 cells × 4 probes — recall 0.93 on a 6% scan,
+    * SCALING.md §3b/§3d) expressed as a density, the anchor
+    * [[cellsFor]] holds as the corpus grows.
+    */
+  val IvfTargetCellPop: Int = 1562
+
+  /** The measured-best scan fraction (4/64 at the ×50 point): the
+    * share of cells a query probes, held constant by [[probeFor]].
+    */
+  val IvfScanFrac: Double = 0.0625
+
+  /** IVF geometry derivation at (re)build time (r17 VERDICT ask #2 —
+    * the d24 AutoBits pattern on the ANN family): nCells = the
+    * power-of-2 nearest n / [[IvfTargetCellPop]], clamped to
+    * [minCells, maxCells]. The r17 clustered-drift curve measured WHY
+    * this must accompany every retrain: retraining at FIXED geometry
+    * lost 11 recall points at ratio 4 (0.47 vs frozen 0.58,
+    * SCALING.md §3j) because the re-trained quantizer splits the dense
+    * region across more cells than the stale nProbe covers — the
+    * rebuild [[shouldRebuild]] schedules is only half the fix without
+    * the re-tune. Fixed geometry is also the measured quadratic cliff
+    * (75 s vs 5.8 s retuned at ×10, SCALING.md §3b).
+    */
+  def cellsFor(n: Long, targetCell: Int = IvfTargetCellPop,
+      minCells: Int = 16, maxCells: Int = 4096): Int = {
+    require(n > 0, s"corpus count must be positive, got $n")
+    val raw = math.min(math.max(n.toDouble / targetCell, minCells.toDouble),
+      maxCells.toDouble)
+    1 << math.round(math.log(raw) / math.log(2)).toInt
+  }
+
+  /** The probe half of the re-tune (see [[cellsFor]]): hold the scan
+    * fraction at the measured-best [[IvfScanFrac]] — nProbe grows with
+    * nCells so a retrained quantizer that splits a dense region across
+    * more cells still covers it (the r17 clustered-drift recall hole).
+    */
+  def probeFor(nCells: Int, scanFrac: Double = IvfScanFrac,
+      minProbe: Int = 2): Int =
+    math.max(minProbe, math.round(nCells * scanFrac).toInt)
+
+  /** Lloyd-sample size scaled with the cell count (≥ 4 sample vectors
+    * per cell; 200 = the historical fixed point at ≤ 50 cells). A
+    * sample smaller than the cell count degenerates the M-step.
+    */
+  def ivfSampleFor(nCells: Int): Int = math.max(200, 4 * nCells)
+
+  /** d54: IVF-KNN at DERIVED geometry — one count() derives
+    * (nCells, nProbe, sampleN) via [[cellsFor]]/[[probeFor]]/
+    * [[ivfSampleFor]], then the unchanged IVF ladder runs at that
+    * point. At the verify SFs the derivation lands on the historical
+    * (16, 2, 200) — the d24 AutoBits discipline: the oracle
+    * ([[ivfKnnAutoSql]]) REPLAYS the derivation from COUNT(*) in SQL,
+    * so the derivation arithmetic itself is gated, not just the grid
+    * point it happens to land on.
+    */
+  def ivfKnnAuto(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    val nc = cellsFor(n)
+    ivfKnn(s, dir, nCells = nc, nProbe = probeFor(nc), sampleN = ivfSampleFor(nc))
+  }
+
+  /** DuckDB mirror of [[ivfKnnAuto]]: the geometry is DERIVED in SQL —
+    * `geo` computes pow2(round(log2(clamp(count/targetCell)))), the
+    * probe count and Lloyd-sample size from it — then the [[ivfKnnSqlFor]]
+    * CTE chain runs against those values (cross-joined one-row CTE, the
+    * signLshPairsAutoSqlFor pattern).
+    */
+  val ivfKnnAutoSql: String =
+    s"""WITH geo AS MATERIALIZED (
+      |  SELECT nc, GREATEST(2, CAST(round(nc * $IvfScanFrac) AS INT)) AS np,
+      |    GREATEST(200, 4 * nc) AS ns
+      |  FROM (SELECT CAST(power(2, round(log2(
+      |      LEAST(GREATEST(count(*) / $IvfTargetCellPop.0, 16.0), 4096.0)))) AS INT) AS nc
+      |    FROM embeddings)),
+      |e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |seeds AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e, geo WHERE vec_id < geo.nc),
+      |a0 AS (
+      |  SELECT s.vec_id, c.cid,
+      |    list_dot_product(s.v, c.cv) / (c.cnrm * s.nrm) AS ccos
+      |  FROM e s, seeds c, geo WHERE s.vec_id < geo.ns),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS r
+      |    FROM a0) WHERE r = 1),
+      |grp AS (
+      |  SELECT a.cid, list(s.v ORDER BY s.vec_id) AS vs
+      |  FROM assign a JOIN e s ON s.vec_id = a.vec_id GROUP BY a.cid),
+      |cmean AS (
+      |  SELECT cid,
+      |    [list_reduce(list_transform(vs, x -> x[i]), (acc, y) -> acc + y)
+      |       / len(vs) for i in range(1, 65)]::FLOAT[] AS cfv
+      |  FROM grp),
+      |cent AS (
+      |  SELECT cid, cfv::DOUBLE[] AS cv,
+      |    sqrt(list_dot_product(cfv::DOUBLE[], cfv::DOUBLE[])) AS cnrm
+      |  FROM cmean),
+      |scored AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_dot_product(e.v, c.cv) / (c.cnrm * e.nrm) AS ccos
+      |  FROM e, cent c),
+      |ranked AS (
+      |  SELECT vec_id, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS r
+      |  FROM scored),
+      |cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE r = 1),
+      |probes AS (SELECT vec_id AS qid, cid AS probe_cell FROM ranked, geo
+      |           WHERE vec_id < 50 AND r <= geo.np),
+      |cand_ids AS (
+      |  SELECT DISTINCT p.qid, c.vec_id AS nid
+      |  FROM probes p JOIN cells c ON c.cell = p.probe_cell
+      |  WHERE c.vec_id <> p.qid),
+      |cands AS (
+      |  SELECT ci.qid, ci.nid,
+      |    list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos
+      |  FROM cand_ids ci
+      |  JOIN e q ON q.vec_id = ci.qid
+      |  JOIN e n ON n.vec_id = ci.nid)
+      |SELECT qid, nid, CAST(rnk AS INT) AS rnk FROM (
+      |  SELECT qid, nid,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+      |  FROM cands)
+      |WHERE rnk <= 5""".stripMargin
 
   /** Corpus-wide semantic near-dup PAIRS — the embedding twin of
     * [[graft.llm.Dedup.lshVerifiedPairs]]: sign-LSH bucket collisions

@@ -1974,14 +1974,45 @@ object ScaleBench {
       }
       val retrainedHits = truth.join(retrainedRows.select(col("qid"), col("nid")),
         Seq("qid", "nid"), "left_semi").count()
+      // RETRAINED + RETUNED (r17 VERDICT #2): the r17 curve showed
+      // retrain-at-fixed-geometry LOSES clustered-drift recall (0.47 vs
+      // frozen 0.58 at ratio 4 — the retrained quantizer splits the
+      // dense region across more cells than the stale nProbe covers).
+      // This arm re-derives the geometry at the accumulated count —
+      // cellsFor/probeFor, the derivation d54 oracle-gates — retrains
+      // centroids at it, and serves with the retuned probe count. The
+      // paired rebuild must dominate frozen on BOTH serve wall and
+      // recall at ratios ≥ 1 (asserted below).
+      val nc2 = Similarity.cellsFor(nIdx + nDelta)
+      val np2 = Similarity.probeFor(nc2)
+      // Lloyd sample: the derived floor, but never less than the fixed
+      // arm's (sample quality is a training knob, not geometry)
+      val ns2 = math.max(Similarity.ivfSampleFor(nc2), sampleN)
+      val (retuneWall, retunedRows) = {
+        val t = System.nanoTime()
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(pmod(col("vec_id"), lit(9973L)), col("vec_id"))
+        val remapped = cur.withColumn("vec_id",
+          row_number().over(w).cast("long") - 1)
+        val cent = Similarity.ivfCentroidsOf(remapped, nc2, ns2)
+        val idx = Similarity.buildIvfSq8IndexWith(cur, cent)
+        val served = Similarity.ivfSq8KnnFromIndex(queries, idx, np2)
+          .localCheckpoint(true)
+        ((System.nanoTime() - t) / 1e9, served)
+      }
+      val retunedHits = truth.join(retunedRows.select(col("qid"), col("nid")),
+        Seq("qid", "nid"), "left_semi").count()
       emit("corpus" -> label, "op" -> "incvec", "arm" -> name,
         "drift" -> drift,
         "n_indexed" -> nIdx, "n_appended" -> nDelta,
         "append_ratio" -> (nDelta.toDouble / nIdx),
         "n_queries" -> nQ, "build_wall" -> buildWall,
         "append_serve_wall" -> appendWall, "retrain_serve_wall" -> retrainWall,
+        "retune_serve_wall" -> retuneWall,
+        "retuned_cells" -> nc2, "retuned_probe" -> np2,
         "recall_frozen" -> (frozenHits.toDouble / truthN),
-        "recall_retrained" -> (retrainedHits.toDouble / truthN))
+        "recall_retrained" -> (retrainedHits.toDouble / truthN),
+        "recall_retuned" -> (retunedHits.toDouble / truthN))
       sweep()
     }
   }
@@ -2261,6 +2292,93 @@ object ScaleBench {
     }
   }
 
+  /** Round-18 `incsemledger` — the d53 capped-ledger contract certified
+    * at ×500 (r17 VERDICT ask #3: the embedding family was the one
+    * capped family without a rerun-reproducible definition): base build
+    * + three chained CAPPED maintained appends on the SEMANTIC index
+    * with per-epoch (table_id, bucket) suppression sets persisted, then
+    * the ledger-aware rerun recomputes the kept set from scratch —
+    * set_diff MUST be 0 (asserted), ledger non-empty (asserted).
+    * Geometry count-calibrated like `incsem`; the cap is the
+    * scale-adaptive [[graft.llm.IncrementalSemantic.semLedgerCap]].
+    */
+  private def incSemLedgerMode(s: SparkSession, dir: String, label: String): Unit = {
+    import graft.llm.IncrementalSemantic
+    val all = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm",
+        sqrt(graft.functions.FloatVecDot(col("embedding"), col("embedding"))))
+      .localCheckpoint(true)
+    val n = all.count()
+    val nTables = 8
+    val bitsScaled = graft.llm.LshCalibration.bitsFor(n, targetBucket = 8)
+    val minCos = 0.8 // the incsem regime note: 0.35 over planted twins degenerates
+    val cap = IncrementalSemantic.semLedgerCap(n, bitsScaled)
+    // epoch 0 = 94% base, epochs 1-3 = 2% deltas (the daily-batch shape)
+    val base = IncrementalSemantic.withSigs(
+        all.filter(col("vec_id") % 50 <= 46), nTables, bitsScaled)
+      .localCheckpoint(true)
+    val protectedIds = s.sparkContext.getPersistentRDDs.keySet
+    def sweep(): Unit =
+      s.sparkContext.getPersistentRDDs
+        .foreach { case (id, r) => if (!protectedIds(id)) r.unpersist(true) }
+    def timed1(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    val idxDir = java.nio.file.Files.createTempDirectory("incsemledger").toString
+    try {
+      val buildWall = timed1 {
+        val (pairs0, over0) = IncrementalSemantic.corpusPairsWithLedger(base, cap, minCos)
+        val p0 = pairs0.localCheckpoint(true)
+        IncrementalSemantic.writeIndex(base, DedupResolve.resolveClusters(p0),
+          idxDir, nBuckets = 32, nTables = nTables, bits = bitsScaled,
+          pairs = Some(p0), capLedger0 = Some(over0))
+      }
+      sweep()
+      var kept = -1L
+      val appendWalls = (47 to 49).map { m =>
+        val w = timed1 {
+          kept = IncrementalSemantic.appendToIndex(s, idxDir, all,
+            all.filter(col("vec_id") % 50 === m), minCos, bucketCap = cap).count()
+        }
+        sweep(); w
+      }
+      val ledgerRows = IncrementalSemantic.readCapLedger(s, idxDir).count()
+      val maintained = DedupResolve.keptFromLabels(
+          all.select(col("vec_id").as("doc_id")),
+          IncrementalSemantic.readIndex(s, idxDir).labels)
+        .select(col("doc_id").as("vec_id"))
+        .localCheckpoint(true)
+      val vecsWithEpoch = all.withColumn("epoch",
+        when(col("vec_id") % 50 <= 46, lit(0))
+          .otherwise((col("vec_id") % 50 - 46).cast("int")))
+      var nRerun = -1L
+      val rerunWall = timed1 {
+        nRerun = IncrementalSemantic.rerunKeptWithLedger(s, idxDir,
+          vecsWithEpoch, minCos).count()
+      }
+      val rerun = IncrementalSemantic.rerunKeptWithLedger(s, idxDir,
+        vecsWithEpoch, minCos)
+      val setDiff = maintained.exceptAll(rerun).union(rerun.exceptAll(maintained)).count()
+      sweep()
+      emit("corpus" -> label, "op" -> "incsemledger",
+        "n_vecs" -> n, "tables" -> nTables, "bits" -> bitsScaled, "cap" -> cap,
+        "build_wall" -> buildWall,
+        "append_walls" -> appendWalls.map(w =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(w))).mkString("[", ",", "]"),
+        "rerun_wall" -> rerunWall, "ledger_rows" -> ledgerRows,
+        "kept_inc" -> kept, "kept_rerun" -> nRerun, "set_diff" -> setDiff)
+      require(kept > 0 && kept < n,
+        s"VACUOUS incsemledger measurement: kept=$kept of $n")
+      require(ledgerRows > 0,
+        "VACUOUS incsemledger measurement: the cap never bound (empty ledger)")
+      require(setDiff == 0,
+        s"capped maintained semantic appends diverged from the ledger-aware rerun (set_diff=$setDiff)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    }
+  }
+
   /** Round-17 `inccompact` — compaction priced and certified at scale
     * (r16 VERDICT #3): build the maintained index, chain two appends
     * (real epoch history), take down 14% (doc_id % 7 == 3 — the d47
@@ -2462,6 +2580,7 @@ object ScaleBench {
       case "inccompact" => incCompactMode(spark, dir, label)
       case "incsigledger" => incSigLedgerMode(spark, dir, label)
       case "incdedupledger" => incDedupLedgerMode(spark, dir, label)
+      case "incsemledger" => incSemLedgerMode(spark, dir, label)
       case "inccontam" => incContamMode(spark, dir, label)
       case br if br.startsWith("bpereal:") =>
         bpeRealArm(spark, dir, label, br.stripPrefix("bpereal:"))

@@ -176,6 +176,30 @@ class BpeSpec extends AnyFunSuite {
     assert(mine.isEmpty, "consumed retained checkpoint did not drain")
   }
 
+  test("releaseRetained: an explicitly released live frame frees the block and unblocks the next learn") {
+    // r17 ADVICE #3: under -XX:+DisableExplicitGC the weak-ref drain
+    // can never clear for a reachable abandoned frame — the explicit
+    // release is the GC-independent recovery path. It must free the
+    // checkpoint block synchronously and let the next learnRetained
+    // proceed without the 2 s wait-and-refuse.
+    val docs = graft.Tables.documents(spark, sf)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val (_, live) = Bpe.learnRetained(spark, docs)
+    live.schema // held and reachable, never materialized
+    Bpe.releaseRetained(spark)
+    def mine = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(mine.isEmpty, "explicit release must free the retained block synchronously")
+    // next caller proceeds (no single-outstanding refusal), end to end
+    val (_, next) = Bpe.learnRetained(spark, docs)
+    assert(next.count() > 0)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (System.nanoTime() < deadline && mine.nonEmpty)
+      Thread.sleep(50)
+    assert(mine.isEmpty, "consumed retained checkpoint did not drain")
+    // releasing when nothing is outstanding is a no-op
+    Bpe.releaseRetained(spark)
+  }
+
   test("hybrid gate: the delta loop's retained-final-table path equals the full loop's") {
     // DeltaArmWords = 0 forces the AUTO gate onto the delta loop at
     // fixture scale, exercising the pending-merge + retained-checkpoint

@@ -208,7 +208,9 @@ class IndexPublicationSpec extends AnyFunSuite {
       // a reader that resolved BEFORE compaction still serves (its
       // generation directories are untouched until gc)
       assert(preCompact.labels.count() > 0)
-      IndexStatePublisher.gc(tmp)
+      // minAge=0: the explicit "no readers exist" override (the grace
+      // period itself is gated by its own case below)
+      IndexStatePublisher.gc(tmp, 0L)
       val m = IndexStatePublisher.current(tmp)
       // current generation intact, answer unchanged
       val after = DedupResolve.keptFromLabels(
@@ -225,6 +227,173 @@ class IndexPublicationSpec extends AnyFunSuite {
       // only the current manifest file remains
       val gens = new java.io.File(s"$tmp/manifest").list().count(_.startsWith("gen-"))
       assert(gens == 1, s"gc should keep exactly the current manifest, found $gens")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("Hadoop-FileSystem atomics path: CAS, lock, and a full maintained lifecycle (r17 ask #1)") {
+    // forceGenericAtomics routes the create-exclusive primitive through
+    // fs.create(path, overwrite=false) — the hdfs:// code path — driven
+    // on local FS via the Hadoop API, per the r17 VERDICT done-criterion
+    val tmp = java.nio.file.Files.createTempDirectory("hadoopatomics").toString
+    IndexStatePublisher.forceGenericAtomics = true
+    try {
+      // CAS: the second writer of a generation is rejected
+      val m = IndexManifest(0L, Map("labels" -> "labels/gen-0"), Map.empty)
+      IndexStatePublisher.publish(tmp, m)
+      intercept[ConcurrentPublishException] {
+        IndexStatePublisher.publish(tmp, m.copy(entries = Map("labels" -> "other")))
+      }
+      assert(IndexStatePublisher.current(tmp).path("labels") == "labels/gen-0")
+      // lock: held rejects, releases on exit and on body failure
+      IndexStatePublisher.withWriterLock(tmp) {
+        intercept[IndexLockedException] {
+          IndexStatePublisher.withWriterLock(tmp) { fail("must not run") }
+        }
+      }
+      intercept[RuntimeException] {
+        IndexStatePublisher.withWriterLock(tmp) { sys.error("boom") }
+      }
+      assert(IndexStatePublisher.withWriterLock(tmp) { 42 } == 42)
+      // full maintained lifecycle (build → append → delete → compact →
+      // gc) with every publish/lock/list through the FileSystem path
+      val idxDir = java.nio.file.Files.createTempDirectory("hadooplife").toString
+      try {
+        val corpus = docsDf.where(col("doc_id").isin(0L, 1L, 2L, 3L, 5L))
+        IncrementalDedup.writeIndex(
+          IncrementalDedup.buildIndex(corpus, rowsPerBand = 4), idxDir, rowsPerBand = 4)
+        val d1 = docsDf.where(col("doc_id").isin(9L, 14L, 19L, 24L))
+        val all1 = corpus.unionByName(d1)
+        IncrementalDedup.appendToIndex(spark, idxDir, all1, d1).count()
+        IncrementalDedup.deleteFromIndex(spark, idxDir, Seq(5L).toDF("doc_id"))
+        IncrementalDedup.compactIndex(spark, idxDir)
+        IndexStatePublisher.gc(idxDir, 0L)
+        val survivors = all1.where(col("doc_id") =!= 5L)
+        val after = DedupResolve.keptFromLabels(
+            survivors.select(col("doc_id")),
+            IncrementalDedup.readIndex(spark, idxDir).labels)
+          .as[Long].collect().toSet
+        // the maintained contract: delete+compact ≡ a fresh rebuild
+        // without the deleted doc (doc 9, exact dup of deleted 5,
+        // correctly reappears in the kept set)
+        val freshDir = java.nio.file.Files.createTempDirectory("hadoopfresh").toString
+        val expected = try {
+          IncrementalDedup.writeIndex(
+            IncrementalDedup.buildIndex(survivors, rowsPerBand = 4), freshDir, rowsPerBand = 4)
+          DedupResolve.keptFromLabels(
+              survivors.select(col("doc_id")),
+              IncrementalDedup.readIndex(spark, freshDir).labels)
+            .as[Long].collect().toSet
+        } finally {
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(freshDir))
+        }
+        assert(after.nonEmpty && after == expected,
+          s"lifecycle through the FileSystem atomics path diverged: $after vs $expected")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+      }
+    } finally {
+      IndexStatePublisher.forceGenericAtomics = false
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("a torn or empty max-gen manifest falls back to the newest complete generation") {
+    val tmp = java.nio.file.Files.createTempDirectory("tornmanifest").toString
+    try {
+      IndexStatePublisher.publish(tmp,
+        IndexManifest(0L, Map("labels" -> "labels/gen-0"), Map.empty))
+      // a crashed publisher's corpse: gen-1 exists but is truncated
+      // mid-write (no `# end` terminator) — and an empty gen-2
+      val md = java.nio.file.Paths.get(tmp, "manifest")
+      java.nio.file.Files.write(md.resolve(f"gen-${1L}%016d"),
+        "# graft index manifest generation 1\nlabels=labels/gen".getBytes("UTF-8"))
+      java.nio.file.Files.write(md.resolve(f"gen-${2L}%016d"), Array.empty[Byte])
+      val cur = IndexStatePublisher.current(tmp)
+      assert(cur.gen == 0L && cur.path("labels") == "labels/gen-0",
+        "reader must skip incomplete manifests and fall back")
+      // the recovered writer of gen 1 can republish over the corpse
+      IndexStatePublisher.publish(tmp,
+        IndexManifest(1L, Map("labels" -> "labels/gen-1"), Map.empty))
+      assert(IndexStatePublisher.current(tmp).path("labels") == "labels/gen-1")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("breakStaleLock: crashed lock broken after expiry, live lock refused, breaker race has one winner") {
+    val tmp = java.nio.file.Files.createTempDirectory("stalelock").toString
+    try {
+      // a live (young) lock is REFUSED
+      IndexStatePublisher.withWriterLock(tmp) {
+        intercept[IndexLockedException] {
+          IndexStatePublisher.breakStaleLock(tmp, olderThanMs = 60000L)
+        }
+      }
+      // no lock at all: nothing to break
+      assert(!IndexStatePublisher.breakStaleLock(tmp, 0L))
+      // a crashed writer's lock (recorded atMs in the past) is broken,
+      // and the next writer proceeds
+      def plantStale(): Unit = java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "writer.lock"),
+        s"pid=99999 atMs=${System.currentTimeMillis() - 3600000L} at=crashed\n"
+          .getBytes("UTF-8"))
+      plantStale()
+      assert(IndexStatePublisher.breakStaleLock(tmp, olderThanMs = 60000L))
+      assert(IndexStatePublisher.withWriterLock(tmp) { 7 } == 7)
+      // two concurrent breakers of the same stale lock: exactly one wins
+      plantStale()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val ts = (1 to 2).map { i =>
+        val t = new Thread(() => {
+          gate.await()
+          try { if (IndexStatePublisher.breakStaleLock(tmp, 60000L)) wins.incrementAndGet() }
+          catch { case e: Exception => errs.add(s"breaker$i: ${e.getMessage}") }
+        })
+        t.start(); t
+      }
+      gate.countDown(); ts.foreach(_.join(30000))
+      assert(errs.isEmpty, errs.toArray.mkString("; "))
+      assert(wins.get() == 1, s"exactly one breaker must win, got ${wins.get()}")
+      assert(IndexStatePublisher.withWriterLock(tmp) { 9 } == 9)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("gc grace period: a just-superseded generation survives default gc; an aged one is pruned") {
+    val tmp = java.nio.file.Files.createTempDirectory("gcgrace").toString
+    try {
+      def plantGen(g: Long): Unit = {
+        val d = java.nio.file.Paths.get(tmp, "labels", s"gen-$g")
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.write(d.resolve("part-0.parquet"), Array[Byte](1))
+        IndexStatePublisher.publish(tmp,
+          IndexManifest(g, Map("labels" -> s"labels/gen-$g"), Map.empty))
+      }
+      plantGen(0L); plantGen(1L)
+      // gen-0 was superseded by gen-1 JUST NOW: default gc keeps it —
+      // an in-flight reader that resolved gen-0 a moment ago still serves
+      IndexStatePublisher.gc(tmp)
+      assert(new java.io.File(s"$tmp/labels/gen-0").exists,
+        "grace period must keep the just-superseded generation")
+      assert(new java.io.File(s"$tmp/manifest/${f"gen-${0L}%016d"}").exists,
+        "grace period must keep the superseded manifest file")
+      // age gen-1's manifest (the SUCCESSOR timestamp defines gen-0's
+      // reclaimability) beyond the grace bound: gen-0 is pruned
+      val g1 = java.nio.file.Paths.get(tmp, "manifest", f"gen-${1L}%016d")
+      java.nio.file.Files.setLastModifiedTime(g1,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2 * IndexStatePublisher.GcGraceMs))
+      IndexStatePublisher.gc(tmp)
+      assert(!new java.io.File(s"$tmp/labels/gen-0").exists,
+        "an aged-out generation must be pruned")
+      assert(!new java.io.File(s"$tmp/manifest/${f"gen-${0L}%016d"}").exists)
+      assert(new java.io.File(s"$tmp/labels/gen-1").exists,
+        "the current generation is never pruned")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
@@ -258,6 +427,58 @@ class IndexPublicationSpec extends AnyFunSuite {
       assert(maintained == rerun,
         s"ledger-aware rerun diverged: maintained ${maintained.size} vs rerun ${rerun.size}, " +
           s"diff ${(maintained diff rerun).take(5)} / ${(rerun diff maintained).take(5)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("semantic cap ledger: capped maintained appends' KEPT SET is reproduced exactly by the ledger-aware rerun") {
+    // the d53 contract (r17 VERDICT ask #3 — the d51/d52 machinery on
+    // the embedding family's (table_id, bucket) buckets)
+    import org.apache.spark.sql.DataFrame
+    val emb = graft.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val all = emb.withColumn("nrm",
+        sqrt(graft.functions.FloatVecDot(col("embedding"), col("embedding"))))
+      .localCheckpoint(true)
+    val cap = IncrementalSemantic.semLedgerCap(all.count())
+    val base = IncrementalSemantic.withSigs(all.filter(col("vec_id") % 4 === 0))
+      .localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("semledger").toString
+    try {
+      val (pairs0, over0) = IncrementalSemantic.corpusPairsWithLedger(base, cap)
+      val pairs0c = pairs0.localCheckpoint(true)
+      IncrementalSemantic.writeIndex(base,
+        DedupResolve.resolveClusters(pairs0c), tmp, nBuckets = 8,
+        pairs = Some(pairs0c), capLedger0 = Some(over0))
+      var kept: DataFrame = null
+      (1 to 3).foreach { m =>
+        kept = IncrementalSemantic.appendToIndex(spark, tmp, all,
+          all.filter(col("vec_id") % 4 === m), bucketCap = cap)
+      }
+      val maintained = kept.as[Long].collect().toSet
+      assert(IncrementalSemantic.readCapLedger(spark, tmp).count() > 0,
+        "cap never bound — the gate is vacuous")
+      val rerun = IncrementalSemantic.rerunKeptWithLedger(spark, tmp,
+          all.withColumn("epoch", (col("vec_id") % 4).cast("int")))
+        .as[Long].collect().toSet
+      assert(maintained == rerun,
+        s"ledger-aware rerun diverged: maintained ${maintained.size} vs rerun ${rerun.size}, " +
+          s"diff ${(maintained diff rerun).take(5)} / ${(rerun diff maintained).take(5)}")
+      // and the capped answer is NOT the uncapped one (the cap bound)
+      val uncapped = DedupResolve.keptFromLabels(
+          all.select(col("vec_id").as("doc_id")),
+          DedupResolve.resolveClusters(
+            IncrementalSemantic.corpusPairs(IncrementalSemantic.withSigs(all)
+              .localCheckpoint(true))))
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(maintained != uncapped, "cap changed nothing — fixture too small to gate")
+      // compaction is REFUSED on a ledgered index (r17 ADVICE #2): the
+      // ledger is history an epoch-collapsed rewrite cannot preserve
+      IncrementalSemantic.deleteVectors(spark, tmp, Seq(1L).toDF("vec_id"))
+      val ex = intercept[IllegalArgumentException] {
+        IncrementalSemantic.compactIndex(spark, tmp)
+      }
+      assert(ex.getMessage.contains("ledgered"))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
