@@ -169,8 +169,22 @@ object IndexStatePublisher {
   /** Create `target` with `body` if and only if it does not exist.
     * Returns false when the target already existed (CAS loss). The
     * scheme-dispatched atomicity core — see class doc.
+    *
+    * `durable` fsyncs the file content before it becomes reachable —
+    * manifests want it (a crash must not leave a reachable-but-empty
+    * generation on schemes where close() doesn't flush); LOCK files
+    * don't (a crashed writer's lock is recovered via
+    * [[breakStaleLock]] regardless, and an fsync under the heavy
+    * parquet writeback every index mutation generates serializes
+    * against megabytes of dirty pages — measured ~25% on the
+    * lifecycle-query walls when locks synced too). The link/directory
+    * entry itself is deliberately NOT fsync'd: losing it to power loss
+    * just unpublishes the newest generation, which the
+    * skip-incomplete-and-fall-back read contract already degrades
+    * through consistently.
     */
-  private def createExclusive(fs: FileSystem, target: HPath, body: Array[Byte]): Boolean = {
+  private def createExclusive(fs: FileSystem, target: HPath, body: Array[Byte],
+      durable: Boolean): Boolean = {
     if (useNio(fs)) {
       val tgt = real(target)
       val dirP = tgt.getParent
@@ -179,16 +193,12 @@ object IndexStatePublisher {
         val ch = java.nio.channels.FileChannel.open(tmp,
           java.nio.file.StandardOpenOption.WRITE,
           java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-        try { ch.write(java.nio.ByteBuffer.wrap(body)); ch.force(true) }
-        finally ch.close()
+        try {
+          ch.write(java.nio.ByteBuffer.wrap(body))
+          if (durable) ch.force(true)
+        } finally ch.close()
         try java.nio.file.Files.createLink(tgt, tmp)
         catch { case _: java.nio.file.FileAlreadyExistsException => return false }
-        // fsync the directory so the link itself survives power loss
-        try {
-          val dch = java.nio.channels.FileChannel.open(dirP,
-            java.nio.file.StandardOpenOption.READ)
-          try dch.force(true) finally dch.close()
-        } catch { case _: Exception => () }
         true
       } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
@@ -201,8 +211,10 @@ object IndexStatePublisher {
         }
       try {
         out.write(body)
-        try out.hsync()
-        catch { case _: UnsupportedOperationException => out.hflush() }
+        if (durable) {
+          try out.hsync()
+          catch { case _: UnsupportedOperationException => out.hflush() }
+        }
       } finally out.close()
       true
     }
@@ -294,12 +306,12 @@ object IndexStatePublisher {
     fs.mkdirs(md)
     val target = new HPath(md, genName(m.gen))
     val body = manifestBody(m)
-    if (!createExclusive(fs, target, body)) {
+    if (!createExclusive(fs, target, body, durable = true)) {
       if (parseOpt(fs, target, m.gen).isDefined)
         throw new ConcurrentPublishException(dir, m.gen)
       // corpse of a crashed publisher: heal under the caller's lock
       fs.delete(target, false)
-      if (!createExclusive(fs, target, body))
+      if (!createExclusive(fs, target, body, durable = true))
         throw new ConcurrentPublishException(dir, m.gen)
     }
   }
@@ -316,7 +328,7 @@ object IndexStatePublisher {
     val content =
       s"pid=${ProcessHandle.current().pid()} atMs=${System.currentTimeMillis()} " +
         s"at=${java.time.Instant.now()}\n"
-    if (!createExclusive(fs, lock, content.getBytes("UTF-8"))) {
+    if (!createExclusive(fs, lock, content.getBytes("UTF-8"), durable = false)) {
       val holder =
         try new String(readFully(fs, lock), "UTF-8").trim
         catch { case _: Exception => "unknown" }
@@ -370,7 +382,7 @@ object IndexStatePublisher {
     if (corpseContent != sampled) {
       // raced a breaker AND a new writer: we grabbed the fresh lock —
       // put it back and report failure
-      createExclusive(fs, lock, corpseContent.getBytes("UTF-8"))
+      createExclusive(fs, lock, corpseContent.getBytes("UTF-8"), durable = false)
       fs.delete(corpse, false)
       false
     } else {
