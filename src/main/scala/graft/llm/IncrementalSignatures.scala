@@ -858,7 +858,14 @@ object IncrementalSemantic {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
     val candIds = candCD.unionByName(candDD).distinct().localCheckpoint(true)
-    val verified = Similarity.verifyCosineOn(allE, candIds, minCos)
+    // endpoint semi-join prune before the verify (see [[appendToIndex]])
+    val candEnds = candIds.select(col("a_id").as("vec_id"))
+      .unionByName(candIds.select(col("b_id").as("vec_id")))
+      .distinct()
+    val eCand = allE.select(col("vec_id"), col("embedding"), col("nrm"))
+      .join(candEnds, Seq("vec_id"), "left_semi")
+      .localCheckpoint(true)
+    val verified = Similarity.verifyCosineOn(eCand, candIds, minCos)
     DedupResolve.incrementalKept(
         allE.select(col("vec_id").as("doc_id")), idx.labels, verified)
       .select(col("doc_id").as("vec_id"))
@@ -970,8 +977,18 @@ object IncrementalSemantic {
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       val candIds = candCD.unionByName(candDD).distinct().localCheckpoint(true)
-      val verified = Similarity.verifyCosineOn(
-          allE.select(col("vec_id"), col("embedding"), col("nrm")), candIds, minCos)
+      // semi-join-prune the vector table to candidate ENDPOINTS before
+      // the cosine verify (the verifyJaccardDf discipline): without it
+      // every append re-broadcast the FULL corpus embedding table twice
+      // — measured at ×500 (1.02M vecs): append walls ≈ the full-rerun
+      // wall (~175 s vs 154 s) instead of delta-proportional
+      val candEnds = candIds.select(col("a_id").as("vec_id"))
+        .unionByName(candIds.select(col("b_id").as("vec_id")))
+        .distinct()
+      val eCand = allE.select(col("vec_id"), col("embedding"), col("nrm"))
+        .join(candEnds, Seq("vec_id"), "left_semi")
+        .localCheckpoint(true)
+      val verified = Similarity.verifyCosineOn(eCand, candIds, minCos)
         .localCheckpoint(true) // materialize BEFORE mutating its input tables
       val newLabels = DedupResolve.incrementalLabels(idx.labels, verified)
         .localCheckpoint(true)

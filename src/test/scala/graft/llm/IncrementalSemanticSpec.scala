@@ -73,6 +73,44 @@ class IncrementalSemanticSpec extends AnyFunSuite {
     }
   }
 
+  test("d53: the maintained capped probe reads the bucket table bucket-aware") {
+    // the d39/d46 plan discipline on the semantic family: the corpus
+    // side of the delta probe must be a BUCKETED scan (no corpus-side
+    // exchange) — what keeps a maintained append delta-proportional
+    val all = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(graft.functions.FloatVecDot(col("embedding"), col("embedding"))))
+      .localCheckpoint(true)
+    val cap = IncrementalSemantic.semLedgerCap(all.count())
+    val base = IncrementalSemantic.withSigs(all.filter(col("vec_id") % 4 === 0))
+      .localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("semledplan").toString
+    try {
+      val (pairs0, over0) = IncrementalSemantic.corpusPairsWithLedger(base, cap)
+      val p0 = pairs0.localCheckpoint(true)
+      IncrementalSemantic.writeIndex(base, DedupResolve.resolveClusters(p0), tmp,
+        nBuckets = 8, pairs = Some(p0), capLedger0 = Some(over0))
+      val idx = IncrementalSemantic.readIndex(spark, tmp)
+      // the probe the maintained append runs: delta buckets against the
+      // persisted corpus bucket table
+      val db = IncrementalSemantic.bucketsOf(
+        IncrementalSemantic.withSigs(all.filter(col("vec_id") % 4 === 1)))
+      val p = idx.buckets.alias("a")
+        .join(db.hint("shuffle_hash").alias("b"),
+          col("a.table_id") === col("b.table_id") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"),
+        s"corpus bucket scan is not a bucketed read:\n$p")
+      // and the persisted per-bucket counts exist for the cap's
+      // delta-touched probe
+      assert(idx.bucketCounts.nonEmpty, "ledgered index must persist bucket counts")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("d45: the persisted bucket table round-trips with its exact column types") {
     // regression pin for the silent-empty-probe failure class: a
     // BIGINT DDL over SignLshBuckets' int32 bucket column read as null
