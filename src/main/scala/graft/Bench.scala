@@ -143,7 +143,16 @@ object Bench {
     val noisy = rels.filter(_._2 > 0.25)
       .map { case (n, r) => "\"" + n.takeWhile(_ != '_') + "\":" + fmt(r) }
       .mkString("{", ",", "}")
-    val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"families":$fams,"sf":"$sfDir","runs":2,"agg":"min","degraded":$deg,"spread_med":${fmt(spreadMed)},"noisy":$noisy,"warmup":"sf0.001"}"""
+    // self-describing environment note (r18 VERDICT #3/#7: the r18
+    // bench ran on a measurably hot host and the artifact itself
+    // carried no signal — a future consumer diffed 268 s against 176 s
+    // unknowingly). The driver never sets the env var; the default
+    // names the one health metric the line already carries so a
+    // cross-round comparison knows what to check first.
+    val envNote = sys.env.getOrElse("SPARK_GRAFT_ENV_NOTE",
+      "shared host, no isolation; cross-round deltas need an interleaved A/B " +
+        "or a same-round control family - check spread_med first")
+    val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"families":$fams,"sf":"$sfDir","runs":2,"agg":"min","degraded":$deg,"spread_med":${fmt(spreadMed)},"noisy":$noisy,"warmup":"sf0.001","env_note":"$envNote"}"""
     // STDOUT gets a SHORTER line than the file: the driver captures only
     // stdout's ~2000-char TAIL, after which sbt's epilogue still follows
     // — r15's full line (132 queries + the noisy map) overflowed the

@@ -296,6 +296,16 @@ object SparkEntry {
     // from one count() (the d24 AutoBits discipline on the ANN family);
     // oracle replays the derivation from COUNT(*) in SQL
     "d54_ivf_auto_geometry" -> (graft.llm.Similarity.ivfKnnAuto _),
+    // d55: DELETION on the capped LEDGERED minhash index (r18 VERDICT
+    // #1): capped build + append, an interleaved takedown, another
+    // capped append; oracle = epoch-capped pairs over the FULL arrival
+    // history restricted to survivors + survivor-recomputed exact
+    // stars → closure → kept over survivors
+    "d55_ledgered_delete_dedup" -> (graft.llm.IncrementalDedup.cappedLedgerDeleteDedup _),
+    // d56: the d55 contract on the SEMANTIC family — takedown between
+    // capped ledgered appends on embeddings; suppression derives from
+    // full history, endpoints and kept set restrict to survivors
+    "d56_ledgered_delete_semantic" -> (graft.llm.IncrementalSemantic.cappedSemanticLedgerDelete _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -440,5 +450,7 @@ object SparkEntry {
     "d52_capped_ledger_dedup" -> graft.llm.IncrementalDedup.cappedMultiAppendDedupSql,
     "d53_capped_ledger_semantic" -> graft.llm.IncrementalSemantic.cappedSemanticMultiAppendSql,
     "d54_ivf_auto_geometry" -> graft.llm.Similarity.ivfKnnAutoSql,
+    "d55_ledgered_delete_dedup" -> graft.llm.IncrementalDedup.cappedLedgerDeleteDedupSql,
+    "d56_ledgered_delete_semantic" -> graft.llm.IncrementalSemantic.cappedSemanticLedgerDeleteSql,
   )
 }

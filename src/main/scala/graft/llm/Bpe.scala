@@ -297,15 +297,17 @@ object Bpe {
     */
   private[llm] def drainPendingRetained(s: SparkSession): Unit = {
     if (!pendingRetained.containsKey(s)) return
-    // 1. in-flight consume event — only worth waiting for on a YOUNG
-    // entry (listener-bus dispatch is sub-second; an old entry's event
-    // either fired long ago or will never fire)
+    // 1. in-flight consume event — a YOUNG entry gets the full wait; an
+    // OLD one still gets a SHORT wait (r18 ADVICE #3: a frame
+    // materialized long after learnRetained can have its consume event
+    // still on the async listener bus — the zero-wait fast path refused
+    // a legitimately consumed frame when the caller still held the
+    // reference, so the weak-ref gate could not clear either)
     val born = Option(pendingRetained.get(s)).map(_._4).getOrElse(0L)
-    if (System.nanoTime() - born < 30L * 1000 * 1000 * 1000) {
-      val deadline = System.nanoTime() + 2000L * 1000 * 1000
-      while (pendingRetained.containsKey(s) && System.nanoTime() < deadline &&
-          { Thread.sleep(25); pendingRetained.containsKey(s) }) ()
-    }
+    val young = System.nanoTime() - born < 30L * 1000 * 1000 * 1000
+    val deadline = System.nanoTime() + (if (young) 2000L else 200L) * 1000 * 1000
+    while (pendingRetained.containsKey(s) && System.nanoTime() < deadline &&
+        { Thread.sleep(25); pendingRetained.containsKey(s) }) ()
     val prev = pendingRetained.get(s)
     if (prev == null) return
     // 2. abandoned? (weak ref cleared once the caller dropped the frame)
@@ -316,6 +318,10 @@ object Bpe {
         try s.listenerManager.unregister(prev._1) catch { case _: Exception => () }
         prev._2.unpersist(false)
       }
+    } else if (!pendingRetained.containsKey(s) || (pendingRetained.get(s) ne prev)) {
+      // the consume event landed DURING the weak-ref gate (the ~450 ms
+      // gc loop): the entry is gone (or replaced) — nothing to refuse
+      ()
     } else {
       // 3. live and unconsumed — a second learnRetained here would have
       // to choose between leaking and corrupting the first caller

@@ -671,6 +671,20 @@ object IncrementalDedup {
     * bucket falling back UNDER the cap re-admits pairs yesterday's run
     * capped away (SCALING.md §3h).
     *
+    * LEDGERED (capped) indexes: deletion COMPOSES with the cap ledger
+    * (r18 VERDICT #1 — the d55 contract). The per-epoch suppression
+    * sets are population history — a takedown cannot retroactively
+    * change which buckets were over cap when each epoch ran — and the
+    * persisted bucket counts keep counting tombstoned rows, so
+    * post-delete capped appends suppress exactly as the history says.
+    * The rerun contract becomes: [[rerunKeptWithLedger]] fed the
+    * SURVIVING corpus (original epoch tags) reproduces the maintained
+    * answer exactly — banded pairs restrict to surviving endpoints
+    * (per-doc-deterministic banding), exact stars are recomputed over
+    * survivors (this function's touched-cluster repair), components
+    * resolve over the surviving edge set. Gated by d55 at three SFs
+    * (an INTERLEAVED delete between capped appends) and spec-pinned.
+    *
     * Returns the updated labels (checkpointed — callers derive kept sets
     * from it without re-reading the overwritten file).
     */
@@ -739,6 +753,53 @@ object IncrementalDedup {
     newLabels
   }
 
+  /** The LEDGERED family's compaction: a REBUILD (r18 VERDICT ask #2;
+    * see [[IncrementalSig.rebuildLedgered]] for the contract — a
+    * scheduled, loud re-derivation with a fresh epoch-0 ledger, never
+    * a silent drift). The MinHash family's verify ladder needs the
+    * document TEXT (5-gram Jaccard), which no artifact retains, so the
+    * caller supplies `corpus` — the surviving accumulated documents; a
+    * count guard cross-checks it against the tombstone-filtered hash
+    * artifact. Everything re-derives via [[buildIndexWithLedger]] at
+    * the index's persisted geometry into FRESH generation-suffixed
+    * directories; the switch is the manifest CAS (tombstone entry
+    * dropped) under the writer lock. In-flight readers keep their
+    * directories until [[IndexStatePublisher.gc]].
+    */
+  def rebuildLedgered(s: SparkSession, dir: String, corpus: DataFrame,
+      bucketCap: Int, estMin: Double = 0.6,
+      jaccardMin: Double = 0.8): Unit = IndexStatePublisher.withWriterLock(dir) {
+    val m = IndexStatePublisher.current(dir)
+    require(m.pathOpt("capledger").nonEmpty,
+      s"index at $dir is not ledgered — use compactIndex")
+    val meta = s.read.parquet(s"$dir/meta").collect()(0)
+    val (k, rpb, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val idx = readIndexAt(s, dir, m) // tombstone-filtered views
+    val survN = idx.hashes.count()
+    val gotN = corpus.count()
+    require(gotN == survN,
+      s"rebuildLedgered($dir): caller passed $gotN documents but the index " +
+        s"has $survN survivors — the rebuild corpus must be exactly the " +
+        "surviving accumulated corpus")
+    val (fresh, over0) = buildIndexWithLedger(corpus, k, rpb, estMin,
+      jaccardMin, bucketCap)
+    val g = m.gen + 1
+    writeBucketedArtifacts(s, dir, fresh.hashes,
+      Dedup.bandsOf(fresh.sigs, k, rpb),
+      s"hashes-g$g", s"bands-g$g", s"bandcounts-g$g", nb)
+    fresh.sigs.write.mode("overwrite").parquet(s"$dir/sigs-g$g/epoch-0")
+    fresh.labels.write.mode("overwrite").parquet(s"$dir/labels/gen-$g")
+    fresh.pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs-g$g/epoch-0"))
+    over0.select(col("band"), col("bsig"))
+      .write.mode("overwrite").parquet(s"$dir/capledger-g$g/epoch-0")
+    IndexStatePublisher.publish(dir, IndexManifest(g,
+      Map("hashes" -> s"hashes-g$g", "bands" -> s"bands-g$g",
+        "bandcounts" -> s"bandcounts-g$g", "sigs" -> s"sigs-g$g",
+        "labels" -> s"labels/gen-$g", "pairs" -> s"pairs-g$g",
+        "capledger" -> s"capledger-g$g"),
+      Map("sigs" -> 0, "pairs" -> 0, "capledger" -> 0)))
+  }
+
   /** Rebuild-time COMPACTION — the scheduled physical half of deletion
     * (tombstones make takedowns O(delete traffic); compaction makes the
     * artifacts small again): rewrite every artifact minus its
@@ -771,8 +832,8 @@ object IncrementalDedup {
     // re-derives a fresh epoch-0 suppression set from the survivors.
     require(m.pathOpt("capledger").isEmpty,
       s"index at $dir is ledgered; compaction would discard the cap " +
-        "ledger and break the rerun contract — rebuild with " +
-        "buildIndexWithLedger into a fresh directory instead")
+        "ledger and break the rerun contract — use " +
+        "rebuildLedgered(dir, corpus, ...) instead")
     if (m.pathOpt("deleted").nonEmpty) {
       val meta = s.read.parquet(s"$dir/meta").collect()(0)
       val (k, rpb, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
@@ -916,6 +977,105 @@ object IncrementalDedup {
        |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
        |SELECT doc_id FROM documents
        |WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> cluster)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** d55: DELETION composed with the CAPPED LEDGERED posture (r18
+    * VERDICT ask #1 — the round's one `weak` component: the production
+    * index is exactly capped AND receives takedowns, and before this
+    * gate those two certified lifecycles had no joint contract). The
+    * composition: ledgered capped build (epoch 0 = the doc_id % 3 == 0
+    * split), one capped maintained append (epoch 1), a TAKEDOWN of
+    * every already-arrived doc_id ≡ 3 (mod 7) — interleaved, not
+    * terminal, so the gate also certifies that capped appends AFTER a
+    * delete stay rerun-reproducible — then a second capped append
+    * (epoch 2). Answer: the kept set over survivors.
+    *
+    * WHY the ledger stays valid through a delete (the contract the
+    * oracle certifies): the per-epoch suppression sets are POPULATION
+    * HISTORY — they recorded which buckets were over cap among the
+    * docs visible when each epoch ran, and a later takedown cannot
+    * retroactively change what ran. Deletion only removes EDGES
+    * (pairs with a dead endpoint) and exact-star centers (which
+    * [[deleteFromIndex]] repairs by re-starring touched groups'
+    * survivors). The persisted per-bucket counts deliberately keep
+    * counting tombstoned rows ([[IncrementalSig.deleteDocs]]'s
+    * documented posture) — the cap guards the PHYSICAL bucket
+    * population the probe join touches — so post-delete appends
+    * suppress exactly as the epoch-capped history says. The
+    * ledger-aware rerun over SURVIVORS therefore reproduces the
+    * maintained answer exactly:
+    *   - banded channel: admitted candidates = epoch-capped candidates
+    *     (populations over ALL arrivals, dead included) restricted to
+    *     surviving endpoints — per-doc-deterministic banding makes
+    *     restriction ≡ the engine's tombstone-filtered probes;
+    *   - exact channel: group-min stars RECOMPUTED over survivors
+    *     (restricting star edges would split a group whose center
+    *     died — the repair [[deleteFromIndex]] performs);
+    *   - resolution: components of the surviving edge set.
+    * Oracle: [[cappedLedgerDeleteDedupSql]] — the epoch-capped rerun
+    * SQL with populations over ALL docs, pair endpoints restricted to
+    * survivors, stars recomputed over survivors, kept over survivors.
+    * The Scala-side replay ([[rerunKeptWithLedger]] fed the surviving
+    * corpus) is additionally spec-pinned equal.
+    */
+  def cappedLedgerDeleteDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val deadPred = col("doc_id") % 7 === 3 && col("doc_id") % 3 <= 1
+    val idxDir = IndexStore.tempIndexDir("graft-incdeldl")
+    val (idx0, over0) = buildIndexWithLedger(docs.where(col("doc_id") % 3 === 0),
+      k = 32, rowsPerBand = 4, bucketCap = LedgerCap)
+    // nBuckets = 8 at the gate (layout knob; see appendDedup)
+    writeIndex(idx0, idxDir, k = 32, rowsPerBand = 4, nBuckets = 8,
+      capLedger0 = Some(over0))
+    appendToIndex(s, idxDir,
+      docs.where(col("doc_id") % 3 <= 1),
+      docs.where(col("doc_id") % 3 === 1),
+      bucketCap = LedgerCap)
+    // the takedown lands BETWEEN capped appends: only already-arrived
+    // docs (epochs 0-1) are deletable
+    deleteFromIndex(s, idxDir, docs.where(deadPred).select(col("doc_id")))
+    appendToIndex(s, idxDir,
+      docs.where(!deadPred),
+      docs.where(col("doc_id") % 3 === 2),
+      bucketCap = LedgerCap)
+  }
+
+  /** The epoch-capped survivor-rerun oracle (see
+    * [[cappedLedgerDeleteDedup]]): epoch-capped verified pairs over the
+    * FULL arrival history (populations count the later-deleted — they
+    * were present when each epoch's cap was enforced) restricted to
+    * surviving endpoints, exact-dup group-min stars RECOMPUTED over
+    * survivors, transitive closure, kept = min per surviving component.
+    */
+  val cappedLedgerDeleteDedupSql: String = {
+    val dead = "(doc_id % 7 = 3 AND doc_id % 3 <= 1)"
+    val pairsSql = Dedup.lshVerifiedPairsEpochCappedSql(32, 4, 0.6, 0.8, LedgerCap, 3)
+    s"""WITH RECURSIVE pairs0 AS ($pairsSql),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM pairs0
+       |  WHERE NOT (a_id % 7 = 3 AND a_id % 3 <= 1)
+       |    AND NOT (b_id % 7 = 3 AND b_id % 3 <= 1)),
+       |hashes AS (SELECT doc_id, md5(text) AS ch FROM documents WHERE NOT $dead),
+       |hstars AS (
+       |  SELECT m.min_id AS a_id, h.doc_id AS b_id
+       |  FROM hashes h
+       |  JOIN (SELECT ch, MIN(doc_id) AS min_id FROM hashes GROUP BY ch) m
+       |    ON h.ch = m.ch
+       |  WHERE h.doc_id <> m.min_id),
+       |edges AS (
+       |  SELECT a_id AS a, b_id AS b FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs
+       |  UNION SELECT a_id, b_id FROM hstars
+       |  UNION SELECT b_id, a_id FROM hstars),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+       |SELECT doc_id FROM documents
+       |WHERE NOT $dead
+       |  AND doc_id NOT IN (SELECT id FROM lbl WHERE id <> cluster)
        |ORDER BY doc_id""".stripMargin
   }
 

@@ -178,6 +178,14 @@ object IncrementalSig {
     * tombstoned rows: the cap guards the PHYSICAL bucket population the
     * probe join touches, and dead band rows still sit in those buckets
     * until rebuild-time compaction.
+    *
+    * LEDGERED (capped) indexes: deletion COMPOSES with the cap ledger
+    * (r18 VERDICT #1). Suppression sets are population history a
+    * takedown cannot rewrite, and counts keep counting tombstones, so
+    * post-delete capped appends suppress exactly as the epoch history
+    * says; [[rerunWithLedger]] fed the SURVIVING signatures (original
+    * epoch tags) equals the tombstone-filtered pair artifact —
+    * spec-pinned (IndexPublicationSpec "cap ledger" case).
     */
   def deleteDocs(s: SparkSession, dir: String, deleteIds: DataFrame): Unit = {
     import graft.runtime.IndexStatePublisher
@@ -192,6 +200,55 @@ object IncrementalSig {
       IndexStatePublisher.publish(dir, m
         .withEntry("deleted", s"deleted/gen-${m.gen + 1}")
         .copy(gen = m.gen + 1))
+    }
+  }
+
+  /** The LEDGERED family's compaction: a REBUILD (r18 VERDICT ask #2 —
+    * previously only a refusal message recommended this; now it is
+    * engine code). Epoch-collapsing compaction cannot preserve a cap
+    * ledger (suppression HISTORY), so the scheduled physical cleanup
+    * for a ledgered index is: re-derive everything from the SURVIVING
+    * signatures — recoverable from the tombstone-filtered band table,
+    * no caller-supplied corpus needed — via [[buildPairsWithLedger]],
+    * into FRESH generation-suffixed directories with a fresh EPOCH-0
+    * ledger, switch with the manifest CAS (tombstone entry dropped),
+    * all under the writer lock. In-flight readers keep their
+    * directories until [[graft.runtime.IndexStatePublisher.gc]].
+    *
+    * The rebuilt index answers as a FRESH capped build over survivors —
+    * by design NOT necessarily the pre-rebuild maintained answer (the
+    * epoch history is gone; suppression re-derives from the survivor
+    * population). That is the same semantic reset a re-banding or
+    * centroid retrain performs: a scheduled, loud re-derivation, never
+    * a silent drift. The spec pins rebuilt ≡ fresh-build-over-survivors
+    * AND that the fresh ledger replays (epoch-0 tags) to the rebuilt
+    * answer.
+    */
+  def rebuildLedgered(s: SparkSession, dir: String, maxHamming: Int,
+      bucketCap: Int): Unit = {
+    import graft.runtime.{IndexManifest, IndexStatePublisher}
+    IndexStatePublisher.withWriterLock(dir) {
+      val m = IndexStatePublisher.current(dir)
+      require(m.pathOpt("capledger").nonEmpty,
+        s"signature index at $dir is not ledgered — use compactIndex")
+      val meta = s.read.parquet(s"$dir/meta").collect()(0)
+      val (bits, nBands, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+      val idx = readIndex(s, dir) // tombstone-filtered views
+      val survSigs = idx.bands.select(col("doc_id"), col("sig")).distinct()
+        .localCheckpoint(true)
+      val (pairs, over0) = buildPairsWithLedger(survSigs, bits, nBands,
+        maxHamming, bucketCap)
+      val pairsC = pairs.localCheckpoint(true)
+      val g = m.gen + 1
+      writeBandTables(s, dir, bandsOfSig(survSigs, bits, nBands),
+        s"bands-g$g", s"bandcounts-g$g", nb)
+      pairsC.write.mode("overwrite").parquet(s"$dir/pairs-g$g/epoch-0")
+      over0.select(col("band"), col("bsig"))
+        .write.mode("overwrite").parquet(s"$dir/capledger-g$g/epoch-0")
+      IndexStatePublisher.publish(dir, IndexManifest(g,
+        Map("bands" -> s"bands-g$g", "bandcounts" -> s"bandcounts-g$g",
+          "pairs" -> s"pairs-g$g", "capledger" -> s"capledger-g$g"),
+        Map("pairs" -> 0, "capledger" -> 0)))
     }
   }
 
@@ -210,12 +267,12 @@ object IncrementalSig {
       // a LEDGERED index's cap ledger is suppression HISTORY: an
       // epoch-collapsed rewrite cannot preserve the rerun contract
       // (r17 ADVICE #2 — silently dropping the ledger made later capped
-      // appends stop recording). The ledgered path's compaction is a
-      // REBUILD via buildPairsWithLedger into a fresh directory.
+      // appends stop recording). The ledgered path's compaction is
+      // [[rebuildLedgered]] — engine code since r19.
       require(m.pathOpt("capledger").isEmpty,
         s"signature index at $dir is ledgered; compaction would discard " +
-          "the cap ledger and break the rerun contract — rebuild with " +
-          "buildPairsWithLedger into a fresh directory instead")
+          "the cap ledger and break the rerun contract — use " +
+          "rebuildLedgered(dir, maxHamming, bucketCap) instead")
       if (m.pathOpt("deleted").nonEmpty) {
         val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(2)
         val idx = readIndex(s, dir) // tombstone-filtered views
@@ -789,6 +846,14 @@ object IncrementalSemantic {
     * surviving vectors is exact (per-vector bucketing is deterministic:
     * the rerun's candidates are yesterday's restricted to survivors).
     * Returns the updated labels (checkpointed).
+    *
+    * LEDGERED (capped) indexes: deletion COMPOSES with the cap ledger
+    * (r18 VERDICT #1 — the d56 contract): suppression sets are
+    * population history, counts keep counting tombstones, and
+    * [[rerunKeptWithLedger]] fed the SURVIVING vectors (original epoch
+    * tags) reproduces the maintained answer — gated by d56 at three
+    * SFs (an interleaved delete between capped appends) and
+    * spec-pinned.
     */
   def deleteVectors(s: SparkSession, dir: String,
       deleteIds0: DataFrame): DataFrame = {
@@ -1079,6 +1144,63 @@ object IncrementalSemantic {
       .select(col("doc_id").as("vec_id"))
   }
 
+  /** The LEDGERED family's compaction: a REBUILD (r18 VERDICT ask #2;
+    * see [[IncrementalSig.rebuildLedgered]] for the contract — a
+    * scheduled, loud re-derivation over survivors with a fresh epoch-0
+    * ledger, never a silent drift). Embeddings are NOT recoverable
+    * from the bucket table (buckets are a lossy projection), so the
+    * caller supplies `allE` — the surviving vectors as
+    * (vec_id, embedding, nrm); a count guard cross-checks it against
+    * the tombstone-filtered artifact. Everything re-derives via
+    * [[corpusPairsWithLedger]] at the index's pinned geometry into
+    * FRESH generation-suffixed directories; the switch is the manifest
+    * CAS (tombstone entry dropped) under the writer lock.
+    */
+  def rebuildLedgered(s: SparkSession, dir: String, allE: DataFrame,
+      bucketCap: Int, minCos: Double = MinCos): Unit = {
+    import graft.runtime.{IndexManifest, IndexStatePublisher}
+    IndexStatePublisher.withWriterLock(dir) {
+      val m = IndexStatePublisher.current(dir)
+      require(m.pathOpt("capledger").nonEmpty,
+        s"semantic index at $dir is not ledgered — use compactIndex")
+      val meta = s.read.parquet(s"$dir/meta").collect()(0)
+      val (nb, nt, bits) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+      val idx = readIndex(s, dir) // tombstone-filtered views
+      val survN = idx.buckets.select(col("vec_id")).distinct().count()
+      val gotN = allE.select(col("vec_id")).distinct().count()
+      require(gotN == survN,
+        s"rebuildLedgered($dir): caller passed $gotN vectors but the index " +
+          s"has $survN survivors — the rebuild corpus must be exactly the " +
+          "surviving vectors")
+      val e = withSigs(allE, nt, bits).localCheckpoint(true)
+      val (pairs, over0) = corpusPairsWithLedger(e, bucketCap, minCos)
+      val pairsC = pairs.localCheckpoint(true)
+      val labels = DedupResolve.resolveClusters(pairsC).localCheckpoint(true)
+      val g = m.gen + 1
+      val buckets = bucketsOf(e)
+      s.sql(s"DROP TABLE IF EXISTS ${tableFor(s"$dir/buckets-g$g")}")
+      buckets.write.mode("overwrite").format("parquet")
+        .bucketBy(nb, "table_id", "bucket")
+        .option("path", s"$dir/buckets-g$g")
+        .saveAsTable(tableFor(s"$dir/buckets-g$g"))
+      s.sql(s"DROP TABLE IF EXISTS ${bcntTableFor(s"$dir/bucketcounts-g$g")}")
+      buckets.groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("cn"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nb, "table_id", "bucket")
+        .option("path", s"$dir/bucketcounts-g$g")
+        .saveAsTable(bcntTableFor(s"$dir/bucketcounts-g$g"))
+      labels.write.mode("overwrite").parquet(s"$dir/labels/gen-$g")
+      pairsC.write.mode("overwrite").parquet(s"$dir/pairs-g$g/epoch-0")
+      over0.select(col("table_id"), col("bucket"))
+        .write.mode("overwrite").parquet(s"$dir/capledger-g$g/epoch-0")
+      IndexStatePublisher.publish(dir, IndexManifest(g,
+        Map("buckets" -> s"buckets-g$g", "bucketcounts" -> s"bucketcounts-g$g",
+          "labels" -> s"labels/gen-$g", "pairs" -> s"pairs-g$g",
+          "capledger" -> s"capledger-g$g"),
+        Map("pairs" -> 0, "capledger" -> 0)))
+    }
+  }
+
   /** Rebuild-time compaction (see [[IncrementalDedup.compactIndex]]):
     * rewrite the bucket table and pair evidence minus tombstoned rows
     * into FRESH generation-suffixed directories, drop the tombstone
@@ -1087,9 +1209,8 @@ object IncrementalSemantic {
     * the cap ledger is suppression HISTORY — no epoch-collapsed rewrite
     * can preserve the rerun contract (epoch tags in
     * [[rerunKeptWithLedger]] align with the persisted epochs). The
-    * ledgered path's compaction is a REBUILD: [[corpusPairsWithLedger]]
-    * over the surviving corpus into a fresh directory, which re-derives
-    * a fresh epoch-0 suppression set.
+    * ledgered path's compaction is [[rebuildLedgered]] — engine code
+    * since r19.
     */
   def compactIndex(s: SparkSession, dir: String): Unit = {
     import graft.runtime.IndexStatePublisher
@@ -1097,8 +1218,8 @@ object IncrementalSemantic {
       val m = IndexStatePublisher.current(dir)
       require(m.pathOpt("capledger").isEmpty,
         s"semantic index at $dir is ledgered; compaction would discard the " +
-          "cap ledger and break the rerun contract — rebuild with " +
-          "corpusPairsWithLedger into a fresh directory instead")
+          "cap ledger and break the rerun contract — use " +
+          "rebuildLedgered(dir, allE, bucketCap) instead")
       if (m.pathOpt("deleted").nonEmpty) {
         val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(0)
         val idx = readIndex(s, dir)
@@ -1236,18 +1357,70 @@ object IncrementalSemantic {
     kept
   }
 
+  /** d56: DELETION composed with the capped LEDGERED posture on the
+    * SEMANTIC family (r18 VERDICT ask #1 — the embedding half of the
+    * d55 contract; see [[IncrementalDedup.cappedLedgerDeleteDedup]] for
+    * the full argument). Ledgered capped build (epoch 0 = the
+    * vec_id % 3 == 0 split), one capped maintained append (epoch 1), a
+    * TAKEDOWN of every already-arrived vec_id ≡ 3 (mod 7) — interleaved
+    * between appends, certifying that capped appends AFTER a delete
+    * stay rerun-reproducible — then a second capped append (epoch 2).
+    * The suppression ledger is population history (the persisted
+    * bucket counts keep counting tombstoned rows by design), so the
+    * oracle derives suppression from the FULL arrival history and only
+    * then restricts pair endpoints and the kept set to survivors; no
+    * exact-star channel exists here, so restriction alone is the whole
+    * repair. Answer: the kept vec_ids over survivors. The Scala-side
+    * ledger replay over survivors is additionally spec-pinned equal.
+    */
+  def cappedSemanticLedgerDelete(s: SparkSession, dir: String): DataFrame = {
+    val all = withNrm(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      .localCheckpoint(true)
+    val cap = semLedgerCap(all.count())
+    val deadPred = col("vec_id") % 7 === 3 && col("vec_id") % 3 <= 1
+    val base = withSigs(all.filter(col("vec_id") % 3 === 0)).localCheckpoint(true)
+    val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-incsemdl")
+    val (pairs0, over0) = corpusPairsWithLedger(base, cap)
+    val pairs0c = pairs0.localCheckpoint(true)
+    // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
+    writeIndex(base, DedupResolve.resolveClusters(pairs0c), idxDir, nBuckets = 8,
+      pairs = Some(pairs0c), capLedger0 = Some(over0))
+    appendToIndex(s, idxDir, all.filter(col("vec_id") % 3 <= 1),
+      all.filter(col("vec_id") % 3 === 1), bucketCap = cap)
+    deleteVectors(s, idxDir, all.where(deadPred).select(col("vec_id")))
+    appendToIndex(s, idxDir, all.filter(!deadPred),
+      all.filter(col("vec_id") % 3 === 2), bucketCap = cap)
+  }
+
+  /** The d56 oracle: [[cappedSemanticSqlFor]] at epochMod = 3 with the
+    * takedown predicate threaded through (suppression from full
+    * history; endpoints and kept set restricted to survivors).
+    */
+  val cappedSemanticLedgerDeleteSql: String =
+    cappedSemanticSqlFor(3, Some("(@ % 7 = 3 AND @ % 3 <= 1)"))
+
   /** The epoch-capped full-rerun kept-set oracle (see
     * [[cappedSemanticMultiAppend]]): the d45 plane/bucket arithmetic at
-    * the pinned (8, 4, 0.35) with vectors carrying `vec_id % 4` arrival
-    * epochs; a candidate pair is admitted iff some shared (table,
-    * bucket)'s population among vectors visible at the pair's birth
-    * epoch is within the cap (`pop` re-derives the suppression sets the
-    * engine persists; `cap` re-derives [[semLedgerCap]] from COUNT(*));
-    * admitted candidates run the unchanged cosine verify, components
-    * close recursively, kept = min per component.
+    * the pinned (8, 4, 0.35) with vectors carrying `vec_id % epochMod`
+    * arrival epochs; a candidate pair is admitted iff some shared
+    * (table, bucket)'s population among vectors visible at the pair's
+    * birth epoch is within the cap (`pop` re-derives the suppression
+    * sets the engine persists — over the FULL arrival history, later
+    * deletions included; `cap` re-derives [[semLedgerCap]] from
+    * COUNT(*)); admitted candidates run the unchanged cosine verify,
+    * components close recursively, kept = min per component. When
+    * `deadTemplate` is set (d56 — a predicate with `@` standing for
+    * the id column, e.g. `"(@ % 7 = 3 AND @ % 3 <= 1)"`), pair
+    * ENDPOINTS and the kept set are restricted to survivors AFTER
+    * suppression derives — deletion is an event in the index's life,
+    * not a rewrite of its history.
     */
-  val cappedSemanticMultiAppendSql: String = {
-    val (nTables, bits, minCos, epochMod) = (NTables, Bits, MinCos, 4)
+  def cappedSemanticSqlFor(epochMod: Int, deadTemplate: Option[String] = None): String = {
+    val (nTables, bits, minCos) = (NTables, Bits, MinCos)
+    def dead(ref: String): Option[String] = deadTemplate.map(_.replace("@", ref))
+    val candDead = deadTemplate.map(_ =>
+      s"\n    AND NOT ${dead("a.vec_id").get} AND NOT ${dead("b.vec_id").get}").getOrElse("")
+    val keptDead = deadTemplate.map(_ => s"NOT ${dead("vec_id").get}\n  AND ").getOrElse("")
     s"""WITH RECURSIVE e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -1278,7 +1451,7 @@ object IncrementalSemantic {
        |      AND a.vec_id < b.vec_id
        |  JOIN pop p ON p.table_id = a.table_id AND p.bucket = a.bucket
        |    AND p.pe = greatest(a.epoch, b.epoch)
-       |  WHERE p.cnt <= (SELECT cap FROM cap)),
+       |  WHERE p.cnt <= (SELECT cap FROM cap)$candDead),
        |pairs AS (
        |  SELECT c.a_id, c.b_id
        |  FROM cand c
@@ -1294,9 +1467,14 @@ object IncrementalSemantic {
        |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
        |lbl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
        |SELECT vec_id FROM embeddings
-       |WHERE vec_id NOT IN (SELECT id FROM lbl WHERE id <> cluster)
+       |WHERE ${keptDead}vec_id NOT IN (SELECT id FROM lbl WHERE id <> cluster)
        |ORDER BY vec_id""".stripMargin
   }
+
+  /** The d53 oracle: [[cappedSemanticSqlFor]] at epochMod = 4, no
+    * takedown.
+    */
+  val cappedSemanticMultiAppendSql: String = cappedSemanticSqlFor(4)
 }
 
 /** Incremental corpus-append decontamination (d36's sketch ladder with

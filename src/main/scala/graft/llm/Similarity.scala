@@ -827,6 +827,86 @@ object Similarity {
     }
   }
 
+  /** Outcome of one [[maintainIvfSq8IndexDir]] pass: whether the
+    * rebuild fired, the counts that drove the trigger, and the
+    * geometry to SERVE with — `nProbe` is derived from the live cell
+    * count by the pinned scan fraction ([[probeFor]]), so a reader
+    * needs no extra artifact to serve a retuned index correctly.
+    */
+  final case class IvfMaintenance(rebuilt: Boolean, indexedN: Long,
+      appendedN: Long, nCells: Int, nProbe: Int)
+
+  /** The composed ANN index maintenance entry point (r18 VERDICT ask
+    * #2 — [[shouldRebuild]], [[cellsFor]]/[[probeFor]], and the
+    * retrain seam all existed, but nothing composed trigger → retrain
+    * → re-tune → republish into one call a scheduler can own). Under
+    * the writer lock:
+    *   - TRIGGER: indexed = the epoch-0 cell rows (the trained base),
+    *     appended = every later epoch's; [[shouldRebuild]] at the
+    *     measured default ratio decides;
+    *   - not due → report the live geometry (cell count from the
+    *     published centroids; probe count derived by [[probeFor]] —
+    *     the historical grid points (16, 2) and (64, 4) are fixed
+    *     points of that derivation, so no persisted-geometry artifact
+    *     is needed);
+    *   - due → RETRAIN + RE-TUNE: geometry re-derived at the
+    *     accumulated count ([[cellsFor]]/[[probeFor]]/[[ivfSampleFor]]
+    *     — the d54-gated arithmetic), centroids retrained on a
+    *     hash-interleaved sample ([[ivfCentroids]] seeds/samples by
+    *     LOW vec_id, and the accumulated corpus's low ids are all old
+    *     corpus — training on them would silently reproduce the frozen
+    *     quantizer, the ScaleBench `incvecc` lesson; the sample is a
+    *     distributed TakeOrdered by hashed id, renumbered only within
+    *     its ≤ sampleN rows, so no corpus-wide single-partition sort),
+    *     fresh cells/codes epoch-0 directories, manifest CAS. The ×500
+    *     `incvecc` campaign certifies the paired retrain+retune
+    *     dominates the frozen index on both serve wall and recall at
+    *     ratios ≥ 1 (enforced by a require in the harness since r19).
+    *
+    * `allE` is the accumulated corpus as (vec_id, embedding, nrm); a
+    * count guard cross-checks it against the artifact row count.
+    */
+  def maintainIvfSq8IndexDir(s: SparkSession, dir: String, allE: DataFrame,
+      maxAppendRatio: Double = RebuildAppendRatio): IvfMaintenance = {
+    import graft.runtime.{IndexManifest, IndexStatePublisher}
+    IndexStatePublisher.withWriterLock(dir) {
+      val m = IndexStatePublisher.current(dir)
+      val cellPaths = m.epochPaths(dir, "cells")
+      val indexedN = s.read.parquet(cellPaths.head).count()
+      val appendedN =
+        if (cellPaths.size > 1) s.read.parquet(cellPaths.tail: _*).count() else 0L
+      if (!shouldRebuild(indexedN, appendedN, maxAppendRatio)) {
+        val curCells = s.read.parquet(s"$dir/${m.path("centroids")}").count().toInt
+        IvfMaintenance(rebuilt = false, indexedN, appendedN,
+          curCells, probeFor(curCells))
+      } else {
+        val n = allE.count()
+        require(n == indexedN + appendedN,
+          s"maintainIvfSq8IndexDir($dir): caller passed $n vectors but the " +
+            s"index holds ${indexedN + appendedN} — the rebuild corpus must " +
+            "be exactly the accumulated vectors")
+        val nc = cellsFor(n)
+        val np = probeFor(nc)
+        val ns = ivfSampleFor(nc)
+        val hashOrd = Seq(pmod(xxhash64(col("vec_id")), lit(9973L)), col("vec_id"))
+        val samp = allE.orderBy(hashOrd: _*).limit(ns).localCheckpoint(true)
+        val w = org.apache.spark.sql.expressions.Window.orderBy(hashOrd: _*)
+        val remapped = samp.withColumn("vec_id",
+          row_number().over(w).cast("long") - 1)
+        val idx = buildIvfSq8IndexWith(allE, ivfCentroids(remapped, nc, ns))
+        val g = m.gen + 1
+        idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids/gen-$g")
+        idx.cells.write.mode("overwrite").parquet(s"$dir/cells-g$g/epoch-0")
+        idx.codes.write.mode("overwrite").parquet(s"$dir/codes-g$g/epoch-0")
+        IndexStatePublisher.publish(dir, IndexManifest(g,
+          Map("centroids" -> s"centroids/gen-$g", "cells" -> s"cells-g$g",
+            "codes" -> s"codes-g$g"),
+          Map("cells" -> 0, "codes" -> 0)))
+        IvfMaintenance(rebuilt = true, n, 0L, nc, np)
+      }
+    }
+  }
+
   /** Serve kNN from a LOADED index: only the queries rank against the
     * loaded centroids (the corpus's cell assignment is the artifact —
     * per-vector argmax is independent, so ranking just the query side

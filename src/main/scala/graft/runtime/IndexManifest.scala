@@ -95,9 +95,11 @@ final case class IndexManifest(
   *     atomic create-exclusive — two racing writers of the same
   *     generation can both "win" and one manifest silently wins the
   *     LIST. The writer LOCK makes this unreachable for locked
-  *     mutations; for belt-and-suspenders on S3 use a coordination
-  *     service (DynamoDB-style lock, as Delta's S3 LogStore does) or
-  *     s3a's conditional-create when available. hdfs:// and gs://
+  *     mutations; for belt-and-suspenders on S3 register an
+  *     [[IndexStatePublisher.ExclusiveCreator]] for the scheme
+  *     (S3 conditional PUT, or a DynamoDB-style coordination lock as
+  *     Delta's S3 LogStore does) — every manifest CAS and writer lock
+  *     on that scheme then routes through it. hdfs:// and gs://
   *     (atomic create) need nothing extra.
   *
   * A reader resolves the CURRENT manifest (max complete gen file) once
@@ -147,8 +149,51 @@ object IndexStatePublisher {
     */
   @volatile private[graft] var forceGenericAtomics: Boolean = false
 
+  /** Deployment seam for schemes without a native atomic
+    * create-exclusive (r18 VERDICT ask #6 — the S3 caveat in the class
+    * doc, made actionable): the one ATOMICITY-CRITICAL primitive,
+    * pluggable per scheme. An object-store deployment registers an
+    * implementation backed by whatever its store offers — S3
+    * conditional PUT (`If-None-Match: *`), a DynamoDB-style
+    * coordination lock (Delta's S3 LogStore design), etcd — and every
+    * manifest CAS and writer lock on that scheme routes through it.
+    * The contract: create `target` with exactly `body` iff it does not
+    * exist; return false on CAS loss; when `durable`, the content must
+    * survive a crash once the call returns. Unregistered schemes keep
+    * the built-in dispatch (`file:` nio hard-link; everything else
+    * `fs.create(overwrite=false)` + hsync), so this is additive —
+    * the documented S3 caveat remains the honest default.
+    */
+  trait ExclusiveCreator {
+    def createExclusive(fs: FileSystem, target: HPath, body: Array[Byte],
+        durable: Boolean): Boolean
+  }
+
+  private val creators =
+    new java.util.concurrent.ConcurrentHashMap[String, ExclusiveCreator]()
+
+  /** Register `c` as the create-exclusive primitive for `scheme`
+    * (e.g. "s3a"). Last registration wins. JVM-global by design: the
+    * primitive is a property of the DEPLOYMENT's store, not of one
+    * index.
+    */
+  def registerExclusiveCreator(scheme: String, c: ExclusiveCreator): Unit =
+    creators.put(scheme, c)
+
+  def unregisterExclusiveCreator(scheme: String): Unit =
+    creators.remove(scheme)
+
+  /** Resolve the Hadoop conf through the ACTIVE session, then the
+    * DEFAULT session, then a bare `Configuration`. getActiveSession is
+    * thread-local — publisher calls from a thread that never set one
+    * (scheduler threads, streaming micro-batch workers) would
+    * otherwise silently drop cluster fs settings (s3a credentials,
+    * defaultFS) and could resolve a DIFFERENT FileSystem than the
+    * writing job used (r18 ADVICE #5).
+    */
   private def hadoopConf: Configuration =
     SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
@@ -185,6 +230,8 @@ object IndexStatePublisher {
     */
   private def createExclusive(fs: FileSystem, target: HPath, body: Array[Byte],
       durable: Boolean): Boolean = {
+    val custom = creators.get(fs.getScheme)
+    if (custom != null) return custom.createExclusive(fs, target, body, durable)
     if (useNio(fs)) {
       val tgt = real(target)
       val dirP = tgt.getParent
@@ -293,12 +340,30 @@ object IndexStatePublisher {
       .mkString("", "\n", "\n").getBytes("UTF-8")
   }
 
+  /** Minimum age of an incomplete same-generation manifest before
+    * [[publish]] treats it as a crashed publisher's corpse and heals
+    * (deletes + republishes) it. Younger incomplete files are presumed
+    * to belong to a LIVE writer still flushing (on non-atomic-
+    * visibility schemes a manifest is reader-visible before its
+    * `# end` terminator lands) and raise [[ConcurrentPublishException]]
+    * instead — healing them would let two same-generation writers both
+    * return success (r18 ADVICE #1: the heal used to fire regardless
+    * of age, which turned the CAS belt into a window). 10 minutes is
+    * comfortably above any manifest flush (manifests are < 1 KiB) and
+    * below any realistic crash-recovery turnaround.
+    */
+  val CorpseHealAgeMs: Long = 10L * 60 * 1000
+
   /** Publish `m` as the next generation. CAS: fails with
     * [[ConcurrentPublishException]] if `m.gen` already exists as a
-    * COMPLETE manifest. An incomplete gen file (a crashed publisher's
-    * corpse — only reachable after [[breakStaleLock]], since a live
-    * writer holds the lock) is healed: deleted and overwritten, so the
-    * recovered writer can republish the generation it owns.
+    * COMPLETE manifest. An incomplete gen file older than
+    * [[CorpseHealAgeMs]] (a crashed publisher's corpse — reachable
+    * after [[breakStaleLock]]) is healed: deleted and overwritten, so
+    * the recovered writer can republish the generation it owns. A
+    * YOUNG incomplete file is loud, not healed — it may be a live
+    * same-generation writer mid-flush on a scheme where files are
+    * visible before complete, and the CAS must stay a belt for writers
+    * that bypassed the lock.
     */
   def publish(dir: String, m: IndexManifest): Unit = {
     val (fs, root) = fsOf(dir)
@@ -309,7 +374,12 @@ object IndexStatePublisher {
     if (!createExclusive(fs, target, body, durable = true)) {
       if (parseOpt(fs, target, m.gen).isDefined)
         throw new ConcurrentPublishException(dir, m.gen)
-      // corpse of a crashed publisher: heal under the caller's lock
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(target).getModificationTime
+        catch { case _: Exception => -1L } // vanished: retry the create below
+      if (age >= 0 && age < CorpseHealAgeMs)
+        throw new ConcurrentPublishException(dir, m.gen)
+      // aged corpse of a crashed publisher: heal under the caller's lock
       fs.delete(target, false)
       if (!createExclusive(fs, target, body, durable = true))
         throw new ConcurrentPublishException(dir, m.gen)
@@ -381,9 +451,22 @@ object IndexStatePublisher {
       catch { case _: Exception => sampled }
     if (corpseContent != sampled) {
       // raced a breaker AND a new writer: we grabbed the fresh lock —
-      // put it back and report failure
-      createExclusive(fs, lock, corpseContent.getBytes("UTF-8"), durable = false)
+      // put it back and report failure. The restore MUST land: if a
+      // third writer acquired the lock between our rename and this
+      // restore, silently dropping the displaced fresh lock would leave
+      // that writer and the robbed one both believing they hold it —
+      // the split-brain this mechanism exists to keep loud (r18 ADVICE
+      // #2). Restore failure therefore throws, naming the displaced
+      // holder; the operator resolves which writer survives.
+      val restored =
+        createExclusive(fs, lock, corpseContent.getBytes("UTF-8"), durable = false)
       fs.delete(corpse, false)
+      if (!restored)
+        throw new IllegalStateException(
+          s"breakStaleLock($dir): displaced a LIVE writer's fresh lock " +
+            s"(${corpseContent.trim}) and could not restore it — another " +
+            "writer locked meanwhile; two writers may now believe they " +
+            "hold the lock. Resolve manually before mutating this index.")
       false
     } else {
       fs.delete(corpse, false)

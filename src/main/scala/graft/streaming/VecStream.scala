@@ -46,35 +46,44 @@ object VecStream {
   /** [[annServed]] against the MAINTAINED on-disk index (r16 VERDICT
     * #8): each micro-batch re-resolves the index manifest, so vectors
     * appended between batches ([[graft.llm.Similarity
-    * .appendVectorsToIndexDir]]) are served by the very next batch —
+    * .appendVectorsToIndexDir]]) — and REBUILDS
+    * ([[graft.llm.Similarity.maintainIvfSq8IndexDir]], which may
+    * change the cell count) — are served by the very next batch,
     * exactly as the batch path over a fresh
     * [[graft.llm.Similarity.readIvfSq8Index]] would (spec-pinned).
     * Resolution is cached by generation (one manifest read per batch on
     * an unchanged index; immutable generations make the cache
-    * tear-proof under concurrent writers).
+    * tear-proof under concurrent writers). `nProbe <= 0` derives the
+    * probe count from the LOADED generation's cell count by the pinned
+    * scan fraction ([[graft.llm.Similarity.probeFor]]) — the serving
+    * mode that tracks a retuned rebuild without redeploying the
+    * server.
     */
   def annServedMaintained(
       queries: DataFrame,
       idxDir: String,
       nProbe: Int = 2)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    var cached: Option[(Long, graft.llm.Similarity.IvfSq8Index)] = None
+    var cached: Option[(Long, graft.llm.Similarity.IvfSq8Index, Int)] = None
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: java.lang.Long) =>
         val s = batch.sparkSession
         val gen = graft.runtime.IndexStatePublisher.current(idxDir).gen
-        val idx = cached match {
-          case Some((g, i)) if g == gen => i
+        val (idx, np) = cached match {
+          case Some((g, i, p)) if g == gen => (i, p)
           case _ =>
             val i = graft.llm.Similarity.readIvfSq8Index(s, idxDir)
-            cached = Some((gen, i))
-            i
+            val p =
+              if (nProbe > 0) nProbe
+              else graft.llm.Similarity.probeFor(i.centroids.count().toInt)
+            cached = Some((gen, i, p))
+            (i, p)
         }
         val prepared = batch
           .select(col("vec_id"), col("embedding"))
           .withColumn("nrm", sqrt(graft.functions.FloatVecDot(
             col("embedding"), col("embedding"))))
-        sink(graft.llm.Similarity.ivfSq8KnnFromIndex(prepared, idx, nProbe), batchId)
+        sink(graft.llm.Similarity.ivfSq8KnnFromIndex(prepared, idx, np), batchId)
       }
       .start()
   }

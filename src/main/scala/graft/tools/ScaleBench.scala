@@ -1982,7 +1982,8 @@ object ScaleBench {
       // cellsFor/probeFor, the derivation d54 oracle-gates — retrains
       // centroids at it, and serves with the retuned probe count. The
       // paired rebuild must dominate frozen on BOTH serve wall and
-      // recall at ratios ≥ 1 (asserted below).
+      // recall at ratios ≥ 1 — enforced by the require after the
+      // retuned serve below.
       val nc2 = Similarity.cellsFor(nIdx + nDelta)
       val np2 = Similarity.probeFor(nc2)
       // Lloyd sample: the derived floor, but never less than the fixed
@@ -2002,6 +2003,23 @@ object ScaleBench {
       }
       val retunedHits = truth.join(retunedRows.select(col("qid"), col("nid")),
         Seq("qid", "nid"), "left_semi").count()
+      // the r17-verdict-#2 certification is ASSERTED, not just emitted
+      // (r18 ADVICE #4: the comment promised a require that wasn't
+      // there — a dominance regression would have passed silently). At
+      // append ratios ≥ 1 the paired retrain+retune must dominate the
+      // frozen index on BOTH axes, with tolerance for recall noise
+      // (±0.02 on a 1,000-query sample) and serve-wall scheduler noise
+      // (10%).
+      if (nDelta.toDouble / nIdx >= 1.0) {
+        val rf = frozenHits.toDouble / truthN
+        val rr = retunedHits.toDouble / truthN
+        require(rr >= rf - 0.02,
+          f"retuned recall $rr%.3f lost to frozen $rf%.3f at ratio " +
+            f"${nDelta.toDouble / nIdx}%.1f — the rebuild pairing regressed")
+        require(retuneWall <= appendWall * 1.10,
+          f"retuned serve wall $retuneWall%.1f s lost to frozen " +
+            f"$appendWall%.1f s at ratio ${nDelta.toDouble / nIdx}%.1f")
+      }
       emit("corpus" -> label, "op" -> "incvec", "arm" -> name,
         "drift" -> drift,
         "n_indexed" -> nIdx, "n_appended" -> nDelta,

@@ -299,6 +299,59 @@ class IndexPublicationSpec extends AnyFunSuite {
     }
   }
 
+  test("registered ExclusiveCreator owns the scheme's create-exclusive: manifest CAS and writer lock both dispatch through it") {
+    // the S3 conditional-create seam (r18 VERDICT ask #6): a deployment
+    // plugs its store's primitive in per scheme; this fake records
+    // every dispatch and implements a naive exists-check create (fine
+    // single-threaded — the point under test is the ROUTING, the
+    // atomicity contract is the implementor's)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fake = new IndexStatePublisher.ExclusiveCreator {
+      def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+          target: org.apache.hadoop.fs.Path, body: Array[Byte],
+          durable: Boolean): Boolean = {
+        calls.incrementAndGet()
+        if (fs.exists(target)) false
+        else {
+          val out = fs.create(target, false)
+          try out.write(body) finally out.close()
+          true
+        }
+      }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("creatorseam").toString
+    IndexStatePublisher.registerExclusiveCreator("file", fake)
+    try {
+      IndexStatePublisher.publish(tmp,
+        IndexManifest(0L, Map("labels" -> "labels/gen-0"), Map.empty))
+      assert(calls.get() >= 1, "manifest CAS must dispatch through the creator")
+      val afterPublish = calls.get()
+      // CAS loss still surfaces through the seam
+      intercept[ConcurrentPublishException] {
+        IndexStatePublisher.publish(tmp,
+          IndexManifest(0L, Map("labels" -> "other"), Map.empty))
+      }
+      // the writer lock routes through it too
+      assert(IndexStatePublisher.withWriterLock(tmp) { 5 } == 5)
+      assert(calls.get() > afterPublish,
+        "writer lock must dispatch through the creator")
+      assert(IndexStatePublisher.current(tmp).path("labels") == "labels/gen-0")
+    } finally {
+      IndexStatePublisher.unregisterExclusiveCreator("file")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    // unregistered: the built-in dispatch is back (no further recording)
+    val tmp2 = java.nio.file.Files.createTempDirectory("creatorseam2").toString
+    try {
+      val before = calls.get()
+      IndexStatePublisher.publish(tmp2,
+        IndexManifest(0L, Map("labels" -> "labels/gen-0"), Map.empty))
+      assert(calls.get() == before, "unregistered creator must not be called")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp2))
+    }
+  }
+
   test("a torn or empty max-gen manifest falls back to the newest complete generation") {
     val tmp = java.nio.file.Files.createTempDirectory("tornmanifest").toString
     try {
@@ -313,7 +366,19 @@ class IndexPublicationSpec extends AnyFunSuite {
       val cur = IndexStatePublisher.current(tmp)
       assert(cur.gen == 0L && cur.path("labels") == "labels/gen-0",
         "reader must skip incomplete manifests and fall back")
-      // the recovered writer of gen 1 can republish over the corpse
+      // a YOUNG incomplete same-gen file is NOT healed (r18 ADVICE #1):
+      // it may be a live writer mid-flush on a visible-before-complete
+      // scheme — healing it would let two same-gen writers both win
+      intercept[ConcurrentPublishException] {
+        IndexStatePublisher.publish(tmp,
+          IndexManifest(1L, Map("labels" -> "labels/gen-1"), Map.empty))
+      }
+      // the crashed-publisher corpse is by definition OLD: once the
+      // incomplete file ages past the heal bound, the recovered writer
+      // of gen 1 republishes over it
+      java.nio.file.Files.setLastModifiedTime(md.resolve(f"gen-${1L}%016d"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2 * IndexStatePublisher.CorpseHealAgeMs))
       IndexStatePublisher.publish(tmp,
         IndexManifest(1L, Map("labels" -> "labels/gen-1"), Map.empty))
       assert(IndexStatePublisher.current(tmp).path("labels") == "labels/gen-1")
@@ -427,6 +492,26 @@ class IndexPublicationSpec extends AnyFunSuite {
       assert(maintained == rerun,
         s"ledger-aware rerun diverged: maintained ${maintained.size} vs rerun ${rerun.size}, " +
           s"diff ${(maintained diff rerun).take(5)} / ${(rerun diff maintained).take(5)}")
+      // DELETION composes with the ledger (r18 VERDICT #1, the d55
+      // contract): a takedown against the capped index, then ANOTHER
+      // capped append — the ledger-aware rerun over SURVIVORS must
+      // reproduce the maintained answer exactly (suppression sets are
+      // population history; deletion cannot rewrite them)
+      val deadPred = col("doc_id") % 7 === 3
+      assert(docs.where(deadPred).count() > 0, "empty takedown — vacuous")
+      IncrementalDedup.deleteFromIndex(spark, tmp,
+        docs.where(deadPred).select(col("doc_id")))
+      val afterDelete = DedupResolve.keptFromLabels(
+          docs.where(!deadPred).select(col("doc_id")),
+          IncrementalDedup.readIndex(spark, tmp).labels)
+        .as[Long].collect().toSet
+      val rerunSurv = IncrementalDedup.rerunKeptWithLedger(spark, tmp,
+          docs.where(!deadPred).withColumn("epoch", (col("doc_id") % 4).cast("int")))
+        .as[Long].collect().toSet
+      assert(afterDelete == rerunSurv,
+        s"post-delete ledger replay over survivors diverged: " +
+          s"${afterDelete.size} vs ${rerunSurv.size}, " +
+          s"diff ${(afterDelete diff rerunSurv).take(5)} / ${(rerunSurv diff afterDelete).take(5)}")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
@@ -472,9 +557,27 @@ class IndexPublicationSpec extends AnyFunSuite {
               .localCheckpoint(true))))
         .select(col("doc_id")).as[Long].collect().toSet
       assert(maintained != uncapped, "cap changed nothing — fixture too small to gate")
+      // DELETION composes with the ledger (r18 VERDICT #1, the d56
+      // contract): takedown, then the ledger-aware rerun over SURVIVORS
+      // must reproduce the maintained answer (suppression sets are
+      // population history — deletion cannot rewrite them)
+      val deadPred = col("vec_id") % 7 === 3
+      assert(all.where(deadPred).count() > 0, "empty takedown — vacuous")
+      IncrementalSemantic.deleteVectors(spark, tmp,
+        all.where(deadPred).select(col("vec_id")))
+      val afterDelete = DedupResolve.keptFromLabels(
+          all.where(!deadPred).select(col("vec_id").as("doc_id")),
+          IncrementalSemantic.readIndex(spark, tmp).labels)
+        .select(col("doc_id")).as[Long].collect().toSet
+      val rerunSurv = IncrementalSemantic.rerunKeptWithLedger(spark, tmp,
+          all.where(!deadPred).withColumn("epoch", (col("vec_id") % 4).cast("int")))
+        .as[Long].collect().toSet
+      assert(afterDelete == rerunSurv,
+        s"post-delete ledger replay over survivors diverged: " +
+          s"${afterDelete.size} vs ${rerunSurv.size}, " +
+          s"diff ${(afterDelete diff rerunSurv).take(5)} / ${(rerunSurv diff afterDelete).take(5)}")
       // compaction is REFUSED on a ledgered index (r17 ADVICE #2): the
       // ledger is history an epoch-collapsed rewrite cannot preserve
-      IncrementalSemantic.deleteVectors(spark, tmp, Seq(1L).toDF("vec_id"))
       val ex = intercept[IllegalArgumentException] {
         IncrementalSemantic.compactIndex(spark, tmp)
       }
@@ -517,6 +620,22 @@ class IndexPublicationSpec extends AnyFunSuite {
       val uncapped = IncrementalSig.buildPairs(sigsOf(docs), 32, 8, 7)
         .as[(Long, Long, Int)].collect().toSet
       assert(artifact != uncapped, "cap changed nothing — fixture too small to gate")
+      // DELETION composes with the ledger (r18 VERDICT #1 on the
+      // bit-signature family): takedown tombstones, the filtered
+      // artifact must equal the ledger replay over SURVIVING sigs
+      val deadPred = col("doc_id") % 7 === 3
+      assert(docs.where(deadPred).count() > 0, "empty takedown — vacuous")
+      IncrementalSig.deleteDocs(spark, tmp,
+        docs.where(deadPred).select(col("doc_id")))
+      val afterDelete = IncrementalSig.readIndex(spark, tmp).pairs
+        .as[(Long, Long, Int)].collect().toSet
+      val rerunSurv = IncrementalSig.rerunWithLedger(spark, tmp,
+          sigsOf(docs.where(!deadPred))
+            .withColumn("epoch", (col("doc_id") % 3).cast("int")), 7)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(afterDelete == rerunSurv,
+        s"post-delete ledger replay over survivors diverged: " +
+          s"${afterDelete.size} vs ${rerunSurv.size}")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
