@@ -50,6 +50,24 @@ object Bench {
     val measuredTimeout = Watchdog.secs("SPARK_GRAFT_QUERY_TIMEOUT", 150)
     val warmupTimeout = Watchdog.secs("SPARK_GRAFT_WARMUP_TIMEOUT", 60)
 
+    // post-timeout settle (r19 VERDICT #2: d56 blew the watchdog twice and
+    // its cancelled-but-still-exiting tasks inflated every m-family number
+    // plus q01 — one pathological query voided a family's bench signal).
+    // After a timeout/failure, park until the cancelled group's tasks have
+    // actually exited (active-job poll, bounded) before the next measured
+    // query starts. A DRIVER-side hang has no Spark jobs to drain — its
+    // one zombie core is the documented residual (Watchdog class doc).
+    def settle(maxWaitSec: Int = 60): Unit = {
+      val tracker = spark.sparkContext.statusTracker
+      val deadline = System.nanoTime() + maxWaitSec * 1000L * 1000 * 1000
+      while (tracker.getActiveJobIds().nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      if (tracker.getActiveJobIds().nonEmpty)
+        System.err.println(
+          s"[bench] settle: cancelled tasks still active after ${maxWaitSec}s " +
+            "- subsequent timings may carry residue")
+    }
+
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       val elapsed =
@@ -60,9 +78,11 @@ object Bench {
           case Watchdog.Ok => (System.nanoTime() - t0) / 1e9
           case Watchdog.TimedOut =>
             System.err.println(s"[bench] $name timed out (${measuredTimeout}s)")
+            settle()
             -1.0
           case Watchdog.Failed(e) =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            settle()
             -1.0
         }
       // checkpoint-using queries (t07, d06, d09, d13-d15) persist RDDs that
@@ -88,6 +108,8 @@ object Bench {
       } match {
         case Watchdog.TimedOut =>
           System.err.println(s"[bench] warmup $n timed out (${warmupTimeout}s)")
+          settle()
+        case Watchdog.Failed(_) => settle()
         case _ => ()
       }
       sweep()
@@ -170,7 +192,14 @@ object Bench {
       }
     val qs2 = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
-    val stdoutLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2,"families":$fams,"sf":"$sfDir","runs":2,"degraded":$deg,"spread_med":${fmt(spreadMed)}}"""
+    // env_note rides the STDOUT line too (r19 VERDICT #2: only the file
+    // line carried it, so the driver artifact — built from stdout's tail —
+    // shipped without the health note). The stdout copy is truncated to
+    // keep the line inside the driver's ~2000-char tail capture.
+    val envNote2 = sys.env.get("SPARK_GRAFT_ENV_NOTE")
+      .map(_.take(60))
+      .getOrElse("shared host, no isolation - check spread_med")
+    val stdoutLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2,"families":$fams,"sf":"$sfDir","runs":2,"degraded":$deg,"spread_med":${fmt(spreadMed)},"env_note":"$envNote2"}"""
     println(stdoutLine)
     // the full line goes to a file: the durable per-query record
     // (r14 VERDICT ask #3).

@@ -306,7 +306,7 @@ object Curate {
     */
   private[graft] def nbGatedStage(docs: DataFrame, minTokens: Int,
       approxTeacher: Boolean = false): DataFrame = {
-    val scrubbed = scrubScored(docs, minTokens).localCheckpoint(true)
+    val scrubbed = scrubScored(docs, minTokens).transform(graft.runtime.Ckpt.eager)
     val thr =
       if (approxTeacher) nbTeacherThresholdApprox(scrubbed)
       else nbTeacherThreshold(scrubbed)

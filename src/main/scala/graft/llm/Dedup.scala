@@ -421,14 +421,14 @@ object Dedup {
       minJaccard: Double = vJaccard): DataFrame = {
     // pairs feeds the id prune AND the final join — materialize so an
     // expensive candidate generator doesn't run twice
-    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val p = pairs.select(col("a_id"), col("b_id")).transform(graft.runtime.Ckpt.eager)
     val ids = p.select(col("a_id").as("doc_id"))
       .unionByName(p.select(col("b_id").as("doc_id")))
       .distinct()
     val gsel = docs
       .join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), graft.functions.ShingleHash60s(col("text"), n).as("gs"))
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     verifyJaccardOn(gsel, p, minJaccard)
   }
 
@@ -489,19 +489,36 @@ object Dedup {
       rowsPerBand: Int = vRows,
       estMin: Double = vEstMin,
       jaccardMin: Double = vJaccard,
-      bucketCap: Int = NoBucketCap): DataFrame = {
+      bucketCap: Int = NoBucketCap): DataFrame =
+    lshVerifiedPairsFromSigs(docs,
+      docs.select(col("doc_id"), graft.functions.MinHashSig(col("text"), 5, k).as("sig")),
+      k, rowsPerBand, estMin, jaccardMin, bucketCap)
+
+  /** The verified ladder over a caller-supplied (doc_id, sig) frame —
+    * the index-build path ([[IncrementalDedup.buildIndex]]) checkpoints
+    * ONE corpus MinHash pass and shares it between this ladder and the
+    * persisted sig/band artifacts (the lazy form re-ran the fused
+    * MinHash scan — the dominant per-row cost — once per artifact
+    * write; r20 optimization, guide §1.2 "don't compute things twice").
+    */
+  private[graft] def lshVerifiedPairsFromSigs(
+      docs: DataFrame,
+      sigs: DataFrame,
+      k: Int,
+      rowsPerBand: Int,
+      estMin: Double,
+      jaccardMin: Double,
+      bucketCap: Int): DataFrame = {
     // checkpoint = pushdown barrier: est stays a codegen'd projection
     // computed once per distinct pair, never a join condition
-    val pairs = bandedPairsFrom(
-        docs.select(col("doc_id"), graft.functions.MinHashSig(col("text"), 5, k).as("sig")),
-        k, rowsPerBand, resolveCap(bucketCap, 1.0))
-      .localCheckpoint(true)
+    val pairs = bandedPairsFrom(sigs, k, rowsPerBand, resolveCap(bucketCap, 1.0))
+      .transform(graft.runtime.Ckpt.eager)
     val cand = pairs.filter(col("est") >= estMin).select(col("a_id"), col("b_id"))
     // both verify sides read the gram arrays — materialize the corpus-wide
     // md5 gram pass ONCE (recompute-under-reuse otherwise, SCALING.md §2)
     val gsel = docs
       .select(col("doc_id"), graft.functions.ShingleHash60s(col("text"), 5).as("gs"))
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     verifyJaccardOn(gsel, cand, jaccardMin)
   }
 

@@ -32,22 +32,36 @@ object DedupResolve {
     * the O(log diameter) claim empirically.
     */
   def resolveClustersCounted(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
-    // materialize the pair source ONCE before the two-direction union —
-    // both union branches reference it, and an unmaterialized expensive
-    // producer (e.g. the Jaccard join) would run twice (the
-    // recompute-under-reuse smell, SCALING.md §2)
-    val p0 = pairs
+    // ONE pass over the pair source emits both edge directions (explode
+    // of a two-struct array) — the old two-branch union needed the
+    // producer materialized first so it wouldn't run twice (the
+    // recompute-under-reuse smell, SCALING.md §2); the explode form
+    // reads it once in the same job, so the separate p0 checkpoint
+    // (one extra materialization job per resolve call) is gone (r20
+    // optimization: each resolve is called up to 4× per lifecycle
+    // query, and at gate SFs the job COUNT is the cost).
+    val edges = pairs
       .select(col("a_id").cast("long").as("a_id"), col("b_id").cast("long").as("b_id"))
-      .localCheckpoint()
-    val edges = p0
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(p0.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint()
-    var iter = 0
+      .transform(graft.runtime.Ckpt.eager)
+    // fold propagation round 1 into the init: from labels₀ = identity,
+    // round 1 computes exactly labels₁(x) = min(x, min_{y∈N(x)} y) — one
+    // groupBy over the edge set instead of a full join+agg+probe+jump
+    // iteration. The loop below continues the identical descent (labels
+    // only decrease toward the component min), so the fixpoint — and
+    // therefore every caller-visible answer — is unchanged; iter starts
+    // at 1 so the reported round count keeps meaning "propagation
+    // rounds run" for the scale harness's O(log diameter) record.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbr_min"))
+      .select(col("src").as("id"),
+        least(col("src"), col("nbr_min")).as("cluster"))
+      .transform(graft.runtime.Ckpt.eager)
+    var iter = 1
     var done = false
     while (!done && iter < maxIter) {
       val nbrMin = edges
@@ -61,7 +75,7 @@ object DedupResolve {
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), col("cluster"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("new_cluster"))
-        .localCheckpoint()
+        .transform(graft.runtime.Ckpt.eager)
       val changed = step
         .filter(col("new_cluster") =!= col("cluster"))
         .limit(1).count() // converged ⇔ no label moved; limit(1) early-exits
@@ -82,7 +96,7 @@ object DedupResolve {
         labels = cur
           .join(asMap, cur("cluster") === asMap("cid"), "left")
           .select(col("id"), coalesce(col("cc"), col("cluster")).as("cluster"))
-          .localCheckpoint()
+          .transform(graft.runtime.Ckpt.eager)
       }
       iter += 1
     }
@@ -137,14 +151,18 @@ object DedupResolve {
     * artifact a maintained index rewrites — d46).
     */
   private[llm] def incrementalLabels(labels: DataFrame,
-      newEdges0: DataFrame): DataFrame = {
-    val newEdges = newEdges0.localCheckpoint(true)
+      newEdges0: DataFrame, edgesMaterialized: Boolean = false): DataFrame = {
+    // maintained-index callers checkpoint the evidence themselves (it
+    // must materialize BEFORE the artifact mutation they follow with) —
+    // re-checkpointing it here was one wasted materialization job per
+    // append (r20); one-shot callers still pass a lazy frame
+    val newEdges = if (edgesMaterialized) newEdges0 else newEdges0.transform(graft.runtime.Ckpt.eager)
     val evNodes = newEdges.select(col("a_id").as("id"))
       .unionByName(newEdges.select(col("b_id").as("id")))
       .distinct()
     val touched = labels.join(evNodes, Seq("id"))
       .select(col("cluster")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     val tJoin = guardedByCluster(touched)
     val touchedStars = labels
       .join(tJoin, Seq("cluster"))

@@ -156,8 +156,8 @@ object IncrementalDedup {
       * a re-derive of the corpus text).
       */
     def checkpointed(): CorpusIndex =
-      CorpusIndex(hashes.localCheckpoint(true), sigs.localCheckpoint(true),
-        labels.localCheckpoint(true))
+      CorpusIndex(hashes.transform(graft.runtime.Ckpt.eager), sigs.transform(graft.runtime.Ckpt.eager),
+        labels.transform(graft.runtime.Ckpt.eager))
   }
 
   /** Build the artifacts the corpus run persists: content hashes,
@@ -176,11 +176,17 @@ object IncrementalDedup {
       bucketCap: Int = Dedup.NoBucketCap): CorpusIndex = {
     val hashes = corpus.select(col("doc_id"),
       md5(col("text").cast("binary")).as("content_hash"))
+    // ONE corpus MinHash pass, shared by the candidate ladder and every
+    // artifact write in [[writeIndex]] (lazy sigs re-ran the fused scan
+    // per consumer: band table, band counts, sig epoch — 3 extra corpus
+    // passes per build; r20 optimization, guide §1.2)
     val sigs = corpus.select(col("doc_id"),
       graft.functions.MinHashSig(col("text"), 5, k).as("sig"))
-    val pairs = Dedup.lshVerifiedPairsDf(corpus, k, rowsPerBand, estMin, jaccardMin, bucketCap)
+      .transform(graft.runtime.Ckpt.eager)
+    val pairs = Dedup.lshVerifiedPairsFromSigs(corpus, sigs, k, rowsPerBand,
+        estMin, jaccardMin, bucketCap)
       .select(col("a_id"), col("b_id"))
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     CorpusIndex(hashes, sigs, DedupResolve.resolveClusters(pairs), pairs = Some(pairs))
   }
 
@@ -205,25 +211,31 @@ object IncrementalDedup {
       jaccardMin: Double = 0.8,
       bucketCap: Int = Dedup.NoBucketCap): (CorpusIndex, DataFrame) = {
     require(bucketCap != Dedup.NoBucketCap, "ledger build requires a finite cap")
+    // hashes feed the star join (two reads) AND the bucketed hash-table
+    // write; sigs feed the ladder, the over-cap ledger, and three
+    // artifact writes — checkpoint each ONCE (r20, guide §1.2)
     val hashes = corpus.select(col("doc_id"),
       md5(col("text").cast("binary")).as("content_hash"))
+      .transform(graft.runtime.Ckpt.eager)
     val sigs = corpus.select(col("doc_id"),
       graft.functions.MinHashSig(col("text"), 5, k).as("sig"))
+      .transform(graft.runtime.Ckpt.eager)
     val stars = hashes
       .join(hashes.groupBy(col("content_hash")).agg(min(col("doc_id")).as("min_id")),
         Seq("content_hash"))
       .filter(col("doc_id") =!= col("min_id"))
       .select(col("min_id").as("a_id"), col("doc_id").as("b_id"))
-    val pairs = Dedup.lshVerifiedPairsDf(corpus, k, rowsPerBand, estMin, jaccardMin, bucketCap)
+    val pairs = Dedup.lshVerifiedPairsFromSigs(corpus, sigs, k, rowsPerBand,
+        estMin, jaccardMin, bucketCap)
       .select(col("a_id"), col("b_id"))
       .unionByName(stars)
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     val over0 = Dedup.bandsOf(sigs, k, rowsPerBand)
       .groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
       .filter(col("cn") > bucketCap)
       .select(col("band"), col("bsig"))
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     (CorpusIndex(hashes, sigs, DedupResolve.resolveClusters(pairs),
       pairs = Some(pairs)), over0)
   }
@@ -248,16 +260,18 @@ object IncrementalDedup {
       k: Int = 32, rowsPerBand: Int = 8, nBuckets: Int = 32,
       capLedger0: Option[DataFrame] = None): Unit = {
     val s = idx.sigs.sparkSession
-    writeBucketedArtifacts(s, dir, idx.hashes, Dedup.bandsOf(idx.sigs, k, rowsPerBand),
-      "hashes", "bands", "bandcounts", nBuckets)
-    idx.sigs.write.mode("overwrite").parquet(s"$dir/sigs/epoch-0")
-    idx.labels.write.mode("overwrite").parquet(s"$dir/labels/gen-0")
-    idx.pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs/epoch-0"))
-    capLedger0.foreach(_.select(col("band"), col("bsig"))
-      .write.mode("overwrite").parquet(s"$dir/capledger/epoch-0"))
-    s.range(1).selectExpr(s"$k AS k", s"$rowsPerBand AS rows_per_band",
-        s"$nBuckets AS n_buckets")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    graft.runtime.Par.run(Seq( // independent writes — overlap (guide §2.6)
+      () => writeBucketedArtifacts(s, dir, idx.hashes,
+        Dedup.bandsOf(idx.sigs, k, rowsPerBand),
+        "hashes", "bands", "bandcounts", nBuckets),
+      () => idx.sigs.write.mode("overwrite").parquet(s"$dir/sigs/epoch-0"),
+      () => idx.labels.write.mode("overwrite").parquet(s"$dir/labels/gen-0"),
+      () => s.range(1).selectExpr(s"$k AS k", s"$rowsPerBand AS rows_per_band",
+          s"$nBuckets AS n_buckets")
+        .write.mode("overwrite").parquet(s"$dir/meta")) ++
+      idx.pairs.map(p => () => p.write.mode("overwrite").parquet(s"$dir/pairs/epoch-0")) ++
+      capLedger0.map(l => () => l.select(col("band"), col("bsig"))
+        .write.mode("overwrite").parquet(s"$dir/capledger/epoch-0")): _*)
     val entries = Map(
       "hashes" -> "hashes", "bands" -> "bands", "bandcounts" -> "bandcounts",
       "sigs" -> "sigs", "labels" -> "labels/gen-0") ++
@@ -279,21 +293,22 @@ object IncrementalDedup {
       relHashes: String, relBands: String, relCounts: String,
       nBuckets: Int): Unit = {
     s.sql(s"DROP TABLE IF EXISTS ${hashTable(s"$dir/$relHashes")}")
-    hashes.write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, "content_hash")
-      .option("path", s"$dir/$relHashes")
-      .saveAsTable(hashTable(s"$dir/$relHashes"))
     s.sql(s"DROP TABLE IF EXISTS ${bandTable(s"$dir/$relBands")}")
-    bands.write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, "band", "bsig")
-      .option("path", s"$dir/$relBands")
-      .saveAsTable(bandTable(s"$dir/$relBands"))
     s.sql(s"DROP TABLE IF EXISTS ${bcntTable(s"$dir/$relCounts")}")
-    bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, "band", "bsig")
-      .option("path", s"$dir/$relCounts")
-      .saveAsTable(bcntTable(s"$dir/$relCounts"))
+    graft.runtime.Par.run( // independent writes — overlap (guide §2.6)
+      () => hashes.write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, "content_hash")
+        .option("path", s"$dir/$relHashes")
+        .saveAsTable(hashTable(s"$dir/$relHashes")),
+      () => bands.write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, "band", "bsig")
+        .option("path", s"$dir/$relBands")
+        .saveAsTable(bandTable(s"$dir/$relBands")),
+      () => bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, "band", "bsig")
+        .option("path", s"$dir/$relCounts")
+        .saveAsTable(bcntTable(s"$dir/$relCounts")))
   }
 
   /** Load the index at its CURRENT published generation. One manifest
@@ -400,8 +415,9 @@ object IncrementalDedup {
     }
     val deltaSigs = delta.select(col("doc_id"),
       graft.functions.MinHashSig(col("text"), 5, k).as("sig"))
+      .transform(graft.runtime.Ckpt.eager) // read by the band explode AND the sig-epoch write-back
     val deltaBands = Dedup.bandsOf(deltaSigs, k, rowsPerBand)
-      .localCheckpoint(true) // read thrice: counts + both join sides
+      .transform(graft.runtime.Ckpt.eager) // read thrice: counts + both join sides
     // the template-skew cap (d21's guard): total bucket population =
     // persisted corpus count + delta count, examined for DELTA-TOUCHED
     // buckets only — output-equivalent to capping the full union, at a
@@ -416,7 +432,7 @@ object IncrementalDedup {
           corpusBands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn")))
         val dCnt = deltaBands.groupBy(col("band"), col("bsig"))
           .agg(count(lit(1)).as("dn"))
-          .localCheckpoint(true) // read twice: the count probe + the over-join
+          .transform(graft.runtime.Ckpt.eager) // read twice: the count probe + the over-join
         // a MAINTAINED index appends one count row per (append, bucket):
         // SUM over delta-touched keys only — probe the bucketed counts
         // with the delta's bucket list first (corpus side exchange-free,
@@ -429,7 +445,7 @@ object IncrementalDedup {
           .join(cCnt, Seq("band", "bsig"), "left_outer")
           .filter(coalesce(col("cn"), lit(0L)) + col("dn") > bucketCap)
           .select(col("band"), col("bsig"))
-          .localCheckpoint(true)
+          .transform(graft.runtime.Ckpt.eager)
         overLedger = Some(over)
         (corpusBands.join(over, Seq("band", "bsig"), "left_anti"),
           deltaBands.join(over, Seq("band", "bsig"), "left_anti"))
@@ -452,7 +468,7 @@ object IncrementalDedup {
       .distinct()
       // the d13 pushdown barrier: est stays a projection computed once
       // per distinct pair, never an interpreted join condition
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
 
     // 3. est prefilter + exact-Jaccard verify; grams only for candidate
     // members (the semi-join prune inside verifyJaccardDf)
@@ -527,48 +543,59 @@ object IncrementalDedup {
     val idx = readIndexAt(s, dir, m)
     val (k, rpb, nb) = (idx.bandK, idx.bandRows, idx.nBuckets)
     val ev = deltaEvidence(allDocs, idx, delta, k, rpb, estMin, jaccardMin, bucketCap)
-    val edges = ev.edges.localCheckpoint(true)
-    val newLabels = DedupResolve.incrementalLabels(idx.labels, edges)
-      .localCheckpoint(true) // materialize BEFORE mutating its own input tables
+    val edges = ev.edges.transform(graft.runtime.Ckpt.eager)
+    // label resolution reads only IMMUTABLE inputs (checkpointed edges +
+    // the labels/gen-N parquet this mutation never touches) — overlap it
+    // with the artifact writes below (guide §2.6); the labels write
+    // chains inside the resolving thunk
+    @volatile var newLabels: DataFrame = null
     // artifact write-back (delta-proportional except the labels rewrite,
-    // which is dup-membership-proportional)
-    ev.deltaHash.write.mode("append").format("parquet")
-      .bucketBy(nb, "content_hash")
-      .option("path", s"$dir/${m.path("hashes")}")
-      .saveAsTable(hashTable(s"$dir/${m.path("hashes")}"))
-    ev.deltaBands.write.mode("append").format("parquet")
-      .bucketBy(nb, "band", "bsig")
-      .option("path", s"$dir/${m.path("bands")}")
-      .saveAsTable(bandTable(s"$dir/${m.path("bands")}"))
-    ev.deltaBands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
-      .write.mode("append").format("parquet")
-      .bucketBy(nb, "band", "bsig")
-      .option("path", s"$dir/${m.path("bandcounts")}")
-      .saveAsTable(bcntTable(s"$dir/${m.path("bandcounts")}"))
+    // which is dup-membership-proportional): independent actions over
+    // materialized frames — overlap them (guide §2.6; graft.runtime.Par)
     val sigEpoch = m.epochs.getOrElse("sigs", -1) + 1
     val pairsRel = m.pathOpt("pairs").getOrElse("pairs")
     val pairEpoch = m.epochs.getOrElse("pairs", -1) + 1
-    ev.deltaSigs.write.mode("overwrite")
-      .parquet(s"$dir/${m.path("sigs")}/epoch-$sigEpoch")
-    edges.write.mode("overwrite")
-      .parquet(s"$dir/$pairsRel/epoch-$pairEpoch")
-    newLabels.write.mode("overwrite").parquet(s"$dir/labels/gen-${m.gen + 1}")
     // a LEDGERED index (built via [[buildIndexWithLedger]]) persists the
     // epoch's suppressed-bucket set beside the pairs — what makes capped
     // maintained appends rerun-reproducible (d52; the d51 pattern).
     // Uncapped appends on a ledgered index record an empty set.
     val ledgered = m.pathOpt("capledger").nonEmpty
-    if (ledgered) {
+    val ledgerWrite = if (!ledgered) Seq.empty else {
       val rows = ev.over.getOrElse {
         import org.apache.spark.sql.types._
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("band", IntegerType),
             StructField("bsig", StringType))))
       }
-      rows.select(col("band"), col("bsig"))
+      Seq(() => rows.select(col("band"), col("bsig"))
         .write.mode("overwrite")
-        .parquet(s"$dir/${m.path("capledger")}/epoch-$sigEpoch")
+        .parquet(s"$dir/${m.path("capledger")}/epoch-$sigEpoch"))
     }
+    graft.runtime.Par.run(Seq(
+      () => ev.deltaHash.write.mode("append").format("parquet")
+        .bucketBy(nb, "content_hash")
+        .option("path", s"$dir/${m.path("hashes")}")
+        .saveAsTable(hashTable(s"$dir/${m.path("hashes")}")),
+      () => ev.deltaBands.write.mode("append").format("parquet")
+        .bucketBy(nb, "band", "bsig")
+        .option("path", s"$dir/${m.path("bands")}")
+        .saveAsTable(bandTable(s"$dir/${m.path("bands")}")),
+      () => ev.deltaBands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
+        .write.mode("append").format("parquet")
+        .bucketBy(nb, "band", "bsig")
+        .option("path", s"$dir/${m.path("bandcounts")}")
+        .saveAsTable(bcntTable(s"$dir/${m.path("bandcounts")}")),
+      () => ev.deltaSigs.write.mode("overwrite")
+        .parquet(s"$dir/${m.path("sigs")}/epoch-$sigEpoch"),
+      () => edges.write.mode("overwrite")
+        .parquet(s"$dir/$pairsRel/epoch-$pairEpoch"),
+      () => {
+        newLabels = DedupResolve.incrementalLabels(idx.labels, edges,
+            edgesMaterialized = true)
+          .transform(graft.runtime.Ckpt.eager)
+        newLabels.write.mode("overwrite").parquet(s"$dir/labels/gen-${m.gen + 1}")
+      }) ++
+      ledgerWrite: _*)
     IndexStatePublisher.publish(dir, m
       .withEntry("labels", s"labels/gen-${m.gen + 1}")
       .withEntry("pairs", pairsRel)
@@ -619,7 +646,7 @@ object IncrementalDedup {
       .join(broadcast(firstOver), Seq("band", "bsig"), "left_outer")
       .filter(col("first_over").isNull || col("epoch") < col("first_over"))
       .drop("first_over")
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     val cand = b.alias("a")
       .join(b.hint("shuffle_hash").alias("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -627,7 +654,7 @@ object IncrementalDedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         Dedup.sigEst(k).as("est"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     val verified = Dedup.verifyJaccardDf(docsWithEpoch,
       cand.filter(col("est") >= estMin).select(col("a_id"), col("b_id")),
       n = 5, minJaccard = jaccardMin)
@@ -691,7 +718,7 @@ object IncrementalDedup {
   def deleteFromIndex(s: SparkSession, dir: String,
       deleteIds0: DataFrame): DataFrame = IndexStatePublisher.withWriterLock(dir) {
     val del = deleteIds0.select(col("doc_id").cast("long").as("doc_id"))
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     // resolve the manifest ONCE: this pass needs yesterday's view
     val m = IndexStatePublisher.current(dir)
     val idx = readIndexAt(s, dir, m)
@@ -700,7 +727,7 @@ object IncrementalDedup {
     val delId = del.select(col("doc_id").as("id"))
     val touched = idx.labels.join(delId, Seq("id"))
       .select(col("cluster")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     // guard probe ONCE per delete; both the touched-stars join and the
     // untouched anti-join below reuse the same shaped frame (r16 ADVICE:
     // the limit+count broadcast probe used to run twice per delete)
@@ -708,7 +735,7 @@ object IncrementalDedup {
     val touchedLabels = idx.labels
       .join(tJoin, Seq("cluster"))
       .select(col("id"), col("cluster"))
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     // surviving pair evidence of touched clusters (an edge's endpoints
     // share a component, so membership is decided by a_id's label)
     val survPairs = pairs
@@ -729,23 +756,32 @@ object IncrementalDedup {
         Seq("content_hash"))
       .filter(col("doc_id") =!= col("min_id"))
       .select(col("min_id").as("a_id"), col("doc_id").as("b_id"))
-    val subLabels = DedupResolve.resolveClusters(
-      survPairs.select(col("a_id"), col("b_id")).unionByName(survStars))
-    val untouched = idx.labels
-      .join(tJoin, Seq("cluster"), "left_anti")
-      .select(col("id"), col("cluster"))
-    val newLabels = untouched.unionByName(subLabels.select(col("id"), col("cluster")))
-      .localCheckpoint(true) // materialize BEFORE publishing over its input gen
     // the FULL surviving tombstone list is rewritten per generation
     // (delete traffic is small by contract): one manifest resolution
     // then gives a reader a consistent (labels, tombstones) pair —
-    // appending to a live tombstone dir could tear exactly that pairing
-    val allDel = m.pathOpt("deleted")
-      .map(rel => s.read.parquet(s"$dir/$rel").unionByName(del).distinct())
-      .getOrElse(del)
-      .localCheckpoint(true)
-    allDel.write.mode("overwrite").parquet(s"$dir/deleted/gen-${m.gen + 1}")
-    newLabels.write.mode("overwrite").parquet(s"$dir/labels/gen-${m.gen + 1}")
+    // appending to a live tombstone dir could tear exactly that pairing.
+    // The tombstone rewrite and the touched-cluster re-resolution read
+    // disjoint IMMUTABLE inputs — overlap them (guide §2.6), each thunk
+    // chaining its own write
+    @volatile var newLabels: DataFrame = null
+    graft.runtime.Par.run(
+      () => {
+        val allDel = m.pathOpt("deleted")
+          .map(rel => s.read.parquet(s"$dir/$rel").unionByName(del).distinct())
+          .getOrElse(del)
+          .transform(graft.runtime.Ckpt.eager)
+        allDel.write.mode("overwrite").parquet(s"$dir/deleted/gen-${m.gen + 1}")
+      },
+      () => {
+        val subLabels = DedupResolve.resolveClusters(
+          survPairs.select(col("a_id"), col("b_id")).unionByName(survStars))
+        val untouched = idx.labels
+          .join(tJoin, Seq("cluster"), "left_anti")
+          .select(col("id"), col("cluster"))
+        newLabels = untouched.unionByName(subLabels.select(col("id"), col("cluster")))
+          .transform(graft.runtime.Ckpt.eager) // materialize BEFORE publishing over its input gen
+        newLabels.write.mode("overwrite").parquet(s"$dir/labels/gen-${m.gen + 1}")
+      })
     IndexStatePublisher.publish(dir, m
       .withEntry("labels", s"labels/gen-${m.gen + 1}")
       .withEntry("deleted", s"deleted/gen-${m.gen + 1}")
@@ -784,14 +820,16 @@ object IncrementalDedup {
     val (fresh, over0) = buildIndexWithLedger(corpus, k, rpb, estMin,
       jaccardMin, bucketCap)
     val g = m.gen + 1
-    writeBucketedArtifacts(s, dir, fresh.hashes,
-      Dedup.bandsOf(fresh.sigs, k, rpb),
-      s"hashes-g$g", s"bands-g$g", s"bandcounts-g$g", nb)
-    fresh.sigs.write.mode("overwrite").parquet(s"$dir/sigs-g$g/epoch-0")
-    fresh.labels.write.mode("overwrite").parquet(s"$dir/labels/gen-$g")
-    fresh.pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs-g$g/epoch-0"))
-    over0.select(col("band"), col("bsig"))
-      .write.mode("overwrite").parquet(s"$dir/capledger-g$g/epoch-0")
+    graft.runtime.Par.run(Seq( // independent writes — overlap (guide §2.6)
+      () => writeBucketedArtifacts(s, dir, fresh.hashes,
+        Dedup.bandsOf(fresh.sigs, k, rpb),
+        s"hashes-g$g", s"bands-g$g", s"bandcounts-g$g", nb),
+      () => fresh.sigs.write.mode("overwrite").parquet(s"$dir/sigs-g$g/epoch-0"),
+      () => fresh.labels.write.mode("overwrite").parquet(s"$dir/labels/gen-$g"),
+      () => over0.select(col("band"), col("bsig"))
+        .write.mode("overwrite").parquet(s"$dir/capledger-g$g/epoch-0")) ++
+      fresh.pairs.map(p =>
+        () => p.write.mode("overwrite").parquet(s"$dir/pairs-g$g/epoch-0")): _*)
     IndexStatePublisher.publish(dir, IndexManifest(g,
       Map("hashes" -> s"hashes-g$g", "bands" -> s"bands-g$g",
         "bandcounts" -> s"bandcounts-g$g", "sigs" -> s"sigs-g$g",
@@ -838,16 +876,18 @@ object IncrementalDedup {
       val meta = s.read.parquet(s"$dir/meta").collect()(0)
       val (k, rpb, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
       val idx = readIndexAt(s, dir, m)
-      val hashes = idx.hashes.localCheckpoint(true)
-      val sigs = idx.sigs.localCheckpoint(true)
-      val labels = idx.labels.localCheckpoint(true)
-      val pairs = idx.pairs.map(_.localCheckpoint(true))
+      val hashes = idx.hashes.transform(graft.runtime.Ckpt.eager)
+      val sigs = idx.sigs.transform(graft.runtime.Ckpt.eager)
+      val labels = idx.labels.transform(graft.runtime.Ckpt.eager)
+      val pairs = idx.pairs.map(_.transform(graft.runtime.Ckpt.eager))
       val g = m.gen + 1
-      writeBucketedArtifacts(s, dir, hashes, Dedup.bandsOf(sigs, k, rpb),
-        s"hashes-g$g", s"bands-g$g", s"bandcounts-g$g", nb)
-      sigs.write.mode("overwrite").parquet(s"$dir/sigs-g$g/epoch-0")
-      labels.write.mode("overwrite").parquet(s"$dir/labels/gen-$g")
-      pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs-g$g/epoch-0"))
+      graft.runtime.Par.run(Seq( // independent writes — overlap (guide §2.6)
+        () => writeBucketedArtifacts(s, dir, hashes, Dedup.bandsOf(sigs, k, rpb),
+          s"hashes-g$g", s"bands-g$g", s"bandcounts-g$g", nb),
+        () => sigs.write.mode("overwrite").parquet(s"$dir/sigs-g$g/epoch-0"),
+        () => labels.write.mode("overwrite").parquet(s"$dir/labels/gen-$g")) ++
+        pairs.map(p =>
+          () => p.write.mode("overwrite").parquet(s"$dir/pairs-g$g/epoch-0")): _*)
       val entries = Map(
         "hashes" -> s"hashes-g$g", "bands" -> s"bands-g$g",
         "bandcounts" -> s"bandcounts-g$g", "sigs" -> s"sigs-g$g",

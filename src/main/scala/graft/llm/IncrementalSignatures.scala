@@ -91,16 +91,17 @@ object IncrementalSig {
   private def writeBandTables(s: SparkSession, dir: String, bands: DataFrame,
       relBands: String, relCounts: String, nBuckets: Int): Unit = {
     s.sql(s"DROP TABLE IF EXISTS ${bandTable(s"$dir/$relBands")}")
-    bands.write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, "band", "bsig")
-      .option("path", s"$dir/$relBands")
-      .saveAsTable(bandTable(s"$dir/$relBands"))
     s.sql(s"DROP TABLE IF EXISTS ${bcntTable(s"$dir/$relCounts")}")
-    bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, "band", "bsig")
-      .option("path", s"$dir/$relCounts")
-      .saveAsTable(bcntTable(s"$dir/$relCounts"))
+    graft.runtime.Par.run( // independent writes — overlap (guide §2.6)
+      () => bands.write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, "band", "bsig")
+        .option("path", s"$dir/$relBands")
+        .saveAsTable(bandTable(s"$dir/$relBands")),
+      () => bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, "band", "bsig")
+        .option("path", s"$dir/$relCounts")
+        .saveAsTable(bcntTable(s"$dir/$relCounts")))
   }
 
   /** Write + PUBLISH (manifest generation 0 — the atomic-publication
@@ -112,14 +113,15 @@ object IncrementalSig {
       capLedger0: Option[DataFrame] = None): Unit = {
     import graft.runtime.{IndexManifest, IndexStatePublisher}
     val s = corpusSigs.sparkSession
-    writeBandTables(s, dir, bandsOfSig(corpusSigs, bits, nBands),
-      "bands", "bandcounts", nBuckets)
-    pairs.write.mode("overwrite").parquet(s"$dir/pairs/epoch-0")
-    capLedger0.foreach(_.select(col("band"), col("bsig"))
-      .write.mode("overwrite").parquet(s"$dir/capledger/epoch-0"))
-    s.range(1).selectExpr(s"$bits AS bits", s"$nBands AS n_bands",
-        s"$nBuckets AS n_buckets")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    graft.runtime.Par.run(Seq( // independent writes — overlap (guide §2.6)
+      () => writeBandTables(s, dir, bandsOfSig(corpusSigs, bits, nBands),
+        "bands", "bandcounts", nBuckets),
+      () => pairs.write.mode("overwrite").parquet(s"$dir/pairs/epoch-0"),
+      () => s.range(1).selectExpr(s"$bits AS bits", s"$nBands AS n_bands",
+          s"$nBuckets AS n_buckets")
+        .write.mode("overwrite").parquet(s"$dir/meta")) ++
+      capLedger0.map(l => () => l.select(col("band"), col("bsig"))
+        .write.mode("overwrite").parquet(s"$dir/capledger/epoch-0")): _*)
     IndexStatePublisher.publish(dir, IndexManifest(0L,
       Map("bands" -> "bands", "bandcounts" -> "bandcounts", "pairs" -> "pairs") ++
         (if (capLedger0.nonEmpty) Map("capledger" -> "capledger") else Map.empty),
@@ -195,7 +197,7 @@ object IncrementalSig {
       val allDel = m.pathOpt("deleted")
         .map(rel => s.read.parquet(s"$dir/$rel").unionByName(del).distinct())
         .getOrElse(del)
-        .localCheckpoint(true)
+        .transform(graft.runtime.Ckpt.eager)
       allDel.write.mode("overwrite").parquet(s"$dir/deleted/gen-${m.gen + 1}")
       IndexStatePublisher.publish(dir, m
         .withEntry("deleted", s"deleted/gen-${m.gen + 1}")
@@ -235,16 +237,17 @@ object IncrementalSig {
       val (bits, nBands, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
       val idx = readIndex(s, dir) // tombstone-filtered views
       val survSigs = idx.bands.select(col("doc_id"), col("sig")).distinct()
-        .localCheckpoint(true)
+        .transform(graft.runtime.Ckpt.eager)
       val (pairs, over0) = buildPairsWithLedger(survSigs, bits, nBands,
         maxHamming, bucketCap)
-      val pairsC = pairs.localCheckpoint(true)
+      val pairsC = pairs.transform(graft.runtime.Ckpt.eager)
       val g = m.gen + 1
-      writeBandTables(s, dir, bandsOfSig(survSigs, bits, nBands),
-        s"bands-g$g", s"bandcounts-g$g", nb)
-      pairsC.write.mode("overwrite").parquet(s"$dir/pairs-g$g/epoch-0")
-      over0.select(col("band"), col("bsig"))
-        .write.mode("overwrite").parquet(s"$dir/capledger-g$g/epoch-0")
+      graft.runtime.Par.run( // independent writes — overlap (guide §2.6)
+        () => writeBandTables(s, dir, bandsOfSig(survSigs, bits, nBands),
+          s"bands-g$g", s"bandcounts-g$g", nb),
+        () => pairsC.write.mode("overwrite").parquet(s"$dir/pairs-g$g/epoch-0"),
+        () => over0.select(col("band"), col("bsig"))
+          .write.mode("overwrite").parquet(s"$dir/capledger-g$g/epoch-0"))
       IndexStatePublisher.publish(dir, IndexManifest(g,
         Map("bands" -> s"bands-g$g", "bandcounts" -> s"bandcounts-g$g",
           "pairs" -> s"pairs-g$g", "capledger" -> s"capledger-g$g"),
@@ -276,8 +279,8 @@ object IncrementalSig {
       if (m.pathOpt("deleted").nonEmpty) {
         val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(2)
         val idx = readIndex(s, dir) // tombstone-filtered views
-        val bands = idx.bands.localCheckpoint(true)
-        val pairs = idx.pairs.localCheckpoint(true)
+        val bands = idx.bands.transform(graft.runtime.Ckpt.eager)
+        val pairs = idx.pairs.transform(graft.runtime.Ckpt.eager)
         val g = m.gen + 1
         writeBandTables(s, dir, bands, s"bands-g$g", s"bandcounts-g$g", nb)
         pairs.write.mode("overwrite").parquet(s"$dir/pairs-g$g/epoch-0")
@@ -320,7 +323,7 @@ object IncrementalSig {
     val over = banded.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
       .filter(col("cn") > bucketCap)
       .select(col("band"), col("bsig"))
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     (buildPairs(sigs, bits, nBands, maxHamming, bucketCap), over)
   }
 
@@ -334,7 +337,7 @@ object IncrementalSig {
     */
   private def deltaPairs(idx: SigIndex, deltaSigs: DataFrame,
       maxHamming: Int, bucketCap: Int): (DataFrame, DataFrame, Option[DataFrame]) = {
-    val db0 = bandsOfSig(deltaSigs, idx.bits, idx.nBands).localCheckpoint(true)
+    val db0 = bandsOfSig(deltaSigs, idx.bits, idx.nBands).transform(graft.runtime.Ckpt.eager)
     var overLedger: Option[DataFrame] = None
     val (cb, db) =
       if (bucketCap == Dedup.NoBucketCap) (idx.bands, db0)
@@ -345,7 +348,7 @@ object IncrementalSig {
           idx.bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn")))
         val dCnt = db0.groupBy(col("band"), col("bsig"))
           .agg(count(lit(1)).as("dn"))
-          .localCheckpoint(true)
+          .transform(graft.runtime.Ckpt.eager)
         // a MAINTAINED index appends one count row per (append, bucket):
         // SUM over delta-touched keys only (the d46 pattern)
         val cCnt = cCnt0
@@ -356,7 +359,7 @@ object IncrementalSig {
           .join(cCnt, Seq("band", "bsig"), "left_outer")
           .filter(coalesce(col("cn"), lit(0L)) + col("dn") > bucketCap)
           .select(col("band"), col("bsig"))
-          .localCheckpoint(true)
+          .transform(graft.runtime.Ckpt.eager)
         overLedger = Some(over)
         (idx.bands.join(over, Seq("band", "bsig"), "left_anti"),
           db0.join(over, Seq("band", "bsig"), "left_anti"))
@@ -402,19 +405,8 @@ object IncrementalSig {
       val idx = readIndex(s, dir)
       val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(2)
       val (db0, newPairs0, over) = deltaPairs(idx, deltaSigs, maxHamming, bucketCap)
-      val newPairs = newPairs0.localCheckpoint(true)
-      db0.write.mode("append").format("parquet")
-        .bucketBy(nb, "band", "bsig")
-        .option("path", s"$dir/${m.path("bands")}")
-        .saveAsTable(bandTable(s"$dir/${m.path("bands")}"))
-      db0.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
-        .write.mode("append").format("parquet")
-        .bucketBy(nb, "band", "bsig")
-        .option("path", s"$dir/${m.path("bandcounts")}")
-        .saveAsTable(bcntTable(s"$dir/${m.path("bandcounts")}"))
+      val newPairs = newPairs0.transform(graft.runtime.Ckpt.eager)
       val pairEpoch = m.epochs.getOrElse("pairs", -1) + 1
-      newPairs.write.mode("overwrite")
-        .parquet(s"$dir/${m.path("pairs")}/epoch-$pairEpoch")
       // the CAP LEDGER (r16 VERDICT #2): a LEDGERED index (built via
       // [[buildPairsWithLedger]]) persists, per epoch, the exact bucket
       // set the cap suppressed — which is what makes a capped
@@ -423,17 +415,29 @@ object IncrementalSig {
       // unbounded". Epochs align with the pair epochs; an uncapped
       // append on a ledgered index records an empty suppression set.
       val ledgered = m.pathOpt("capledger").nonEmpty
-      if (ledgered) {
+      val ledgerWrite = if (!ledgered) Seq.empty else {
         val rows = over.getOrElse {
           import org.apache.spark.sql.types._
           s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(Seq(StructField("band", IntegerType),
               StructField("bsig", LongType))))
         }
-        rows.select(col("band"), col("bsig"))
+        Seq(() => rows.select(col("band"), col("bsig"))
           .write.mode("overwrite")
-          .parquet(s"$dir/${m.path("capledger")}/epoch-$pairEpoch")
+          .parquet(s"$dir/${m.path("capledger")}/epoch-$pairEpoch"))
       }
+      graft.runtime.Par.run(Seq( // independent writes — overlap (guide §2.6)
+        () => db0.write.mode("append").format("parquet")
+          .bucketBy(nb, "band", "bsig")
+          .option("path", s"$dir/${m.path("bands")}")
+          .saveAsTable(bandTable(s"$dir/${m.path("bands")}")),
+        () => db0.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
+          .write.mode("append").format("parquet")
+          .bucketBy(nb, "band", "bsig")
+          .option("path", s"$dir/${m.path("bandcounts")}")
+          .saveAsTable(bcntTable(s"$dir/${m.path("bandcounts")}")),
+        () => newPairs.write.mode("overwrite")
+          .parquet(s"$dir/${m.path("pairs")}/epoch-$pairEpoch")) ++ ledgerWrite: _*)
       IndexStatePublisher.publish(dir, m.copy(gen = m.gen + 1,
         epochs = m.epochs + ("pairs" -> pairEpoch) ++
           (if (ledgered) Map("capledger" -> pairEpoch) else Map.empty)))
@@ -491,7 +495,7 @@ object IncrementalSig {
       .join(broadcast(firstOver), Seq("band", "bsig"), "left_outer")
       .filter(col("first_over").isNull || col("epoch") < col("first_over"))
       .drop("first_over")
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     banded.alias("a")
       .join(banded.hint("shuffle_hash").alias("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -753,27 +757,31 @@ object IncrementalSemantic {
       "a ledgered semantic index persists its pair evidence")
     val buckets = bucketsOf(corpusE)
     s.sql(s"DROP TABLE IF EXISTS ${tableFor(s"$dir/buckets")}")
-    buckets.write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, "table_id", "bucket")
-      .option("path", s"$dir/buckets")
-      .saveAsTable(tableFor(s"$dir/buckets"))
-    labels.write.mode("overwrite").parquet(s"$dir/labels/gen-0")
-    if (ledgered) {
-      s.sql(s"DROP TABLE IF EXISTS ${bcntTableFor(s"$dir/bucketcounts")}")
-      buckets.groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("cn"))
-        .write.mode("overwrite").format("parquet")
+    if (ledgered) s.sql(s"DROP TABLE IF EXISTS ${bcntTableFor(s"$dir/bucketcounts")}")
+    // the artifact writes are INDEPENDENT actions over materialized
+    // inputs — overlap them (guide §2.6; graft.runtime.Par): visibility
+    // is the manifest publish below, so write ordering is unobservable
+    val writes = Seq(
+      () => buckets.write.mode("overwrite").format("parquet")
         .bucketBy(nBuckets, "table_id", "bucket")
-        .option("path", s"$dir/bucketcounts")
-        .saveAsTable(bcntTableFor(s"$dir/bucketcounts"))
-      pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs/epoch-0"))
-      capLedger0.foreach(_.select(col("table_id"), col("bucket"))
-        .write.mode("overwrite").parquet(s"$dir/capledger/epoch-0"))
-    } else {
-      pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs/gen-0"))
-    }
-    s.range(1).selectExpr(s"$nBuckets AS n_buckets",
-        s"$nTables AS n_tables", s"$bits AS bits")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+        .option("path", s"$dir/buckets")
+        .saveAsTable(tableFor(s"$dir/buckets")),
+      () => labels.write.mode("overwrite").parquet(s"$dir/labels/gen-0"),
+      () => s.range(1).selectExpr(s"$nBuckets AS n_buckets",
+          s"$nTables AS n_tables", s"$bits AS bits")
+        .write.mode("overwrite").parquet(s"$dir/meta")) ++
+      (if (ledgered) Seq(
+        () => buckets.groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("cn"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(nBuckets, "table_id", "bucket")
+          .option("path", s"$dir/bucketcounts")
+          .saveAsTable(bcntTableFor(s"$dir/bucketcounts"))) ++
+        pairs.map(p => () => p.write.mode("overwrite").parquet(s"$dir/pairs/epoch-0")) ++
+        capLedger0.map(l => () => l.select(col("table_id"), col("bucket"))
+          .write.mode("overwrite").parquet(s"$dir/capledger/epoch-0"))
+      else
+        pairs.map(p => () => p.write.mode("overwrite").parquet(s"$dir/pairs/gen-0")).toSeq)
+    graft.runtime.Par.run(writes: _*)
     val entries =
       if (ledgered)
         Map("buckets" -> "buckets", "labels" -> "labels/gen-0",
@@ -860,14 +868,14 @@ object IncrementalSemantic {
     import graft.runtime.IndexStatePublisher
     IndexStatePublisher.withWriterLock(dir) {
       val del = deleteIds0.select(col("vec_id").cast("long").as("vec_id"))
-        .localCheckpoint(true)
+        .transform(graft.runtime.Ckpt.eager)
       val m = IndexStatePublisher.current(dir)
       val idx = readIndex(s, dir) // yesterday's view (manifest not yet advanced)
       val pairs = idx.pairs.getOrElse(
         sys.error(s"semantic index at $dir persists no pair evidence; deletion needs it"))
       val touched = idx.labels.join(del.select(col("vec_id").as("id")), Seq("id"))
         .select(col("cluster")).distinct()
-        .localCheckpoint(true)
+        .transform(graft.runtime.Ckpt.eager)
       // guard probe ONCE per delete; both joins below reuse it (r16 ADVICE)
       val tJoin = DedupResolve.guardedByCluster(touched)
       val touchedLabels = idx.labels
@@ -877,18 +885,28 @@ object IncrementalSemantic {
         .join(touchedLabels.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
         .join(del.withColumnRenamed("vec_id", "a_id"), Seq("a_id"), "left_anti")
         .join(del.withColumnRenamed("vec_id", "b_id"), Seq("b_id"), "left_anti")
-      val subLabels = DedupResolve.resolveClusters(survPairs.select(col("a_id"), col("b_id")))
-      val untouched = idx.labels
-        .join(tJoin, Seq("cluster"), "left_anti")
-        .select(col("id"), col("cluster"))
-      val newLabels = untouched.unionByName(subLabels.select(col("id"), col("cluster")))
-        .localCheckpoint(true) // materialize BEFORE publishing over its input gen
-      val allDel = m.pathOpt("deleted")
-        .map(rel => s.read.parquet(s"$dir/$rel").unionByName(del).distinct())
-        .getOrElse(del)
-        .localCheckpoint(true)
-      allDel.write.mode("overwrite").parquet(s"$dir/deleted/gen-${m.gen + 1}")
-      newLabels.write.mode("overwrite").parquet(s"$dir/labels/gen-${m.gen + 1}")
+      // the tombstone rewrite and the touched-cluster re-resolution read
+      // disjoint IMMUTABLE inputs — overlap them (guide §2.6), each
+      // thunk chaining its own write
+      @volatile var newLabels: DataFrame = null
+      graft.runtime.Par.run(
+        () => {
+          val allDel = m.pathOpt("deleted")
+            .map(rel => s.read.parquet(s"$dir/$rel").unionByName(del).distinct())
+            .getOrElse(del)
+            .transform(graft.runtime.Ckpt.eager)
+          allDel.write.mode("overwrite").parquet(s"$dir/deleted/gen-${m.gen + 1}")
+        },
+        () => {
+          val subLabels =
+            DedupResolve.resolveClusters(survPairs.select(col("a_id"), col("b_id")))
+          val untouched = idx.labels
+            .join(tJoin, Seq("cluster"), "left_anti")
+            .select(col("id"), col("cluster"))
+          newLabels = untouched.unionByName(subLabels.select(col("id"), col("cluster")))
+            .transform(graft.runtime.Ckpt.eager) // materialize BEFORE publishing over its input gen
+          newLabels.write.mode("overwrite").parquet(s"$dir/labels/gen-${m.gen + 1}")
+        })
       IndexStatePublisher.publish(dir, m
         .withEntry("labels", s"labels/gen-${m.gen + 1}")
         .withEntry("deleted", s"deleted/gen-${m.gen + 1}")
@@ -906,8 +924,9 @@ object IncrementalSemantic {
     */
   def appendKept(allE: DataFrame, idx: SemIndex, delta: DataFrame,
       minCos: Double = MinCos): DataFrame = {
-    val db = bucketsOf(withSigs(delta, idx.nTables, idx.bits).localCheckpoint(true))
-      .localCheckpoint(true)
+    // one checkpoint, not two (see appendToIndex — r20)
+    val db = bucketsOf(withSigs(delta, idx.nTables, idx.bits))
+      .transform(graft.runtime.Ckpt.eager)
     val candCD = idx.buckets.alias("a")
       .join(db.hint("shuffle_hash").alias("b"),
         col("a.table_id") === col("b.table_id") &&
@@ -922,14 +941,14 @@ object IncrementalSemantic {
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-    val candIds = candCD.unionByName(candDD).distinct().localCheckpoint(true)
+    val candIds = candCD.unionByName(candDD).distinct().transform(graft.runtime.Ckpt.eager)
     // endpoint semi-join prune before the verify (see [[appendToIndex]])
     val candEnds = candIds.select(col("a_id").as("vec_id"))
       .unionByName(candIds.select(col("b_id").as("vec_id")))
       .distinct()
     val eCand = allE.select(col("vec_id"), col("embedding"), col("nrm"))
       .join(candEnds, Seq("vec_id"), "left_semi")
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     val verified = Similarity.verifyCosineOn(eCand, candIds, minCos)
     DedupResolve.incrementalKept(
         allE.select(col("vec_id").as("doc_id")), idx.labels, verified)
@@ -961,7 +980,7 @@ object IncrementalSemantic {
       .agg(count(lit(1)).as("cn"))
       .filter(col("cn") > bucketCap)
       .select(col("table_id"), col("bucket"))
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     val buckets = buckets0.join(over, Seq("table_id", "bucket"), "left_anti")
       .hint("shuffle_hash")
     val ids = buckets.alias("a")
@@ -1001,8 +1020,11 @@ object IncrementalSemantic {
         s"semantic index at $dir is not ledgered — maintained appends need " +
           "the epoch layout (writeIndex with capLedger0)")
       val idx = readIndex(s, dir)
-      val db0 = bucketsOf(withSigs(delta, idx.nTables, idx.bits).localCheckpoint(true))
-        .localCheckpoint(true)
+      // one checkpoint, not two: bucketsOf is the signature projection's
+      // only consumer, so materializing the pre-explode frame separately
+      // was a pure extra job (r20)
+      val db0 = bucketsOf(withSigs(delta, idx.nTables, idx.bits))
+        .transform(graft.runtime.Ckpt.eager)
       var overLedger: Option[DataFrame] = None
       val (cb, db) =
         if (bucketCap == Dedup.NoBucketCap) (idx.buckets, db0)
@@ -1013,7 +1035,7 @@ object IncrementalSemantic {
             idx.buckets.groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("cn")))
           val dCnt = db0.groupBy(col("table_id"), col("bucket"))
             .agg(count(lit(1)).as("dn"))
-            .localCheckpoint(true)
+            .transform(graft.runtime.Ckpt.eager)
           val cCnt = cCnt0
             .join(dCnt.select(col("table_id"), col("bucket")).hint("shuffle_hash"),
               Seq("table_id", "bucket"))
@@ -1022,7 +1044,7 @@ object IncrementalSemantic {
             .join(cCnt, Seq("table_id", "bucket"), "left_outer")
             .filter(coalesce(col("cn"), lit(0L)) + col("dn") > bucketCap)
             .select(col("table_id"), col("bucket"))
-            .localCheckpoint(true)
+            .transform(graft.runtime.Ckpt.eager)
           overLedger = Some(over)
           (idx.buckets.join(over, Seq("table_id", "bucket"), "left_anti"),
             db0.join(over, Seq("table_id", "bucket"), "left_anti"))
@@ -1041,7 +1063,7 @@ object IncrementalSemantic {
             col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      val candIds = candCD.unionByName(candDD).distinct().localCheckpoint(true)
+      val candIds = candCD.unionByName(candDD).distinct().transform(graft.runtime.Ckpt.eager)
       // semi-join-prune the vector table to candidate ENDPOINTS before
       // the cosine verify (the verifyJaccardDf discipline): without it
       // every append re-broadcast the FULL corpus embedding table twice
@@ -1052,34 +1074,46 @@ object IncrementalSemantic {
         .distinct()
       val eCand = allE.select(col("vec_id"), col("embedding"), col("nrm"))
         .join(candEnds, Seq("vec_id"), "left_semi")
-        .localCheckpoint(true)
+        .transform(graft.runtime.Ckpt.eager)
       val verified = Similarity.verifyCosineOn(eCand, candIds, minCos)
-        .localCheckpoint(true) // materialize BEFORE mutating its input tables
-      val newLabels = DedupResolve.incrementalLabels(idx.labels, verified)
-        .localCheckpoint(true)
-      // write-back (delta-proportional; labels ∝ dup-cluster membership)
-      db0.write.mode("append").format("parquet")
-        .bucketBy(idx.nBuckets, "table_id", "bucket")
-        .option("path", s"$dir/${m.path("buckets")}")
-        .saveAsTable(tableFor(s"$dir/${m.path("buckets")}"))
-      db0.groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("cn"))
-        .write.mode("append").format("parquet")
-        .bucketBy(idx.nBuckets, "table_id", "bucket")
-        .option("path", s"$dir/${m.path("bucketcounts")}")
-        .saveAsTable(bcntTableFor(s"$dir/${m.path("bucketcounts")}"))
+        .transform(graft.runtime.Ckpt.eager) // materialize BEFORE mutating its input tables
+      // label resolution reads only IMMUTABLE inputs (the checkpointed
+      // verified evidence + the labels/gen-N parquet this mutation never
+      // touches), so it can overlap the four artifact writes below that
+      // depend only on db0/verified/ledgerRows (guide §2.6) — the labels
+      // write itself chains inside the resolving thunk
+      @volatile var newLabels: DataFrame = null
+      // write-back (delta-proportional; labels ∝ dup-cluster membership):
+      // five INDEPENDENT actions over materialized frames — overlap them
+      // (guide §2.6; graft.runtime.Par); visibility is the manifest CAS
       val epoch = m.epochs("pairs") + 1
-      verified.write.mode("overwrite")
-        .parquet(s"$dir/${m.path("pairs")}/epoch-$epoch")
       val ledgerRows = overLedger.getOrElse {
         import org.apache.spark.sql.types._
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("table_id", IntegerType),
             StructField("bucket", IntegerType))))
       }
-      ledgerRows.select(col("table_id"), col("bucket"))
-        .write.mode("overwrite")
-        .parquet(s"$dir/${m.path("capledger")}/epoch-$epoch")
-      newLabels.write.mode("overwrite").parquet(s"$dir/labels/gen-${m.gen + 1}")
+      graft.runtime.Par.run(
+        () => db0.write.mode("append").format("parquet")
+          .bucketBy(idx.nBuckets, "table_id", "bucket")
+          .option("path", s"$dir/${m.path("buckets")}")
+          .saveAsTable(tableFor(s"$dir/${m.path("buckets")}")),
+        () => db0.groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("cn"))
+          .write.mode("append").format("parquet")
+          .bucketBy(idx.nBuckets, "table_id", "bucket")
+          .option("path", s"$dir/${m.path("bucketcounts")}")
+          .saveAsTable(bcntTableFor(s"$dir/${m.path("bucketcounts")}")),
+        () => verified.write.mode("overwrite")
+          .parquet(s"$dir/${m.path("pairs")}/epoch-$epoch"),
+        () => ledgerRows.select(col("table_id"), col("bucket"))
+          .write.mode("overwrite")
+          .parquet(s"$dir/${m.path("capledger")}/epoch-$epoch"),
+        () => {
+          newLabels = DedupResolve.incrementalLabels(idx.labels, verified,
+              edgesMaterialized = true)
+            .transform(graft.runtime.Ckpt.eager)
+          newLabels.write.mode("overwrite").parquet(s"$dir/labels/gen-${m.gen + 1}")
+        })
       IndexStatePublisher.publish(dir, m
         .withEntry("labels", s"labels/gen-${m.gen + 1}")
         .withEpoch("pairs", epoch)
@@ -1118,7 +1152,7 @@ object IncrementalSemantic {
     val meta = s.read.parquet(s"$dir/meta").collect()(0)
     val (nt, bits) =
       if (meta.length >= 3) (meta.getInt(1), meta.getInt(2)) else (NTables, Bits)
-    val e = withSigs(vecsWithEpoch, nt, bits).localCheckpoint(true)
+    val e = withSigs(vecsWithEpoch, nt, bits).transform(graft.runtime.Ckpt.eager)
     val firstOver = readCapLedger(s, dir)
       .groupBy(col("table_id"), col("bucket"))
       .agg(min(col("epoch")).as("first_over"))
@@ -1128,7 +1162,7 @@ object IncrementalSemantic {
       .join(broadcast(firstOver), Seq("table_id", "bucket"), "left_outer")
       .filter(col("first_over").isNull || col("epoch") < col("first_over"))
       .drop("first_over")
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     val cand = b.alias("a")
       .join(b.hint("shuffle_hash").alias("b"),
         col("a.table_id") === col("b.table_id") &&
@@ -1172,27 +1206,28 @@ object IncrementalSemantic {
         s"rebuildLedgered($dir): caller passed $gotN vectors but the index " +
           s"has $survN survivors — the rebuild corpus must be exactly the " +
           "surviving vectors")
-      val e = withSigs(allE, nt, bits).localCheckpoint(true)
+      val e = withSigs(allE, nt, bits).transform(graft.runtime.Ckpt.eager)
       val (pairs, over0) = corpusPairsWithLedger(e, bucketCap, minCos)
-      val pairsC = pairs.localCheckpoint(true)
-      val labels = DedupResolve.resolveClusters(pairsC).localCheckpoint(true)
+      val pairsC = pairs.transform(graft.runtime.Ckpt.eager)
+      val labels = DedupResolve.resolveClusters(pairsC).transform(graft.runtime.Ckpt.eager)
       val g = m.gen + 1
       val buckets = bucketsOf(e)
       s.sql(s"DROP TABLE IF EXISTS ${tableFor(s"$dir/buckets-g$g")}")
-      buckets.write.mode("overwrite").format("parquet")
-        .bucketBy(nb, "table_id", "bucket")
-        .option("path", s"$dir/buckets-g$g")
-        .saveAsTable(tableFor(s"$dir/buckets-g$g"))
       s.sql(s"DROP TABLE IF EXISTS ${bcntTableFor(s"$dir/bucketcounts-g$g")}")
-      buckets.groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("cn"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(nb, "table_id", "bucket")
-        .option("path", s"$dir/bucketcounts-g$g")
-        .saveAsTable(bcntTableFor(s"$dir/bucketcounts-g$g"))
-      labels.write.mode("overwrite").parquet(s"$dir/labels/gen-$g")
-      pairsC.write.mode("overwrite").parquet(s"$dir/pairs-g$g/epoch-0")
-      over0.select(col("table_id"), col("bucket"))
-        .write.mode("overwrite").parquet(s"$dir/capledger-g$g/epoch-0")
+      graft.runtime.Par.run( // independent writes — overlap (guide §2.6)
+        () => buckets.write.mode("overwrite").format("parquet")
+          .bucketBy(nb, "table_id", "bucket")
+          .option("path", s"$dir/buckets-g$g")
+          .saveAsTable(tableFor(s"$dir/buckets-g$g")),
+        () => buckets.groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("cn"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(nb, "table_id", "bucket")
+          .option("path", s"$dir/bucketcounts-g$g")
+          .saveAsTable(bcntTableFor(s"$dir/bucketcounts-g$g")),
+        () => labels.write.mode("overwrite").parquet(s"$dir/labels/gen-$g"),
+        () => pairsC.write.mode("overwrite").parquet(s"$dir/pairs-g$g/epoch-0"),
+        () => over0.select(col("table_id"), col("bucket"))
+          .write.mode("overwrite").parquet(s"$dir/capledger-g$g/epoch-0"))
       IndexStatePublisher.publish(dir, IndexManifest(g,
         Map("buckets" -> s"buckets-g$g", "bucketcounts" -> s"bucketcounts-g$g",
           "labels" -> s"labels/gen-$g", "pairs" -> s"pairs-g$g",
@@ -1223,8 +1258,8 @@ object IncrementalSemantic {
       if (m.pathOpt("deleted").nonEmpty) {
         val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(0)
         val idx = readIndex(s, dir)
-        val buckets = idx.buckets.localCheckpoint(true)
-        val pairs = idx.pairs.map(_.localCheckpoint(true))
+        val buckets = idx.buckets.transform(graft.runtime.Ckpt.eager)
+        val pairs = idx.pairs.map(_.transform(graft.runtime.Ckpt.eager))
         val g = m.gen + 1
         s.sql(s"DROP TABLE IF EXISTS ${tableFor(s"$dir/buckets-g$g")}")
         buckets.write.mode("overwrite").format("parquet")
@@ -1249,8 +1284,8 @@ object IncrementalSemantic {
     */
   def semanticAppend(s: SparkSession, dir: String): DataFrame = {
     val all = withNrm(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
-      .localCheckpoint(true)
-    val corpusE = withSigs(all.filter(col("vec_id") % 5 < 4)).localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
+    val corpusE = withSigs(all.filter(col("vec_id") % 5 < 4)).transform(graft.runtime.Ckpt.eager)
     val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-incsem")
     // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
     writeIndex(corpusE, DedupResolve.resolveClusters(corpusPairs(corpusE)),
@@ -1266,9 +1301,9 @@ object IncrementalSemantic {
     */
   def semanticDelete(s: SparkSession, dir: String): DataFrame = {
     val all = withNrm(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
-      .localCheckpoint(true)
-    val corpusE = withSigs(all).localCheckpoint(true)
-    val pairs = corpusPairs(corpusE).localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
+    val corpusE = withSigs(all).transform(graft.runtime.Ckpt.eager)
+    val pairs = corpusPairs(corpusE).transform(graft.runtime.Ckpt.eager)
     val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-semdel")
     // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
     writeIndex(corpusE, DedupResolve.resolveClusters(pairs), idxDir,
@@ -1340,12 +1375,12 @@ object IncrementalSemantic {
     */
   def cappedSemanticMultiAppend(s: SparkSession, dir: String): DataFrame = {
     val all = withNrm(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     val cap = semLedgerCap(all.count())
-    val base = withSigs(all.filter(col("vec_id") % 4 === 0)).localCheckpoint(true)
+    val base = withSigs(all.filter(col("vec_id") % 4 === 0)).transform(graft.runtime.Ckpt.eager)
     val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-incsemled")
     val (pairs0, over0) = corpusPairsWithLedger(base, cap)
-    val pairs0c = pairs0.localCheckpoint(true)
+    val pairs0c = pairs0.transform(graft.runtime.Ckpt.eager)
     // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
     writeIndex(base, DedupResolve.resolveClusters(pairs0c), idxDir, nBuckets = 8,
       pairs = Some(pairs0c), capLedger0 = Some(over0))
@@ -1375,13 +1410,13 @@ object IncrementalSemantic {
     */
   def cappedSemanticLedgerDelete(s: SparkSession, dir: String): DataFrame = {
     val all = withNrm(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     val cap = semLedgerCap(all.count())
     val deadPred = col("vec_id") % 7 === 3 && col("vec_id") % 3 <= 1
-    val base = withSigs(all.filter(col("vec_id") % 3 === 0)).localCheckpoint(true)
+    val base = withSigs(all.filter(col("vec_id") % 3 === 0)).transform(graft.runtime.Ckpt.eager)
     val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-incsemdl")
     val (pairs0, over0) = corpusPairsWithLedger(base, cap)
-    val pairs0c = pairs0.localCheckpoint(true)
+    val pairs0c = pairs0.transform(graft.runtime.Ckpt.eager)
     // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
     writeIndex(base, DedupResolve.resolveClusters(pairs0c), idxDir, nBuckets = 8,
       pairs = Some(pairs0c), capLedger0 = Some(over0))

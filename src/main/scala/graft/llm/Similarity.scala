@@ -307,7 +307,7 @@ object Similarity {
     // whose generator is cheaper than its own materialization (d07's
     // id-only cross) opts out
     val p0 = pairs.select(col("a_id"), col("b_id"))
-    val p = if (materializePairs) p0.localCheckpoint(true) else p0
+    val p = if (materializePairs) p0.transform(graft.runtime.Ckpt.eager) else p0
     val ids = p.select(col("a_id").as("vec_id"))
       .unionByName(p.select(col("b_id").as("vec_id")))
       .distinct()
@@ -315,7 +315,7 @@ object Similarity {
       .join(ids, Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normCol)
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     verifyCosineOn(e, p, minCos)
   }
 
@@ -381,7 +381,7 @@ object Similarity {
       .filter(col("vec_id") < 1000)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normCol)
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     val ids = e.select(col("vec_id"))
     val cand = ids.select(col("vec_id").as("a_id"))
       .join(broadcast(ids.select(col("vec_id").as("b_id"))), col("a_id") < col("b_id"))
@@ -432,7 +432,7 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normCol)
-      .localCheckpoint(false)
+      .transform(graft.runtime.Ckpt.lazyCp)
     val candIds = ivfCandidateIds(e, nCells, nProbe, sampleN)
     val qv = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
@@ -530,7 +530,7 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normCol)
-      .localCheckpoint(false)
+      .transform(graft.runtime.Ckpt.lazyCp)
     val candIds = ivfCandidateIds(e, nCells, nProbe, sampleN)
     // quantize ONCE and materialize — the HOF transform is interpreted
     // (no codegen for lambda bodies), and qt feeds both join sides; this
@@ -539,7 +539,7 @@ object Similarity {
       .withColumn("qv8", transform(col("embedding"),
         x => round(x.cast("double") / greatest(col("nrm"), lit(1e-12)) * 127).cast("int")))
       .select(col("vec_id"), col("qv8"))
-      .localCheckpoint(false)
+      .transform(graft.runtime.Ckpt.lazyCp)
     val cands = candIds
       .join(qt.select(col("vec_id").as("nid"), col("qv8").as("nv8")), "nid")
       .join(broadcast(qt.filter(col("vec_id") < 50)
@@ -571,7 +571,7 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normCol)
-      .localCheckpoint(false)
+      .transform(graft.runtime.Ckpt.lazyCp)
     val candIds = ivfCandidateIds(e, nCells, nProbe, sampleN)
     // pack ONCE and materialize (the d31 lesson: the interpreted HOF
     // lambda must not re-run per consumer) — and the stored form IS the
@@ -580,7 +580,7 @@ object Similarity {
       .withColumn("code", PackInt8(transform(col("embedding"),
         x => round(x.cast("double") / greatest(col("nrm"), lit(1e-12)) * 127).cast("int"))))
       .select(col("vec_id"), col("code"))
-      .localCheckpoint(false)
+      .transform(graft.runtime.Ckpt.lazyCp)
     val cands = candIds
       .join(qt.select(col("vec_id").as("nid"), col("code").as("ncode")), "nid")
       .join(broadcast(qt.filter(col("vec_id") < 50)
@@ -741,7 +741,7 @@ object Similarity {
       Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", normCol)
-        .localCheckpoint(false),
+        .transform(graft.runtime.Ckpt.lazyCp),
       nCells, sampleN)
 
   /** [[buildIvfSq8Index]] over a prepared (vec_id, embedding, nrm)
@@ -786,9 +786,10 @@ object Similarity {
     */
   def writeIvfSq8Index(idx: IvfSq8Index, dir: String): Unit = {
     import graft.runtime.{IndexManifest, IndexStatePublisher}
-    idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids/gen-0")
-    idx.cells.write.mode("overwrite").parquet(s"$dir/cells/epoch-0")
-    idx.codes.write.mode("overwrite").parquet(s"$dir/codes/epoch-0")
+    graft.runtime.Par.run( // independent writes — overlap (guide §2.6)
+      () => idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids/gen-0"),
+      () => idx.cells.write.mode("overwrite").parquet(s"$dir/cells/epoch-0"),
+      () => idx.codes.write.mode("overwrite").parquet(s"$dir/codes/epoch-0"))
     IndexStatePublisher.publish(dir, IndexManifest(0L,
       Map("centroids" -> "centroids/gen-0", "cells" -> "cells", "codes" -> "codes"),
       Map("cells" -> 0, "codes" -> 0)))
@@ -816,12 +817,13 @@ object Similarity {
       val centroids = s.read.parquet(s"$dir/${m.path("centroids")}")
       val deltaCells = ivfRanked(delta, centroids).filter(col("r") === 1)
         .select(col("vec_id"), col("cid").as("cell"))
-        .localCheckpoint(true)
-      val deltaCodes = sq8CodesOf(delta).localCheckpoint(true)
+        .transform(graft.runtime.Ckpt.eager)
+      val deltaCodes = sq8CodesOf(delta).transform(graft.runtime.Ckpt.eager)
       val cellEpoch = m.epochs("cells") + 1
       val codeEpoch = m.epochs("codes") + 1
-      deltaCells.write.mode("overwrite").parquet(s"$dir/cells/epoch-$cellEpoch")
-      deltaCodes.write.mode("overwrite").parquet(s"$dir/codes/epoch-$codeEpoch")
+      graft.runtime.Par.run( // independent writes — overlap (guide §2.6)
+        () => deltaCells.write.mode("overwrite").parquet(s"$dir/cells/epoch-$cellEpoch"),
+        () => deltaCodes.write.mode("overwrite").parquet(s"$dir/codes/epoch-$codeEpoch"))
       IndexStatePublisher.publish(dir, m.copy(gen = m.gen + 1,
         epochs = Map("cells" -> cellEpoch, "codes" -> codeEpoch)))
     }
@@ -889,15 +891,16 @@ object Similarity {
         val np = probeFor(nc)
         val ns = ivfSampleFor(nc)
         val hashOrd = Seq(pmod(xxhash64(col("vec_id")), lit(9973L)), col("vec_id"))
-        val samp = allE.orderBy(hashOrd: _*).limit(ns).localCheckpoint(true)
+        val samp = allE.orderBy(hashOrd: _*).limit(ns).transform(graft.runtime.Ckpt.eager)
         val w = org.apache.spark.sql.expressions.Window.orderBy(hashOrd: _*)
         val remapped = samp.withColumn("vec_id",
           row_number().over(w).cast("long") - 1)
         val idx = buildIvfSq8IndexWith(allE, ivfCentroids(remapped, nc, ns))
         val g = m.gen + 1
-        idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids/gen-$g")
-        idx.cells.write.mode("overwrite").parquet(s"$dir/cells-g$g/epoch-0")
-        idx.codes.write.mode("overwrite").parquet(s"$dir/codes-g$g/epoch-0")
+        graft.runtime.Par.run( // independent writes — overlap (guide §2.6)
+          () => idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids/gen-$g"),
+          () => idx.cells.write.mode("overwrite").parquet(s"$dir/cells-g$g/epoch-0"),
+          () => idx.codes.write.mode("overwrite").parquet(s"$dir/codes-g$g/epoch-0"))
         IndexStatePublisher.publish(dir, IndexManifest(g,
           Map("centroids" -> s"centroids/gen-$g", "cells" -> s"cells-g$g",
             "codes" -> s"codes-g$g"),
@@ -1013,7 +1016,7 @@ object Similarity {
     val all = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normCol)
-      .localCheckpoint(false)
+      .transform(graft.runtime.Ckpt.lazyCp)
     val corpus = all.filter(col("vec_id") % 5 < 4)
     val delta = all.filter(col("vec_id") % 5 >= 4)
     // yesterday: train on the corpus split, persist
@@ -1288,7 +1291,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normCol)
       .withColumn("sigs", graft.functions.SignLshBuckets(col("embedding"), nTables, bitsEff))
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     val buckets = Dedup.capBuckets(
       e.select(col("vec_id"), posexplode(col("sigs")))
         .withColumnRenamed("pos", "table_id")
@@ -1452,7 +1455,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normCol)
       .withColumn("sigs", graft.functions.SignLshBuckets(col("embedding"), nTables, bits))
-      .localCheckpoint(false)
+      .transform(graft.runtime.Ckpt.lazyCp)
     val buckets = e.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(col("sigs")))
       .withColumnRenamed("pos", "table_id")

@@ -98,7 +98,7 @@ object SpanDedup {
         posexplode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
           i => Hashing.hash60(concat_ws(" ", slice(col("t"), i, lit(k)))))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gk"))
-    val grams = if (materializeGrams) gramsRaw.localCheckpoint(true) else gramsRaw
+    val grams = if (materializeGrams) gramsRaw.transform(graft.runtime.Ckpt.eager) else gramsRaw
     val dup = grams.groupBy(col("gk")).count().where(col("count") > 1)
       .select(col("gk"))
     grams.join(dup, "gk").select(col("doc_id"), col("pos"))

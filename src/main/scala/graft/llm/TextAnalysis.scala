@@ -248,7 +248,7 @@ object TextAnalysis {
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(graft.functions.TermCounts(col("text"))).as("tc"))
       .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
-      .localCheckpoint(true)
+      .transform(graft.runtime.Ckpt.eager)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = Tables.documents(s, dir).agg(count(lit(1)).as("nn"))
     val scored = tf
@@ -441,7 +441,7 @@ object TextAnalysis {
     val tfRaw = docs
       .select(col("doc_id"), explode(graft.functions.TermCounts(col("text"))).as("tc"))
       .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
-    val tf = if (materializeTf) tfRaw.localCheckpoint(true) else tfRaw
+    val tf = if (materializeTf) tfRaw.transform(graft.runtime.Ckpt.eager) else tfRaw
     val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("freq"))
     // Σ freq ≡ Σ tf: total token count comes straight off the checkpointed
     // tf pass (one partial-sum, no per-term exchange) instead of
@@ -514,7 +514,7 @@ object TextAnalysis {
       .partitionBy(col("source")).orderBy(col("cnt").desc, col("tok").asc)
     // rk feeds three branches (base aggregate + both ratio sides) —
     // materialize the vocabulary-sized table once
-    val rk = tc.withColumn("rnk", row_number().over(w)).localCheckpoint(false)
+    val rk = tc.withColumn("rnk", row_number().over(w)).transform(graft.runtime.Ckpt.lazyCp)
     val base = rk.groupBy(col("source")).agg(
       count(lit(1)).as("vocab"),
       sum(col("cnt")).as("total_tokens"),
