@@ -296,19 +296,14 @@ object IncrementalDedup {
     s.sql(s"DROP TABLE IF EXISTS ${bandTable(s"$dir/$relBands")}")
     s.sql(s"DROP TABLE IF EXISTS ${bcntTable(s"$dir/$relCounts")}")
     graft.runtime.Par.run( // independent writes — overlap (guide §2.6)
-      () => hashes.write.mode("overwrite").format("parquet")
-        .bucketBy(nBuckets, "content_hash")
-        .option("path", s"$dir/$relHashes")
-        .saveAsTable(hashTable(s"$dir/$relHashes")),
-      () => bands.write.mode("overwrite").format("parquet")
-        .bucketBy(nBuckets, "band", "bsig")
-        .option("path", s"$dir/$relBands")
-        .saveAsTable(bandTable(s"$dir/$relBands")),
-      () => bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(nBuckets, "band", "bsig")
-        .option("path", s"$dir/$relCounts")
-        .saveAsTable(bcntTable(s"$dir/$relCounts")))
+      () => IndexStore.writeBucketed(hashes, nBuckets, s"$dir/$relHashes",
+        hashTable(s"$dir/$relHashes"), "overwrite", "content_hash"),
+      () => IndexStore.writeBucketed(bands, nBuckets, s"$dir/$relBands",
+        bandTable(s"$dir/$relBands"), "overwrite", "band", "bsig"),
+      () => IndexStore.writeBucketed(
+        bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn")),
+        nBuckets, s"$dir/$relCounts",
+        bcntTable(s"$dir/$relCounts"), "overwrite", "band", "bsig"))
   }
 
   /** Load the index at its CURRENT published generation. One manifest
@@ -572,19 +567,14 @@ object IncrementalDedup {
         .parquet(s"$dir/${m.path("capledger")}/epoch-$sigEpoch"))
     }
     graft.runtime.Par.run(Seq(
-      () => ev.deltaHash.write.mode("append").format("parquet")
-        .bucketBy(nb, "content_hash")
-        .option("path", s"$dir/${m.path("hashes")}")
-        .saveAsTable(hashTable(s"$dir/${m.path("hashes")}")),
-      () => ev.deltaBands.write.mode("append").format("parquet")
-        .bucketBy(nb, "band", "bsig")
-        .option("path", s"$dir/${m.path("bands")}")
-        .saveAsTable(bandTable(s"$dir/${m.path("bands")}")),
-      () => ev.deltaBands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
-        .write.mode("append").format("parquet")
-        .bucketBy(nb, "band", "bsig")
-        .option("path", s"$dir/${m.path("bandcounts")}")
-        .saveAsTable(bcntTable(s"$dir/${m.path("bandcounts")}")),
+      () => IndexStore.writeBucketed(ev.deltaHash, nb, s"$dir/${m.path("hashes")}",
+        hashTable(s"$dir/${m.path("hashes")}"), "append", "content_hash"),
+      () => IndexStore.writeBucketed(ev.deltaBands, nb, s"$dir/${m.path("bands")}",
+        bandTable(s"$dir/${m.path("bands")}"), "append", "band", "bsig"),
+      () => IndexStore.writeBucketed(
+        ev.deltaBands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn")),
+        nb, s"$dir/${m.path("bandcounts")}",
+        bcntTable(s"$dir/${m.path("bandcounts")}"), "append", "band", "bsig"),
       () => ev.deltaSigs.write.mode("overwrite")
         .parquet(s"$dir/${m.path("sigs")}/epoch-$sigEpoch"),
       () => edges.write.mode("overwrite")

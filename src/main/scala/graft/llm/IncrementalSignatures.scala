@@ -93,15 +93,13 @@ object IncrementalSig {
     s.sql(s"DROP TABLE IF EXISTS ${bandTable(s"$dir/$relBands")}")
     s.sql(s"DROP TABLE IF EXISTS ${bcntTable(s"$dir/$relCounts")}")
     graft.runtime.Par.run( // independent writes — overlap (guide §2.6)
-      () => bands.write.mode("overwrite").format("parquet")
-        .bucketBy(nBuckets, "band", "bsig")
-        .option("path", s"$dir/$relBands")
-        .saveAsTable(bandTable(s"$dir/$relBands")),
-      () => bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(nBuckets, "band", "bsig")
-        .option("path", s"$dir/$relCounts")
-        .saveAsTable(bcntTable(s"$dir/$relCounts")))
+      () => graft.runtime.IndexStore.writeBucketed(bands, nBuckets,
+        s"$dir/$relBands", bandTable(s"$dir/$relBands"), "overwrite",
+        "band", "bsig"),
+      () => graft.runtime.IndexStore.writeBucketed(
+        bands.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn")),
+        nBuckets, s"$dir/$relCounts", bcntTable(s"$dir/$relCounts"),
+        "overwrite", "band", "bsig"))
   }
 
   /** Write + PUBLISH (manifest generation 0 — the atomic-publication
@@ -427,15 +425,13 @@ object IncrementalSig {
           .parquet(s"$dir/${m.path("capledger")}/epoch-$pairEpoch"))
       }
       graft.runtime.Par.run(Seq( // independent writes — overlap (guide §2.6)
-        () => db0.write.mode("append").format("parquet")
-          .bucketBy(nb, "band", "bsig")
-          .option("path", s"$dir/${m.path("bands")}")
-          .saveAsTable(bandTable(s"$dir/${m.path("bands")}")),
-        () => db0.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn"))
-          .write.mode("append").format("parquet")
-          .bucketBy(nb, "band", "bsig")
-          .option("path", s"$dir/${m.path("bandcounts")}")
-          .saveAsTable(bcntTable(s"$dir/${m.path("bandcounts")}")),
+        () => graft.runtime.IndexStore.writeBucketed(db0, nb,
+          s"$dir/${m.path("bands")}", bandTable(s"$dir/${m.path("bands")}"),
+          "append", "band", "bsig"),
+        () => graft.runtime.IndexStore.writeBucketed(
+          db0.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("cn")),
+          nb, s"$dir/${m.path("bandcounts")}",
+          bcntTable(s"$dir/${m.path("bandcounts")}"), "append", "band", "bsig"),
         () => newPairs.write.mode("overwrite")
           .parquet(s"$dir/${m.path("pairs")}/epoch-$pairEpoch")) ++ ledgerWrite: _*)
       IndexStatePublisher.publish(dir, m.copy(gen = m.gen + 1,
@@ -762,20 +758,18 @@ object IncrementalSemantic {
     // inputs — overlap them (guide §2.6; graft.runtime.Par): visibility
     // is the manifest publish below, so write ordering is unobservable
     val writes = Seq(
-      () => buckets.write.mode("overwrite").format("parquet")
-        .bucketBy(nBuckets, "table_id", "bucket")
-        .option("path", s"$dir/buckets")
-        .saveAsTable(tableFor(s"$dir/buckets")),
+      () => graft.runtime.IndexStore.writeBucketed(buckets, nBuckets,
+        s"$dir/buckets", tableFor(s"$dir/buckets"), "overwrite",
+        "table_id", "bucket"),
       () => labels.write.mode("overwrite").parquet(s"$dir/labels/gen-0"),
       () => s.range(1).selectExpr(s"$nBuckets AS n_buckets",
           s"$nTables AS n_tables", s"$bits AS bits")
         .write.mode("overwrite").parquet(s"$dir/meta")) ++
       (if (ledgered) Seq(
-        () => buckets.groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("cn"))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(nBuckets, "table_id", "bucket")
-          .option("path", s"$dir/bucketcounts")
-          .saveAsTable(bcntTableFor(s"$dir/bucketcounts"))) ++
+        () => graft.runtime.IndexStore.writeBucketed(
+          buckets.groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("cn")),
+          nBuckets, s"$dir/bucketcounts", bcntTableFor(s"$dir/bucketcounts"),
+          "overwrite", "table_id", "bucket")) ++
         pairs.map(p => () => p.write.mode("overwrite").parquet(s"$dir/pairs/epoch-0")) ++
         capLedger0.map(l => () => l.select(col("table_id"), col("bucket"))
           .write.mode("overwrite").parquet(s"$dir/capledger/epoch-0"))
@@ -1094,15 +1088,14 @@ object IncrementalSemantic {
             StructField("bucket", IntegerType))))
       }
       graft.runtime.Par.run(
-        () => db0.write.mode("append").format("parquet")
-          .bucketBy(idx.nBuckets, "table_id", "bucket")
-          .option("path", s"$dir/${m.path("buckets")}")
-          .saveAsTable(tableFor(s"$dir/${m.path("buckets")}")),
-        () => db0.groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("cn"))
-          .write.mode("append").format("parquet")
-          .bucketBy(idx.nBuckets, "table_id", "bucket")
-          .option("path", s"$dir/${m.path("bucketcounts")}")
-          .saveAsTable(bcntTableFor(s"$dir/${m.path("bucketcounts")}")),
+        () => graft.runtime.IndexStore.writeBucketed(db0, idx.nBuckets,
+          s"$dir/${m.path("buckets")}", tableFor(s"$dir/${m.path("buckets")}"),
+          "append", "table_id", "bucket"),
+        () => graft.runtime.IndexStore.writeBucketed(
+          db0.groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("cn")),
+          idx.nBuckets, s"$dir/${m.path("bucketcounts")}",
+          bcntTableFor(s"$dir/${m.path("bucketcounts")}"), "append",
+          "table_id", "bucket"),
         () => verified.write.mode("overwrite")
           .parquet(s"$dir/${m.path("pairs")}/epoch-$epoch"),
         () => ledgerRows.select(col("table_id"), col("bucket"))
@@ -1215,15 +1208,13 @@ object IncrementalSemantic {
       s.sql(s"DROP TABLE IF EXISTS ${tableFor(s"$dir/buckets-g$g")}")
       s.sql(s"DROP TABLE IF EXISTS ${bcntTableFor(s"$dir/bucketcounts-g$g")}")
       graft.runtime.Par.run( // independent writes — overlap (guide §2.6)
-        () => buckets.write.mode("overwrite").format("parquet")
-          .bucketBy(nb, "table_id", "bucket")
-          .option("path", s"$dir/buckets-g$g")
-          .saveAsTable(tableFor(s"$dir/buckets-g$g")),
-        () => buckets.groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("cn"))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(nb, "table_id", "bucket")
-          .option("path", s"$dir/bucketcounts-g$g")
-          .saveAsTable(bcntTableFor(s"$dir/bucketcounts-g$g")),
+        () => graft.runtime.IndexStore.writeBucketed(buckets, nb,
+          s"$dir/buckets-g$g", tableFor(s"$dir/buckets-g$g"), "overwrite",
+          "table_id", "bucket"),
+        () => graft.runtime.IndexStore.writeBucketed(
+          buckets.groupBy(col("table_id"), col("bucket")).agg(count(lit(1)).as("cn")),
+          nb, s"$dir/bucketcounts-g$g", bcntTableFor(s"$dir/bucketcounts-g$g"),
+          "overwrite", "table_id", "bucket"),
         () => labels.write.mode("overwrite").parquet(s"$dir/labels/gen-$g"),
         () => pairsC.write.mode("overwrite").parquet(s"$dir/pairs-g$g/epoch-0"),
         () => over0.select(col("table_id"), col("bucket"))
@@ -1262,10 +1253,9 @@ object IncrementalSemantic {
         val pairs = idx.pairs.map(_.transform(graft.runtime.Ckpt.eager))
         val g = m.gen + 1
         s.sql(s"DROP TABLE IF EXISTS ${tableFor(s"$dir/buckets-g$g")}")
-        buckets.write.mode("overwrite").format("parquet")
-          .bucketBy(nb, "table_id", "bucket")
-          .option("path", s"$dir/buckets-g$g")
-          .saveAsTable(tableFor(s"$dir/buckets-g$g"))
+        graft.runtime.IndexStore.writeBucketed(buckets, nb,
+          s"$dir/buckets-g$g", tableFor(s"$dir/buckets-g$g"), "overwrite",
+          "table_id", "bucket")
         pairs.foreach(_.write.mode("overwrite").parquet(s"$dir/pairs-g$g"))
         IndexStatePublisher.publish(dir, m.copy(gen = g,
           entries = (m.entries - "deleted") +
@@ -1535,13 +1525,12 @@ object IncrementalContam {
     val out = new java.io.FileOutputStream(s"$dir/bloom.bin")
     try idx.bloom.writeTo(out) finally out.close()
     s.sql(s"DROP TABLE IF EXISTS ${tableFor(dir)}")
-    idx.grams.write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, "gk")
-      .option("path", s"$dir/grams")
-      .saveAsTable(tableFor(dir))
-    idx.spans.write.mode("overwrite").parquet(s"$dir/spans")
-    s.range(1).selectExpr(s"$nBuckets AS n_buckets")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    graft.runtime.Par.run( // independent writes — overlap (guide §2.6)
+      () => graft.runtime.IndexStore.writeBucketed(idx.grams, nBuckets,
+        s"$dir/grams", tableFor(dir), "overwrite", "gk"),
+      () => idx.spans.write.mode("overwrite").parquet(s"$dir/spans"),
+      () => s.range(1).selectExpr(s"$nBuckets AS n_buckets")
+        .write.mode("overwrite").parquet(s"$dir/meta"))
   }
 
   def readIndex(s: SparkSession, dir: String): ContamIndex = {

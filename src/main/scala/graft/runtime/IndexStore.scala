@@ -81,6 +81,33 @@ object IndexStore {
       u.getPath.stripSuffix("/"))
   }
 
+  /** Bucket-aligned bucketed write (r20 optimization, guide §6 "aim for
+    * output files in the 128 MB – 1 GB range" / avoid small files): a
+    * bucketed `saveAsTable` writes one file per (task, bucket-id) pair,
+    * so a frame arriving in T partitions can emit up to T × nBuckets
+    * files — measured ~1.5 s of commit overhead per tiny artifact write
+    * at the gate SFs, and a small-files problem at any scale. Hash-
+    * repartitioning on the bucket columns into nBuckets partitions uses
+    * the SAME pmod(murmur3) arithmetic as the bucket-id assignment, so
+    * every task holds exactly one bucket and the write emits exactly
+    * nBuckets files, each a whole bucket (delta/nBuckets sized — the
+    * production nBuckets is the file-sizing knob). The added exchange
+    * carries only the rows being written (delta-proportional on the
+    * append paths).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      nBuckets: Int,
+      path: String,
+      table: String,
+      mode: String,
+      keys: String*): Unit =
+    df.repartition(nBuckets, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(mode).format("parquet")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .option("path", path)
+      .saveAsTable(table)
+
   /** Register (or reuse) the external bucketed table backing an index
     * artifact. When the catalog already has `name` pointing at exactly
     * `location`, the existing entry is returned untouched — the DROP/

@@ -53,7 +53,11 @@ object GraftShims {
         classic.Dataset.ofRows(cs,
           LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
             lr.outputOrdering, lr.isStreaming)(cs,
-            Some(Statistics(sizeInBytes = capBytes)), None))
+            Some(Statistics(sizeInBytes = capBytes)),
+            // keep the inherited constraints (isnotnull/equality facts the
+            // optimizer uses for filter inference) — only the SIZE estimate
+            // was pathological
+            Some(lr.constraints)))
       case _ => df
     }
   }
