@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.mr.TestSession
+
+/** Focused pins for the round-20 optimization internals: the folded
+  * label-propagation init in [[DedupResolve.resolveClustersCounted]],
+  * the checkpoint statistics clamp ([[graft.runtime.Ckpt]] /
+  * GraftShims.clampCheckpointStats), the parallel-action helper
+  * ([[graft.runtime.Par]]), and the bucket-aligned bucketed write
+  * ([[graft.runtime.IndexStore.writeBucketed]]).
+  */
+class R20OptimizationSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("resolveClusters: folded init still converges to component-min on a long chain") {
+    // a 9-node CHAIN (worst case for plain propagation) + an isolated pair
+    val pairs = ((1L to 8L).map(i => (i, i + 1)) :+ (100L, 101L))
+      .toDF("a_id", "b_id")
+    val (labels, iters) = DedupResolve.resolveClustersCounted(pairs)
+    val m = labels.as[(Long, Long)].collect().toMap
+    (1L to 9L).foreach(i => assert(m(i) == 1L, s"node $i → ${m(i)}"))
+    assert(m(100L) == 100L && m(101L) == 100L)
+    // pointer jumping squares reach per round: a diameter-8 chain must
+    // close in well under 8 propagation rounds (fold counts as round 1)
+    assert(iters <= 5, s"chain took $iters rounds")
+  }
+
+  test("resolveClusters: empty and self-pair inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(DedupResolve.resolveClusters(empty).count() == 0)
+    val selfy = Seq((7L, 7L)).toDF("a_id", "b_id")
+    val m = DedupResolve.resolveClusters(selfy).as[(Long, Long)].collect().toMap
+    assert(m(7L) == 7L)
+  }
+
+  test("checkpoint stats clamp: huge inherited estimates are capped, small ones kept") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    val small = Seq((1L, 2L)).toDF("a", "b")
+    def ckptStats(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.transform(graft.runtime.Ckpt.eager)
+        .queryExecution.logical.asInstanceOf[LogicalRDD].stats.sizeInBytes
+    val smallStats = ckptStats(small)
+    assert(smallStats <= graft.runtime.Ckpt.CapBytes,
+      s"small frame's honest estimate must be far below the cap: $smallStats")
+    // chain checkpoints the way the lifecycle loops do: estimate must
+    // never exceed the cap no matter how deep the composition
+    var cur = spark.range(100).toDF("id").transform(graft.runtime.Ckpt.eager)
+    (1 to 4).foreach { _ =>
+      val r = cur.select(col("id").as("rid"))
+      cur = cur.join(r, col("id") === col("rid"))
+        .select(col("id"))
+        .transform(graft.runtime.Ckpt.eager)
+    }
+    val chained = cur.queryExecution.logical.asInstanceOf[LogicalRDD].stats.sizeInBytes
+    assert(chained <= graft.runtime.Ckpt.CapBytes,
+      s"chained checkpoint estimate must stay clamped, got $chained")
+    // and the data itself is untouched
+    assert(cur.count() == 100)
+  }
+
+  test("Par.run: all thunks execute; the first failure propagates after all complete") {
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.runtime.Par.run(
+      () => { ran.incrementAndGet(); () },
+      () => { ran.incrementAndGet(); () },
+      () => { ran.incrementAndGet(); () })
+    assert(ran.get() == 3)
+    val survived = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[RuntimeException] {
+      graft.runtime.Par.run(
+        () => throw new RuntimeException("boom"),
+        () => { Thread.sleep(50); survived.set(true) })
+    }
+    assert(e.getMessage == "boom")
+    assert(survived.get(), "sibling thunk must complete before the failure rethrows")
+  }
+
+  test("writeBucketed: emits exactly nBuckets files and reads back bucketed") {
+    val dir = graft.runtime.IndexStore.tempIndexDir("graft-wbtest")
+    val df = spark.range(0, 1000).select(
+      (col("id") % 97).cast("int").as("k1"), col("id").as("v"))
+      .repartition(13) // deliberately misaligned input partitioning
+    val tbl = graft.runtime.IndexStore.tableFor("graft_wbtest_", s"$dir/t")
+    graft.runtime.IndexStore.writeBucketed(df, 4, s"$dir/t", tbl, "overwrite", "k1")
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(files.length == 4, s"expected 4 bucket files, got ${files.length}")
+    val back = spark.table(tbl)
+    assert(back.count() == 1000)
+    // bucket-aligned: a groupBy on the bucket key over the bucketed table
+    // plans without an Exchange (the whole point of the bucketed layout)
+    val plan = back.groupBy(col("k1")).agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
