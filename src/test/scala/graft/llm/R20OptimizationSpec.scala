@@ -78,6 +78,45 @@ class R20OptimizationSpec extends AnyFunSuite {
     assert(survived.get(), "sibling thunk must complete before the failure rethrows")
   }
 
+  test("post-delete semantic probe keeps the bucketed one-shuffle plan (the d56 read path)") {
+    // r19 VERDICT #1's asked pin: after a takedown, the maintained
+    // append's corpus-side probe reads the TOMBSTONE-FILTERED bucket
+    // view — the broadcast anti-join must not cost the bucketed layout
+    // its exchange-free corpus side (only the delta side may shuffle;
+    // tombstones ride a BroadcastExchange, which moves no corpus rows)
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(graft.functions.FloatVecDot(col("embedding"), col("embedding"))))
+      .localCheckpoint(true)
+    val corpusE = all
+      .withColumn("sigs", graft.functions.SignLshBuckets(col("embedding"), 8, 4))
+      .localCheckpoint(true)
+    val pairs = IncrementalSemantic.corpusPairs(corpusE).localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("semdelplan").toString
+    try {
+      IncrementalSemantic.writeIndex(corpusE, DedupResolve.resolveClusters(pairs),
+        tmp, nBuckets = 8, pairs = Some(pairs))
+      IncrementalSemantic.deleteVectors(spark, tmp,
+        all.where(col("vec_id") % 7 === 3).select(col("vec_id")))
+      val idx = IncrementalSemantic.readIndex(spark, tmp) // tombstone-filtered
+      val db = IncrementalSemantic.bucketsOf(
+        IncrementalSemantic.withSigs(all.where(col("vec_id") % 5 === 0)))
+      val j = idx.buckets.alias("a")
+        .join(db.hint("shuffle_hash").alias("b"),
+          col("a.table_id") === col("b.table_id") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+      val p = j.queryExecution.executedPlan.toString
+      val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(shuffles == 1,
+        s"post-delete probe should shuffle ONLY the delta side, plan:\n$p")
+      assert(p.contains("Bucketed: true"),
+        s"post-delete corpus bucket scan is not a bucketed read, plan:\n$p")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("writeBucketed: emits exactly nBuckets files and reads back bucketed") {
     val dir = graft.runtime.IndexStore.tempIndexDir("graft-wbtest")
     val df = spark.range(0, 1000).select(
