@@ -117,15 +117,23 @@ object Bench {
 
     // two measured runs, report the min — single-shot numbers on a shared
     // machine carry ±20% scheduler noise; min-of-2 is the steady state.
+    // The two samples are taken as two FULL INTERLEAVED sweeps over the
+    // inventory (pass A of every query, then pass B of every query)
+    // instead of back-to-back per query (r20 VERDICT #2: back-to-back
+    // samples sit inside the same multi-minute external-load spike, so
+    // min-of-2 inherited the spike — the r20 driver artifact recorded
+    // 100 phantom regressions that its own 8-core rerun refuted; with
+    // the sweeps ~N minutes apart, a spike inflates at most one sample
+    // and the min recovers the clean number). Timing methodology is
+    // UNCHANGED: same noop sink, same timed region, same min-of-2
+    // aggregation — only the ORDER of the 2×N measurements moved.
     // A query where only ONE run survived (the other timed out/failed)
     // reports the survivor but is listed in "degraded": that number is a
     // single-shot measurement, possibly inflated by the timed-out
     // sibling's zombie-thread residual core — discount it downstream.
-    val runs = names.map { n =>
-      val a = runOnce(n)
-      val b = runOnce(n)
-      (n, a, b)
-    }
+    val passA = names.map(n => n -> runOnce(n)).toMap
+    val passB = names.map(n => n -> runOnce(n)).toMap
+    val runs = names.map(n => (n, passA(n), passB(n)))
     val results = runs.map { case (n, a, b) =>
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
@@ -165,16 +173,37 @@ object Bench {
     val noisy = rels.filter(_._2 > 0.25)
       .map { case (n, r) => "\"" + n.takeWhile(_ != '_') + "\":" + fmt(r) }
       .mkString("{", ",", "}")
+    // FULL per-query spread map, file line only (r20 VERDICT #2: the
+    // driver needs to flag contaminated ROWS, not just the median — a
+    // regressed-looking query with a large spread is host noise, one
+    // with a tight spread is a plan change). The stdout line keeps only
+    // spread_med to stay inside the driver's ~2000-char tail capture.
+    val spreadAll = rels
+      .map { case (n, r) => "\"" + n.takeWhile(_ != '_') + "\":" + fmt(r) }
+      .mkString("{", ",", "}")
     // self-describing environment note (r18 VERDICT #3/#7: the r18
     // bench ran on a measurably hot host and the artifact itself
     // carried no signal — a future consumer diffed 268 s against 176 s
     // unknowingly). The driver never sets the env var; the default
     // names the one health metric the line already carries so a
     // cross-round comparison knows what to check first.
-    val envNote = sys.env.getOrElse("SPARK_GRAFT_ENV_NOTE",
+    // JSON-escape the note (r20 ADVICE #3: a SPARK_GRAFT_ENV_NOTE
+    // carrying a quote/backslash/control char produced an invalid JSON
+    // artifact; and a blind take(60) could split a surrogate pair)
+    def jesc(raw: String): String = raw.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def takeWhole(raw: String, n: Int): String = {
+      val t = raw.take(n)
+      if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
+    }
+    val envNote = jesc(sys.env.getOrElse("SPARK_GRAFT_ENV_NOTE",
       "shared host, no isolation; cross-round deltas need an interleaved A/B " +
-        "or a same-round control family - check spread_med first")
-    val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"families":$fams,"sf":"$sfDir","runs":2,"agg":"min","degraded":$deg,"spread_med":${fmt(spreadMed)},"noisy":$noisy,"warmup":"sf0.001","env_note":"$envNote"}"""
+        "or a same-round control family - check spread_med first"))
+    val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"families":$fams,"sf":"$sfDir","runs":2,"agg":"min","interleaved":true,"degraded":$deg,"spread_med":${fmt(spreadMed)},"noisy":$noisy,"spread":$spreadAll,"warmup":"sf0.001","env_note":"$envNote"}"""
     // STDOUT gets a SHORTER line than the file: the driver captures only
     // stdout's ~2000-char TAIL, after which sbt's epilogue still follows
     // — r15's full line (132 queries + the noisy map) overflowed the
@@ -197,7 +226,7 @@ object Bench {
     // shipped without the health note). The stdout copy is truncated to
     // keep the line inside the driver's ~2000-char tail capture.
     val envNote2 = sys.env.get("SPARK_GRAFT_ENV_NOTE")
-      .map(_.take(60))
+      .map(n => jesc(takeWhole(n, 60)))
       .getOrElse("shared host, no isolation - check spread_med")
     val stdoutLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2,"families":$fams,"sf":"$sfDir","runs":2,"degraded":$deg,"spread_med":${fmt(spreadMed)},"env_note":"$envNote2"}"""
     println(stdoutLine)

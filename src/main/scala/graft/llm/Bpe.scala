@@ -189,7 +189,13 @@ object Bpe {
   private final class CpSlot {
     private var cur: Option[DataFrame] = None
     def rotate(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(true)
+      // clamp inherited size stats like every other lifecycle checkpoint
+      // (r20 VERDICT #6): if a BPE composition ever checkpoints join
+      // outputs the same multiplicative compounding would bite here. The
+      // clamp preserves the bare-LogicalRDD plan shape (same `rdd`
+      // inside), so [[releaseCp]]'s pattern match and unpersist target
+      // are unchanged.
+      val out = graft.runtime.Ckpt.eager(df)
       release()
       cur = Some(out)
       out

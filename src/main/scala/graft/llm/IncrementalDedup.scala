@@ -272,6 +272,7 @@ object IncrementalDedup {
       idx.pairs.map(p => () => p.write.mode("overwrite").parquet(s"$dir/pairs/epoch-0")) ++
       capLedger0.map(l => () => l.select(col("band"), col("bsig"))
         .write.mode("overwrite").parquet(s"$dir/capledger/epoch-0")): _*)
+    graft.runtime.MetaCache.invalidate(dir) // meta just (re)written
     val entries = Map(
       "hashes" -> "hashes", "bands" -> "bands", "bandcounts" -> "bandcounts",
       "sigs" -> "sigs", "labels" -> "labels/gen-0") ++
@@ -321,7 +322,7 @@ object IncrementalDedup {
     readIndexAt(s, dir, IndexStatePublisher.current(dir))
 
   private def readIndexAt(s: SparkSession, dir: String, m: IndexManifest): CorpusIndex = {
-    val meta = s.read.parquet(s"$dir/meta").collect()(0)
+    val meta = graft.runtime.MetaCache.row(s, dir)
     val (k, rpb, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val del: Option[DataFrame] = m.pathOpt("deleted")
       .map(rel => broadcast(s.read.parquet(s"$dir/$rel")))
@@ -542,7 +543,21 @@ object IncrementalDedup {
     // label resolution reads only IMMUTABLE inputs (checkpointed edges +
     // the labels/gen-N parquet this mutation never touches) — overlap it
     // with the artifact writes below (guide §2.6); the labels write
-    // chains inside the resolving thunk
+    // chains inside the resolving thunk.
+    // RECOVERY NOTE (r20 ADVICE #2): the bucketed probe tables take
+    // in-place mode-append writes, so a resolution failure mid-overlap
+    // leaves appended rows visible to a reader at the OLD manifest —
+    // a wider torn window than the sequential order had (where only a
+    // write failure could tear). The writer-lock + rebuild contract is
+    // the recovery path either way: a failed mutation leaves the lock
+    // released by try/finally, the manifest un-advanced, and the next
+    // writer (or rebuildLedgered/compactIndex) re-derives from source —
+    // the probe-table surplus rows are harmless to correctness only
+    // AFTER that recovery, never to a concurrent reader mid-failure
+    // (readers-that-matter serialize on the writer lock, see class doc).
+    // The DELETE paths, whose heavy step is the resolve itself, run it
+    // BEFORE any write (see deleteFromIndex) — here the writes are the
+    // delta-proportional bulk and the overlap is the measured r20 win.
     @volatile var newLabels: DataFrame = null
     // artifact write-back (delta-proportional except the labels rewrite,
     // which is dup-membership-proportional): independent actions over
@@ -624,7 +639,7 @@ object IncrementalDedup {
     */
   def rerunKeptWithLedger(s: SparkSession, dir: String, docsWithEpoch: DataFrame,
       estMin: Double = 0.6, jaccardMin: Double = 0.8): DataFrame = {
-    val meta = s.read.parquet(s"$dir/meta").collect()(0)
+    val meta = graft.runtime.MetaCache.row(s, dir)
     val (k, rpb) = (meta.getInt(0), meta.getInt(1))
     val sigs = docsWithEpoch.select(col("doc_id"),
       graft.functions.MinHashSig(col("text"), 5, k).as("sig"))
@@ -750,11 +765,22 @@ object IncrementalDedup {
     // (delete traffic is small by contract): one manifest resolution
     // then gives a reader a consistent (labels, tombstones) pair —
     // appending to a live tombstone dir could tear exactly that pairing.
-    // The tombstone rewrite and the touched-cluster re-resolution read
-    // disjoint IMMUTABLE inputs — overlap them (guide §2.6), each thunk
-    // chaining its own write
-    @volatile var newLabels: DataFrame = null
-    graft.runtime.Par.run(
+    // The touched-cluster re-resolution is this mutation's HEAVY compute
+    // (an iterative multi-job resolve); run it to completion BEFORE any
+    // artifact write and overlap only the two cheap writes below (r20
+    // VERDICT #1 — see IncrementalSemantic.deleteVectors for the full
+    // argument: no heavy job ever shares the memory pool with another,
+    // and nothing irreversible happens until the failure-prone step has
+    // succeeded). Wall cost of serializing: ≈ 0 — the tombstone union
+    // job now hides under the label write instead of under the resolve.
+    val subLabels = DedupResolve.resolveClusters(
+      survPairs.select(col("a_id"), col("b_id")).unionByName(survStars))
+    val untouched = idx.labels
+      .join(tJoin, Seq("cluster"), "left_anti")
+      .select(col("id"), col("cluster"))
+    val newLabels = untouched.unionByName(subLabels.select(col("id"), col("cluster")))
+      .transform(graft.runtime.Ckpt.eager) // materialize BEFORE publishing over its input gen
+    graft.runtime.Par.run( // two independent writes — overlap (guide §2.6)
       () => {
         val allDel = m.pathOpt("deleted")
           .map(rel => s.read.parquet(s"$dir/$rel").unionByName(del).distinct())
@@ -762,16 +788,7 @@ object IncrementalDedup {
           .transform(graft.runtime.Ckpt.eager)
         allDel.write.mode("overwrite").parquet(s"$dir/deleted/gen-${m.gen + 1}")
       },
-      () => {
-        val subLabels = DedupResolve.resolveClusters(
-          survPairs.select(col("a_id"), col("b_id")).unionByName(survStars))
-        val untouched = idx.labels
-          .join(tJoin, Seq("cluster"), "left_anti")
-          .select(col("id"), col("cluster"))
-        newLabels = untouched.unionByName(subLabels.select(col("id"), col("cluster")))
-          .transform(graft.runtime.Ckpt.eager) // materialize BEFORE publishing over its input gen
-        newLabels.write.mode("overwrite").parquet(s"$dir/labels/gen-${m.gen + 1}")
-      })
+      () => newLabels.write.mode("overwrite").parquet(s"$dir/labels/gen-${m.gen + 1}"))
     IndexStatePublisher.publish(dir, m
       .withEntry("labels", s"labels/gen-${m.gen + 1}")
       .withEntry("deleted", s"deleted/gen-${m.gen + 1}")
@@ -798,7 +815,7 @@ object IncrementalDedup {
     val m = IndexStatePublisher.current(dir)
     require(m.pathOpt("capledger").nonEmpty,
       s"index at $dir is not ledgered — use compactIndex")
-    val meta = s.read.parquet(s"$dir/meta").collect()(0)
+    val meta = graft.runtime.MetaCache.row(s, dir)
     val (k, rpb, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val idx = readIndexAt(s, dir, m) // tombstone-filtered views
     val survN = idx.hashes.count()
@@ -863,7 +880,7 @@ object IncrementalDedup {
         "ledger and break the rerun contract — use " +
         "rebuildLedgered(dir, corpus, ...) instead")
     if (m.pathOpt("deleted").nonEmpty) {
-      val meta = s.read.parquet(s"$dir/meta").collect()(0)
+      val meta = graft.runtime.MetaCache.row(s, dir)
       val (k, rpb, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
       val idx = readIndexAt(s, dir, m)
       val hashes = idx.hashes.transform(graft.runtime.Ckpt.eager)

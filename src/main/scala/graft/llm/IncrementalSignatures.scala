@@ -120,6 +120,7 @@ object IncrementalSig {
         .write.mode("overwrite").parquet(s"$dir/meta")) ++
       capLedger0.map(l => () => l.select(col("band"), col("bsig"))
         .write.mode("overwrite").parquet(s"$dir/capledger/epoch-0")): _*)
+    graft.runtime.MetaCache.invalidate(dir) // meta just (re)written
     IndexStatePublisher.publish(dir, IndexManifest(0L,
       Map("bands" -> "bands", "bandcounts" -> "bandcounts", "pairs" -> "pairs") ++
         (if (capLedger0.nonEmpty) Map("capledger" -> "capledger") else Map.empty),
@@ -137,7 +138,7 @@ object IncrementalSig {
   def readIndex(s: SparkSession, dir: String): SigIndex = {
     import graft.runtime.{IndexStatePublisher, IndexStore}
     val m = IndexStatePublisher.current(dir)
-    val meta = s.read.parquet(s"$dir/meta").collect()(0)
+    val meta = graft.runtime.MetaCache.row(s, dir)
     val (bits, nBands, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val del: Option[DataFrame] = m.pathOpt("deleted")
       .map(rel => broadcast(s.read.parquet(s"$dir/$rel")))
@@ -231,7 +232,7 @@ object IncrementalSig {
       val m = IndexStatePublisher.current(dir)
       require(m.pathOpt("capledger").nonEmpty,
         s"signature index at $dir is not ledgered — use compactIndex")
-      val meta = s.read.parquet(s"$dir/meta").collect()(0)
+      val meta = graft.runtime.MetaCache.row(s, dir)
       val (bits, nBands, nb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
       val idx = readIndex(s, dir) // tombstone-filtered views
       val survSigs = idx.bands.select(col("doc_id"), col("sig")).distinct()
@@ -275,7 +276,7 @@ object IncrementalSig {
           "the cap ledger and break the rerun contract — use " +
           "rebuildLedgered(dir, maxHamming, bucketCap) instead")
       if (m.pathOpt("deleted").nonEmpty) {
-        val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(2)
+        val nb = graft.runtime.MetaCache.row(s, dir).getInt(2)
         val idx = readIndex(s, dir) // tombstone-filtered views
         val bands = idx.bands.transform(graft.runtime.Ckpt.eager)
         val pairs = idx.pairs.transform(graft.runtime.Ckpt.eager)
@@ -401,7 +402,7 @@ object IncrementalSig {
     IndexStatePublisher.withWriterLock(dir) {
       val m = IndexStatePublisher.current(dir)
       val idx = readIndex(s, dir)
-      val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(2)
+      val nb = graft.runtime.MetaCache.row(s, dir).getInt(2)
       val (db0, newPairs0, over) = deltaPairs(idx, deltaSigs, maxHamming, bucketCap)
       val newPairs = newPairs0.transform(graft.runtime.Ckpt.eager)
       val pairEpoch = m.epochs.getOrElse("pairs", -1) + 1
@@ -471,7 +472,7 @@ object IncrementalSig {
   def rerunWithLedger(s: SparkSession, dir: String,
       sigsWithEpoch: DataFrame, maxHamming: Int): DataFrame = {
     val m = graft.runtime.IndexStatePublisher.current(dir)
-    val meta = s.read.parquet(s"$dir/meta").collect()(0)
+    val meta = graft.runtime.MetaCache.row(s, dir)
     val (bits, nBands) = (meta.getInt(0), meta.getInt(1))
     // Suppression is MONOTONE: bucket population over visible docs only
     // grows with the epoch, so "over cap at epoch k ⇒ over at every
@@ -513,7 +514,10 @@ object IncrementalSig {
     def sigsOf(d: DataFrame): DataFrame = d
       .select(col("doc_id"), graft.functions.SimHashSig(col("text"), 32).as("sig"))
       .where(col("sig") =!= lit(graft.functions.SimHashSig.Empty))
+    // one SimHash pass for the corpus side (guide §1.2): the kernel fed
+    // the band/count/pair writes lazily — 3-4 recomputes per build (r21)
     val corpusSigs = sigsOf(docs.where(col("doc_id") % 5 < 4))
+      .transform(graft.runtime.Ckpt.eager)
     val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-incsim")
     // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
     writeIndex(corpusSigs, buildPairs(corpusSigs, 32, 4, 7), idxDir, 32, 4, nBuckets = 8)
@@ -533,6 +537,8 @@ object IncrementalSig {
     val sigs = docs
       .select(col("doc_id"), graft.functions.SimHashSig(col("text"), 32).as("sig"))
       .where(col("sig") =!= lit(graft.functions.SimHashSig.Empty))
+      // one SimHash pass feeding the build's 3-4 write/pair actions (r21)
+      .transform(graft.runtime.Ckpt.eager)
     val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-incsimdel")
     // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
     writeIndex(sigs, buildPairs(sigs, 32, 4, 7), idxDir, 32, 4, nBuckets = 8)
@@ -557,7 +563,9 @@ object IncrementalSig {
     def sigsOf(d: DataFrame): DataFrame = d
       .select(col("doc_id"), graft.functions.SimHashSig(col("text"), 32).as("sig"))
       .where(col("sig") =!= lit(graft.functions.SimHashSig.Empty))
+    // one SimHash pass for the base corpus (guide §1.2; see simhashAppend)
     val base = sigsOf(docs.where(col("doc_id") % 4 === 0))
+      .transform(graft.runtime.Ckpt.eager)
     val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-simmulti")
     // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
     writeIndex(base, buildPairs(base, 32, 4, 7), idxDir, 32, 4, nBuckets = 8)
@@ -598,7 +606,9 @@ object IncrementalSig {
     def sigsOf(d: DataFrame): DataFrame = d
       .select(col("doc_id"), graft.functions.SimHashSig(col("text"), 32).as("sig"))
       .where(col("sig") =!= lit(graft.functions.SimHashSig.Empty))
+    // one SimHash pass for the base corpus (guide §1.2; see simhashAppend)
     val base = sigsOf(docs.where(col("doc_id") % 4 === 0))
+      .transform(graft.runtime.Ckpt.eager)
     val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-incsigled")
     val (pairs0, over0) = buildPairsWithLedger(
       base, 32, LedgerBands, LedgerMaxHamming, LedgerCap)
@@ -655,8 +665,15 @@ object IncrementalSig {
     * loses nothing through the persistence seam).
     */
   def phashAppend(s: SparkSession, dir: String): DataFrame = {
+    // ONE media-decode pass (guide §1.2, the r20 one-sig-pass discipline
+    // applied to this family — r21): the pHash kernel (image decode +
+    // DCT) is the dominant per-row cost and fed FOUR downstream actions
+    // lazily (bands write, counts write, pairs build×2 via the
+    // self-join's two scans) — each recomputed the kernel over the
+    // corpus. Checkpoint the tiny (doc_id, sig) frame once instead.
     val sigs = Multimodal.perceptualHash(Multimodal.mediaTable(s, dir))
       .toDF().withColumnRenamed("phash", "sig")
+      .transform(graft.runtime.Ckpt.eager)
     val corpusSigs = sigs.where(col("doc_id") % 5 < 4)
     val idxDir = graft.runtime.IndexStore.tempIndexDir("graft-incph")
     // nBuckets = 8 at the gate (layout knob; see IncrementalDedup.appendDedup)
@@ -776,6 +793,7 @@ object IncrementalSemantic {
       else
         pairs.map(p => () => p.write.mode("overwrite").parquet(s"$dir/pairs/gen-0")).toSeq)
     graft.runtime.Par.run(writes: _*)
+    graft.runtime.MetaCache.invalidate(dir) // meta just (re)written
     val entries =
       if (ledgered)
         Map("buckets" -> "buckets", "labels" -> "labels/gen-0",
@@ -798,7 +816,7 @@ object IncrementalSemantic {
     */
   def readIndex(s: SparkSession, dir: String): SemIndex = {
     val m = graft.runtime.IndexStatePublisher.current(dir)
-    val meta = s.read.parquet(s"$dir/meta").collect()(0)
+    val meta = graft.runtime.MetaCache.row(s, dir)
     // geometry rode into meta in r16 (the scale arm runs count-calibrated
     // bits); a pre-r16 meta has only n_buckets — fall back to the pinned
     // constants it was written under
@@ -879,11 +897,26 @@ object IncrementalSemantic {
         .join(touchedLabels.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
         .join(del.withColumnRenamed("vec_id", "a_id"), Seq("a_id"), "left_anti")
         .join(del.withColumnRenamed("vec_id", "b_id"), Seq("b_id"), "left_anti")
-      // the tombstone rewrite and the touched-cluster re-resolution read
-      // disjoint IMMUTABLE inputs — overlap them (guide §2.6), each
-      // thunk chaining its own write
-      @volatile var newLabels: DataFrame = null
-      graft.runtime.Par.run(
+      // the touched-cluster re-resolution is this mutation's HEAVY
+      // compute (an iterative multi-job resolve); run it to completion
+      // BEFORE any artifact write and overlap only the two cheap writes
+      // below (r20 VERDICT #1: overlapping the resolve with the
+      // tombstone rewrite was the prime suspect for d49's intermittent
+      // 7× blowup at 32-way task concurrency — two concurrent heavy
+      // jobs sharing local-mode's one unified memory pool, guide §5 —
+      // and the serial order also closes the torn-state window r20
+      // ADVICE flagged: nothing irreversible happens until the
+      // failure-prone step has succeeded). Wall cost of serializing:
+      // ≈ 0 — the tombstone union job now hides under the label write
+      // instead of under the resolve.
+      val subLabels =
+        DedupResolve.resolveClusters(survPairs.select(col("a_id"), col("b_id")))
+      val untouched = idx.labels
+        .join(tJoin, Seq("cluster"), "left_anti")
+        .select(col("id"), col("cluster"))
+      val newLabels = untouched.unionByName(subLabels.select(col("id"), col("cluster")))
+        .transform(graft.runtime.Ckpt.eager) // materialize BEFORE publishing over its input gen
+      graft.runtime.Par.run( // two independent writes — overlap (guide §2.6)
         () => {
           val allDel = m.pathOpt("deleted")
             .map(rel => s.read.parquet(s"$dir/$rel").unionByName(del).distinct())
@@ -891,16 +924,7 @@ object IncrementalSemantic {
             .transform(graft.runtime.Ckpt.eager)
           allDel.write.mode("overwrite").parquet(s"$dir/deleted/gen-${m.gen + 1}")
         },
-        () => {
-          val subLabels =
-            DedupResolve.resolveClusters(survPairs.select(col("a_id"), col("b_id")))
-          val untouched = idx.labels
-            .join(tJoin, Seq("cluster"), "left_anti")
-            .select(col("id"), col("cluster"))
-          newLabels = untouched.unionByName(subLabels.select(col("id"), col("cluster")))
-            .transform(graft.runtime.Ckpt.eager) // materialize BEFORE publishing over its input gen
-          newLabels.write.mode("overwrite").parquet(s"$dir/labels/gen-${m.gen + 1}")
-        })
+        () => newLabels.write.mode("overwrite").parquet(s"$dir/labels/gen-${m.gen + 1}"))
       IndexStatePublisher.publish(dir, m
         .withEntry("labels", s"labels/gen-${m.gen + 1}")
         .withEntry("deleted", s"deleted/gen-${m.gen + 1}")
@@ -1075,7 +1099,12 @@ object IncrementalSemantic {
       // verified evidence + the labels/gen-N parquet this mutation never
       // touches), so it can overlap the four artifact writes below that
       // depend only on db0/verified/ledgerRows (guide §2.6) — the labels
-      // write itself chains inside the resolving thunk
+      // write itself chains inside the resolving thunk.
+      // RECOVERY NOTE (r20 ADVICE #2): see IncrementalDedup.appendToIndex
+      // — mode-append probe-table writes overlapping the resolution widen
+      // the torn window on failure; the writer-lock + rebuild contract is
+      // the recovery path, and the delete path (deleteVectors) resolves
+      // BEFORE writing.
       @volatile var newLabels: DataFrame = null
       // write-back (delta-proportional; labels ∝ dup-cluster membership):
       // five INDEPENDENT actions over materialized frames — overlap them
@@ -1142,7 +1171,7 @@ object IncrementalSemantic {
   def rerunKeptWithLedger(s: SparkSession, dir: String,
       vecsWithEpoch: DataFrame, minCos: Double = MinCos): DataFrame = {
     val m = graft.runtime.IndexStatePublisher.current(dir)
-    val meta = s.read.parquet(s"$dir/meta").collect()(0)
+    val meta = graft.runtime.MetaCache.row(s, dir)
     val (nt, bits) =
       if (meta.length >= 3) (meta.getInt(1), meta.getInt(2)) else (NTables, Bits)
     val e = withSigs(vecsWithEpoch, nt, bits).transform(graft.runtime.Ckpt.eager)
@@ -1190,7 +1219,7 @@ object IncrementalSemantic {
       val m = IndexStatePublisher.current(dir)
       require(m.pathOpt("capledger").nonEmpty,
         s"semantic index at $dir is not ledgered — use compactIndex")
-      val meta = s.read.parquet(s"$dir/meta").collect()(0)
+      val meta = graft.runtime.MetaCache.row(s, dir)
       val (nb, nt, bits) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
       val idx = readIndex(s, dir) // tombstone-filtered views
       val survN = idx.buckets.select(col("vec_id")).distinct().count()
@@ -1247,7 +1276,7 @@ object IncrementalSemantic {
           "cap ledger and break the rerun contract — use " +
           "rebuildLedgered(dir, allE, bucketCap) instead")
       if (m.pathOpt("deleted").nonEmpty) {
-        val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(0)
+        val nb = graft.runtime.MetaCache.row(s, dir).getInt(0)
         val idx = readIndex(s, dir)
         val buckets = idx.buckets.transform(graft.runtime.Ckpt.eager)
         val pairs = idx.pairs.map(_.transform(graft.runtime.Ckpt.eager))
@@ -1531,10 +1560,11 @@ object IncrementalContam {
       () => idx.spans.write.mode("overwrite").parquet(s"$dir/spans"),
       () => s.range(1).selectExpr(s"$nBuckets AS n_buckets")
         .write.mode("overwrite").parquet(s"$dir/meta"))
+    graft.runtime.MetaCache.invalidate(dir) // meta just (re)written
   }
 
   def readIndex(s: SparkSession, dir: String): ContamIndex = {
-    val nb = s.read.parquet(s"$dir/meta").collect()(0).getInt(0)
+    val nb = graft.runtime.MetaCache.row(s, dir).getInt(0)
     val in = new java.io.FileInputStream(s"$dir/bloom.bin")
     val bloom =
       try org.apache.spark.util.sketch.BloomFilter.readFrom(in)

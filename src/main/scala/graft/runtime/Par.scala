@@ -17,10 +17,17 @@ package graft.runtime
   * shared pool's threads would keep the group of whoever created them.
   *
   * Failure contract: every thunk is awaited (no orphan writers), then
-  * the FIRST failure is rethrown — same observable outcome as the
-  * sequential code, minus the ordering of side effects between
-  * INDEPENDENT writes (which no reader can observe: artifacts become
-  * visible only at the manifest publish that follows them).
+  * the first-COMPLETED failure is rethrown with every sibling failure
+  * attached via `addSuppressed` (r20 ADVICE: rethrowing one and
+  * SWALLOWING the rest lost a root cause whenever two writes failed
+  * together — the error path of every index mutation deserves the full
+  * picture). Same observable outcome as the sequential code otherwise,
+  * minus the ordering of side effects between INDEPENDENT writes (which
+  * no reader can observe: artifacts become visible only at the manifest
+  * publish that follows them). An interrupt of the COORDINATING thread
+  * while it awaits (the harness watchdog's reach is cancelJobGroup, not
+  * thread interrupt, so this is defensive) interrupts the workers,
+  * re-asserts the flag, and propagates — never a silent half-wait.
   */
 object Par {
   def run(thunks: (() => Unit)*): Unit = {
@@ -35,8 +42,21 @@ object Par {
       th.start()
       th
     }
-    threads.foreach(_.join())
+    try threads.foreach(_.join())
+    catch {
+      case ie: InterruptedException =>
+        threads.foreach(_.interrupt())
+        Thread.currentThread().interrupt()
+        throw ie
+    }
     val first = failures.poll()
-    if (first != null) throw first
+    if (first != null) {
+      var next = failures.poll()
+      while (next != null) {
+        if (next ne first) first.addSuppressed(next)
+        next = failures.poll()
+      }
+      throw first
+    }
   }
 }

@@ -20,8 +20,14 @@ object ExplainDump {
     val suffix = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_SUFFIX", "before")
     val names = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_QUERIES", "")
       .split(",").map(_.trim).filter(_.nonEmpty)
+    // same extensions as GraftSession.build (r20 ADVICE #1): evidence
+    // plans must come from the engine's own planner surface (TopK
+    // strategy + SQL function registrations); configs deliberately
+    // mirror Bench's session, not GraftSession's, so dumped plans match
+    // what the benchmarked engine plans
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

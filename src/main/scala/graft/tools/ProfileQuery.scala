@@ -16,8 +16,12 @@ object ProfileQuery {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val name = sys.env.getOrElse("SPARK_GRAFT_PROFILE_QUERY", "d56_ledgered_delete_semantic")
+    // same extensions as GraftSession.build (r20 ADVICE #1): profiles
+    // must run the engine's own planner surface; configs deliberately
+    // mirror Bench's session so per-job numbers match the bench
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
